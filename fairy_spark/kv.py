@@ -1,0 +1,201 @@
+"""KVStore — the reference's identity capability, Spark-native.
+
+Reference semantics (SURVEY.md §2.A A1-A4):
+  * ``put(key, bytes)`` writes a blob under a hash bucket:
+    ``{root}/{DefaultHasher(key) as u16 % num_bucket}/{key}``
+    (common/src/kv_store/local_kv_store/local_file_kv_store.rs:19-70,
+    common/src/kv_store/mod.rs:26-30).
+  * ``get(key)`` reads the whole blob back (local_file_kv_store.rs:49-60).
+  * Overwrite of an existing key replaces the file.
+
+Spark-native design — an LSM-flavored bucketed table, not a file per key:
+
+  * Backing store: a **bucketed, sorted managed table**
+    ``(key string, value binary, seq bigint)`` written with
+    ``bucketBy(num_buckets, "key").sortBy("key")``. The bucket id
+    ``pmod(hash(key), num_buckets)`` is the direct analog of the
+    reference's ``short_hash % num_bucket`` placement, but at 100 TB it
+    buys us (a) bucket pruning on point lookups — a ``get`` touches
+    1/num_buckets of the data — and (b) shuffle-free joins against
+    other tables bucketed on the same key.
+  * ``put`` is an **append-only batch** stamped with a monotonically
+    increasing ``seq``: O(batch) work, no read-modify-write of the
+    whole table (an overwrite-on-put design would be O(table) per put
+    and unusable at scale). Latest ``seq`` wins on read; deletes are
+    tombstones (null value). ``compact()`` folds the log down to one
+    row per live key.
+  * ``get`` is a key-equality filter: Catalyst prunes to one bucket,
+    parquet min/max on the sorted key column prunes row groups inside
+    it.
+
+This trades a little read-side work (max-seq resolution) for scalable
+writes — the same LSM trade-off every real KV store at this scale makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import types as T
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+class KeyNotFound(KeyError):
+    """Raised on get() of a missing/deleted key (reference: io::Error
+    from File::open, local_file_kv_store.rs:51)."""
+
+
+class KVStore:
+    def __init__(self, spark: SparkSession, name: str = "kv_default", num_buckets: int = 1024):
+        # 1024 matches the reference default (local_kv_options.rs:23);
+        # tests use a smaller fanout so bucket files stay non-tiny.
+        self.spark = spark
+        self.table = f"fairy_kv_{name}"
+        self.num_buckets = num_buckets
+        self._next_seq: int | None = None
+
+    # -- internals ---------------------------------------------------------
+
+    def _exists_table(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def _log(self) -> DataFrame:
+        if not self._exists_table():
+            return self.spark.createDataFrame([], KV_SCHEMA)
+        return self.spark.table(self.table)
+
+    def _alloc_seq(self) -> int:
+        if self._next_seq is None:
+            if self._exists_table():
+                row = self._log().agg(F.max("seq").alias("m")).first()
+                self._next_seq = (row["m"] or 0) + 1
+            else:
+                self._next_seq = 1
+        seq = self._next_seq
+        self._next_seq += 1
+        return seq
+
+    def _append(self, rows: list[Row]) -> None:
+        df = self.spark.createDataFrame(rows, KV_SCHEMA)
+        (
+            df.write.mode("append")
+            .bucketBy(self.num_buckets, "key")
+            .sortBy("key")
+            .format("parquet")
+            .saveAsTable(self.table)
+        )
+
+    def _latest(self) -> DataFrame:
+        """One row per key, latest seq wins; tombstones still present."""
+        log = self._log()
+        # max_by avoids a window shuffle: single hash-agg on the bucket key,
+        # which is shuffle-free because the table is bucketed by key.
+        return log.groupBy("key").agg(
+            F.max_by("value", "seq").alias("value"), F.max("seq").alias("seq")
+        )
+
+    # -- public surface (A1-A4 parity) -------------------------------------
+
+    def put(self, key: str, value: bytes) -> None:
+        self.put_batch([(key, value)])
+
+    def put_batch(self, pairs: list[tuple[str, bytes]]) -> None:
+        seq = self._alloc_seq()
+        self._append([Row(key=k, value=bytes(v), seq=seq) for k, v in pairs])
+
+    def put_df(self, df: DataFrame) -> None:
+        """Bulk ingest from any (key string, value binary) DataFrame —
+        the analog of the h2 put_object ingest path (h2_service.rs:89-109),
+        minus its first-chunk-only truncation bug (SURVEY.md §3.1)."""
+        seq = self._alloc_seq()
+        rows = df.select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+        (
+            rows.write.mode("append")
+            .bucketBy(self.num_buckets, "key")
+            .sortBy("key")
+            .format("parquet")
+            .saveAsTable(self.table)
+        )
+
+    def get(self, key: str) -> bytes:
+        # Key-equality filter → bucket pruning + row-group pruning; only
+        # then resolve latest seq over the (tiny) per-key history.
+        hits = (
+            self._log()
+            .filter(F.col("key") == key)
+            .orderBy(F.col("seq").desc())
+            .limit(1)
+            .collect()
+        )
+        if not hits or hits[0]["value"] is None:
+            raise KeyNotFound(key)
+        return bytes(hits[0]["value"])
+
+    def get_df(self, keys: DataFrame) -> DataFrame:
+        """Batch get: join a (key) DataFrame against the store.
+        Broadcast the probe side — at 100 TB the store is huge and the
+        key list is small, so this is a bucket-local broadcast join."""
+        latest = self._latest().filter(F.col("value").isNotNull())
+        return latest.join(F.broadcast(keys.select("key").distinct()), "key", "inner").select(
+            "key", "value"
+        )
+
+    def delete(self, key: str) -> None:
+        seq = self._alloc_seq()
+        self._append([Row(key=key, value=None, seq=seq)])
+
+    def exists(self, key: str) -> bool:
+        hit = (
+            self._log()
+            .filter(F.col("key") == key)
+            .orderBy(F.col("seq").desc())
+            .limit(1)
+            .collect()
+        )
+        return bool(hit) and hit[0]["value"] is not None
+
+    def keys(self) -> DataFrame:
+        return self._latest().filter(F.col("value").isNotNull()).select("key")
+
+    def scan(self) -> DataFrame:
+        """Full live view (key, value) — the analytics bridge."""
+        return self._latest().filter(F.col("value").isNotNull()).select("key", "value")
+
+    def bucket_of(self, key: str) -> int:
+        """Deterministic bucket id, analog of data_path()'s
+        ``short_hash % num_bucket`` (local_file_kv_store.rs:62-70)."""
+        row = self.spark.range(1).select(
+            F.pmod(F.hash(F.lit(key)), F.lit(self.num_buckets)).alias("b")
+        ).first()
+        return int(row["b"])
+
+    def compact(self) -> None:
+        """Fold the log: one row per live key, seq reset. O(store) — run
+        it like any LSM major compaction, not per-put."""
+        latest = self._latest().filter(F.col("value").isNotNull())
+        snapshot = latest.select("key", "value", F.lit(1).cast("long").alias("seq"))
+        tmp = self.table + "_compact"
+        (
+            snapshot.write.mode("overwrite")
+            .bucketBy(self.num_buckets, "key")
+            .sortBy("key")
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
+        self._next_seq = 2
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        self._next_seq = None

@@ -1,0 +1,210 @@
+"""Scan / project / filter / dedup queries (SURVEY.md §2.B scans + predicates).
+
+Flagship is the TPC-H Q1 pricing-summary shape: parquet scan → pushed
+filter → hash agg (map-side partial) → sort. One shuffle on the
+two low-cardinality group keys; at 100 TB this stays a scan-bound
+plan, which is the right plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 6)                                        AS sum_qty,
+      ROUND(SUM(l_extendedprice), 6)                                   AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+      ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+      ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
+      ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+      COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "scan_count",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+)
+def scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS net_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate IS NOT NULL
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "case_when_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+    FROM orders
+    WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+    ORDER BY o_orderkey
+    """,
+)
+def case_when_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"))
+        .select(
+            "o_orderkey",
+            # FLOOR on both sides: Spark's double→bigint cast truncates
+            # while DuckDB's rounds, so the cast must be made explicit.
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("price_int"),
+            F.when(F.col("o_totalprice") >= 300000, "high")
+            .when(F.col("o_totalprice") >= 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_final"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    WHERE l_quantity > 45
+    ORDER BY l_returnflag, l_linestatus, l_shipdate
+    """,
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select("l_returnflag", "l_linestatus", "l_shipdate")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
+    )
+
+
+@register(
+    "limit_offset_page",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    ORDER BY p_name, p_partkey
+    LIMIT 20 OFFSET 35
+    """,
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A17 readdir pagination generalized: deterministic ORDER BY + page.
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name")
+        .orderBy("p_name", "p_partkey")
+        .offset(35)
+        .limit(20)
+    )
+
+
+@register(
+    "kv_point_get",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key, text AS value
+    FROM documents
+    WHERE doc_id = 42
+    ORDER BY key
+    """,
+)
+def kv_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV get as a relational point lookup (A2): key-equality filter on
+    the key column; on a bucketed store this prunes to one bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+    return kv.filter(F.col("key") == "42").orderBy("key")
+
+
+@register(
+    "kv_bucket_layout",
+    oracle="""
+    SELECT ((hash(CAST(doc_id AS VARCHAR)) % 16) + 16) % 16 IS NOT NULL AS dummy_true,
+           COUNT(*) AS n_keys
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def kv_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 short_hash%num_bucket placement: hash functions differ
+    across engines, so the oracle checks the invariant (every key maps
+    to a bucket) rather than specific bucket ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.pmod(F.hash(F.col("doc_id").cast("string")), F.lit(16)).alias("bucket")
+        )
+        .select(F.col("bucket").isNotNull().alias("dummy_true"))
+        .groupBy("dummy_true")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("dummy_true")
+    )

@@ -1,0 +1,55 @@
+"""Testdata table loading (TESTDATA.md star schema + events/documents/embeddings).
+
+Scans are plain ``spark.read.parquet`` so Catalyst's parquet source
+handles predicate pushdown, column pruning, and split planning
+(analog of the reference's chunked file read, worker/src/h2_service.rs:93-121,
+where 'chunk' ≈ parquet row-group / maxPartitionBytes split).
+
+At 100 TB these would be partitioned/bucketed catalog tables, but the
+access pattern is the same: the engine asks for columns + predicates
+and the source prunes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-join candidates. At 100 TB
+# these stay small (region=5, nation=25 rows at every SF).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view so ``spark.sql``
+    queries see the same names the DuckDB oracle uses."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
