@@ -1,1 +1,260 @@
-"""Placeholder — populated incrementally."""
+"""Join operators (SURVEY.md §2.B joins): equi inner/outer, broadcast,
+semi/anti, cross/theta, range, as-of.
+
+Scale notes: fact⋈fact joins shuffle on the join key (sort-merge, AQE
+skew-split enabled); every dim join broadcasts explicitly — nation/
+region/supplier stay tiny at any SF, so those joins must never
+shuffle the fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fairy_spark.operators.asof import asof_join_backward
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+
+@register(
+    "join_3way_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def join_3way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)          # fact⋈fact: shuffle on orderkey
+        .join(c, o.o_custkey == c.c_custkey)               # orders side is much smaller post-filter
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # 25-row dim: broadcast
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_suppliers, ROUND(SUM(s.s_acctbal), 4) AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ),
+    supp AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_theta_cross",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region
+    FROM nation n CROSS JOIN region r
+    WHERE n.n_regionkey < r.r_regionkey
+    ORDER BY nation, region
+    """,
+)
+def join_theta_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure theta (non-equi) join: Spark plans broadcast nested loop —
+    # fine here and only ever used dim×dim; never fact×fact.
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.crossJoin(F.broadcast(r))
+        .filter(F.col("n_regionkey") < F.col("r_regionkey"))
+        .select(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .orderBy("nation", "region")
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(l.l_linenumber) AS n_shipped_30d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+    WHERE o.o_totalprice > 350000
+    GROUP BY o.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate: planned as a sort-merge/shuffle-hash
+    join on the equi key with the range as a post-filter — the range
+    never degenerates into a nested-loop because the equi key anchors
+    the join."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("l_linenumber").alias("n_shipped_30d"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           ROUND(p.purchase_value, 6) AS last_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    ORDER BY c.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the value of that user's latest purchase at or
+    before the click. Executed as union + last-non-null window (one
+    shuffle, no range explosion) — see operators/asof.py."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    joined = asof_join_backward(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 6).alias("last_purchase_value"),
+    ).orderBy("event_id")

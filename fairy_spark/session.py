@@ -31,6 +31,9 @@ def get_spark(cfg: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.warehouse.dir", cfg.warehouse_dir)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable in
+        # Spark 4; read as long ns-since-epoch, converted in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -39,7 +39,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts arrives as long ns-since-epoch (nanosAsLong); convert to a
+        # microsecond TimestampType with integer division — going through
+        # double would lose precision at 1e18 magnitudes. DuckDB reads the
+        # same column as µs-truncated TIMESTAMP, so the engines agree.
+        from pyspark.sql import functions as F, types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
