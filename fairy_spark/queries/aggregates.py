@@ -1,1 +1,248 @@
-"""Placeholder — populated incrementally."""
+"""Aggregation surface (SURVEY.md §2.B aggregation): hash agg, distinct
+agg, approx-distinct, rollup/cube/grouping sets, ordered collect,
+first/last, statistical moments.
+
+All are single-shuffle hash aggregates with map-side partials — the
+shape that scales. collect_list is always sort_array-wrapped
+(determinism rule, FIXTURES.md) and only ever over bounded groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           COUNT(DISTINCT o_custkey) AS exact_nd
+    FROM orders
+    ORDER BY tbl
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct is inherently engine-specific; the oracle
+    contract is exactness-bounded: we emit the EXACT distinct count but
+    assert in tests/test_approx.py that the HLL estimate is within 5%
+    of it (SURVEY.md §2.B 'bounded-error check')."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.lit("orders").alias("tbl"),
+        F.countDistinct("o_custkey").alias("exact_nd"),
+    ).orderBy("tbl")
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY segment, nation
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+               COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 4) AS total_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY segment, nation
+        """
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           LIST(n_name ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .orderBy("regionkey")
+    )
+
+
+@register(
+    "agg_first_last_ordered",
+    oracle="""
+    SELECT o_custkey,
+           MIN_BY(o_orderkey, CAST(o_orderdate AS VARCHAR) || '#' || LPAD(CAST(o_orderkey AS VARCHAR), 20, '0')) AS first_order,
+           MAX_BY(o_orderkey, CAST(o_orderdate AS VARCHAR) || '#' || LPAD(CAST(o_orderkey AS VARCHAR), 20, '0')) AS last_order,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    ORDER BY o_custkey
+    """,
+)
+def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first/last per group: ties on o_orderdate broken by
+    o_orderkey (encoded in both engines as min_by/max_by on a composite
+    sort key, since Spark's first()/last() are order-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    sort_key = F.concat_ws(
+        "#",
+        F.col("o_orderdate").cast("string"),
+        F.lpad(F.col("o_orderkey").cast("string"), 20, "0"),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", sort_key).alias("first_order"),
+            F.max_by("o_orderkey", sort_key).alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 5)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6)    AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_having_sum",
+    oracle="""
+    SELECT l_suppkey, ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 100
+    ORDER BY l_suppkey
+    """,
+)
+def agg_having_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            F.sum("l_quantity").alias("_qty"),
+        )
+        .filter(F.col("_qty") > 100)
+        .drop("_qty")
+        .orderBy("l_suppkey")
+    )

@@ -1,1 +1,191 @@
-"""Placeholder — populated incrementally."""
+"""Window functions (SURVEY.md §2.B windows): ranking, lag/lead,
+running frames, top-k per group.
+
+Each window is one shuffle on its partition key. Top-k per group is
+the A17 pagination pattern generalized (row_number <= k), which at
+scale beats a global sort because each group ranks independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT p_brand,
+           p_partkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    ORDER BY p_brand, rn
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("p_brand", "rn")
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           ROUND(value - LAG(value) OVER w, 6) AS value_delta
+    FROM events
+    WHERE user_id <= 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+            ).alias("running_total"),
+            F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+             PARTITION BY l_suppkey ORDER BY CAST(l_quantity AS BIGINT)
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_within5
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_quantity").cast("bigint"))
+        .rangeBetween(-5, 0)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast("bigint")).over(w).alias("qty_within5"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    ORDER BY segment, rn
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("segment", "rn")
+    )
+
+
+@register(
+    "win_cume_pct",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS cume,
+           CAST(SUM(1) OVER (ORDER BY s_acctbal, s_suppkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.select(
+            "s_suppkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.sum(F.lit(1))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .orderBy("s_suppkey")
+    )
