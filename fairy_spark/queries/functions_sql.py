@@ -1,1 +1,348 @@
-"""Placeholder — populated incrementally."""
+"""Scalar function families (SURVEY.md §2.B scalar functions): string,
+math, hash, date/time, array (+HOFs), map, json, null-handling.
+
+Everything is a built-in pyspark.sql.functions expression — JVM-side,
+inside whole-stage codegen; no Python UDFs anywhere on this surface.
+Oracle notes: DuckDB returns BIGINT where Spark returns INT for parts
+of the date family (explicit casts align them), and DuckDB's sign()
+is integer vs Spark's double signum (cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           UPPER(p_name) AS uname,
+           LOWER(p_brand) AS lbrand,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           SUBSTRING(p_name, 1, 5) AS name5,
+           TRIM(RPAD(p_brand, 12, ' ')) AS trimmed,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           REPLACE(p_type, ' ', '_') AS type_u,
+           CAST(INSTR(p_name, 'a') AS BIGINT) AS first_a,
+           STRING_SPLIT(p_name, ' ')[1] AS first_word,
+           STARTS_WITH(p_name, 'a') AS starts_a,
+           CAST(p_name LIKE '%x' AS BOOLEAN) AS ends_x,
+           REGEXP_EXTRACT(p_type, '([A-Z]+)', 1) AS type_caps,
+           REGEXP_REPLACE(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           REVERSE(p_brand) AS rbrand,
+           REPEAT(p_brand, 2) AS brand2
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.upper("p_name").alias("uname"),
+            F.lower("p_brand").alias("lbrand"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.trim(F.rpad("p_brand", 12, " ")).alias("trimmed"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+            F.instr("p_name", "a").cast("bigint").alias("first_a"),
+            F.split("p_name", " ").getItem(0).alias("first_word"),
+            F.col("p_name").startswith("a").alias("starts_a"),
+            F.col("p_name").endswith("x").alias("ends_x"),
+            F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("type_caps"),
+            F.regexp_replace("p_name", r"[aeiou]", "*").alias("devoweled"),
+            F.reverse("p_brand").alias("rbrand"),
+            F.repeat("p_brand", 2).alias("brand2"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice + l_tax, 6) AS add_v,
+           ROUND(l_extendedprice - l_discount, 6) AS sub_v,
+           ROUND(l_quantity * l_discount, 6) AS mul_v,
+           ROUND(l_extendedprice / l_quantity, 6) AS div_v,
+           CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS pmod7,
+           ROUND(ABS(l_discount - 0.05), 6) AS abs_v,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_v,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_v,
+           ROUND(POW(l_quantity, 2), 6) AS pow_v,
+           ROUND(SQRT(l_quantity), 6) AS sqrt_v,
+           ROUND(EXP(l_discount), 6) AS exp_v,
+           ROUND(LN(l_quantity + 1), 6) AS ln_v,
+           ROUND(LOG10(l_extendedprice), 6) AS log10_v,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sign_v,
+           ROUND(GREATEST(l_quantity, l_discount * 100), 6) AS greatest_v,
+           ROUND(LEAST(l_quantity, l_discount * 100), 6) AS least_v
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") + F.col("l_tax"), 6).alias("add_v"),
+            F.round(F.col("l_extendedprice") - F.col("l_discount"), 6).alias("sub_v"),
+            F.round(F.col("l_quantity") * F.col("l_discount"), 6).alias("mul_v"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("div_v"),
+            F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("pmod7"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_v"),
+            F.floor("l_extendedprice").cast("bigint").alias("floor_v"),
+            F.ceil("l_extendedprice").cast("bigint").alias("ceil_v"),
+            F.round(F.pow("l_quantity", F.lit(2)), 6).alias("pow_v"),
+            F.round(F.sqrt("l_quantity"), 6).alias("sqrt_v"),
+            F.round(F.exp("l_discount"), 6).alias("exp_v"),
+            F.round(F.log(F.col("l_quantity") + 1), 6).alias("ln_v"),
+            F.round(F.log10("l_extendedprice"), 6).alias("log10_v"),
+            F.signum(F.col("l_discount") - 0.05).alias("sign_v"),
+            F.round(F.greatest(F.col("l_quantity"), F.col("l_discount") * 100), 6).alias(
+                "greatest_v"
+            ),
+            F.round(F.least(F.col("l_quantity"), F.col("l_discount") * 100), 6).alias(
+                "least_v"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS md5_hex,
+           SHA256(text) AS sha256_hex
+    FROM documents
+    WHERE doc_id <= 50
+    ORDER BY doc_id
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 short_hash generalized to content hashing. xxhash64/crc32/
+    F.hash are engine-specific bit-mixes (no cross-engine oracle
+    exists); they're covered by invariant tests in tests/test_functions.py."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("md5_hex"),
+            F.sha2("text", 256).alias("sha256_hex"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+           CAST(DAY(o_orderdate) AS INTEGER) AS d,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+           CAST(CAST(o_orderdate AS DATE) - 7 AS VARCHAR) AS minus7,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3mo,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS unix_ts,
+           STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS as_date
+    FROM orders
+    WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    dt = F.col("o_orderdate")
+    d = dt.cast("date")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year(dt).alias("y"),
+            F.month(dt).alias("m"),
+            F.dayofmonth(dt).alias("d"),
+            F.date_trunc("month", dt).alias("month_start"),
+            F.date_add(d, 30).cast("string").alias("plus30"),
+            F.date_sub(d, 7).cast("string").alias("minus7"),
+            F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+            F.add_months(d, 3).cast("string").alias("plus3mo"),
+            F.last_day(d).cast("string").alias("eom"),
+            F.unix_timestamp(dt).alias("unix_ts"),
+            F.date_format(dt, "yyyy-MM-dd HH:mm:ss").alias("fmt"),
+            d.cast("string").alias("as_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id <= 40)
+    SELECT doc_id,
+           CAST(LEN(toks) AS INTEGER) AS n_toks,
+           toks[1] AS first_tok,
+           toks[3] AS third_tok,
+           LIST_CONTAINS(toks, 'data') AS has_data,
+           LIST_SORT(LIST_DISTINCT(toks)) AS uniq_sorted,
+           toks[2:4] AS mid_slice,
+           LIST_SORT(LIST_INTERSECT(toks, ['data', 'table', 'row'])) AS key_toks
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return (
+        t.select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.element_at("toks", 1).alias("first_tok"),
+            F.element_at("toks", 3).alias("third_tok"),
+            F.array_contains("toks", "data").alias("has_data"),
+            F.sort_array(F.array_distinct("toks")).alias("uniq_sorted"),
+            F.slice("toks", 2, 3).alias("mid_slice"),
+            F.sort_array(
+                F.array_intersect("toks", F.array(F.lit("data"), F.lit("table"), F.lit("row")))
+            ).alias("key_toks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_array_hof",
+    oracle="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id <= 40)
+    SELECT doc_id,
+           LIST_TRANSFORM(toks, x -> UPPER(x)) AS upper_toks,
+           LIST_FILTER(toks, x -> LENGTH(x) > 4) AS long_toks,
+           CAST(LIST_REDUCE(LIST_TRANSFORM(toks, x -> CAST(LENGTH(x) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS total_chars,
+           GENERATE_SERIES(1, 3) AS seq3,
+           FLATTEN([toks[1:2], toks[3:4]]) AS recombined
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return (
+        t.select(
+            "doc_id",
+            F.transform("toks", lambda x: F.upper(x)).alias("upper_toks"),
+            F.filter("toks", lambda x: F.length(x) > 4).alias("long_toks"),
+            F.aggregate(
+                F.transform("toks", lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("total_chars"),
+            F.sequence(F.lit(1), F.lit(3)).alias("seq3"),
+            F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))).alias(
+                "recombined"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT n_nationkey,
+           MAP(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1] AS name_v,
+           MAP(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['region'][1] AS region_v,
+           LIST_SORT(MAP_KEYS(MAP(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)]))) AS ks
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
+    )
+    return (
+        n.select(
+            "n_nationkey",
+            F.element_at(m, "name").alias("name_v"),
+            F.element_at(m, "region").alias("region_v"),
+            F.sort_array(F.map_keys(m)).alias("ks"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.from_json("props", "k INT").getField("k").alias("k_int"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "fn_null_misc",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CAST(c_acctbal < 0 AS BOOLEAN) AS negative,
+           ISNAN(CASE WHEN c_acctbal < 0 THEN CAST('nan' AS DOUBLE) ELSE c_acctbal END) AS is_nan_flag,
+           COALESCE(CAST(NULL AS VARCHAR), c_name) AS nvl_name
+    FROM customer
+    WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+)
+def fn_null_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return (
+        c.select(
+            "c_custkey",
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "seg_or_other"
+            ),
+            (F.col("c_acctbal") < 0).alias("negative"),
+            F.isnan(
+                F.when(F.col("c_acctbal") < 0, F.lit("nan").cast("double")).otherwise(
+                    F.col("c_acctbal")
+                )
+            ).alias("is_nan_flag"),
+            F.coalesce(F.lit(None).cast("string"), F.col("c_name")).alias("nvl_name"),
+        )
+        .orderBy("c_custkey")
+    )
