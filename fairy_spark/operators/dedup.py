@@ -1,0 +1,127 @@
+"""Deduplication operators (north-star LLM-pipeline surface).
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard dedup over a document
+DataFrame. Everything is banding + equi-join — never an O(n²)
+crossJoin. The LSH candidate generation is the scale path: documents
+are exploded to (band_id, band_hash) keys, pairs come from a
+self-equi-join on those keys, and only candidate pairs pay the exact
+Jaccard verification. At 100 TB this is the standard
+shingle→minhash→band→bucket-join pipeline (the reference's
+hash-bucket placement, local_file_kv_store.rs:62-70, applied to
+similarity space instead of key space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fairy_spark.operators.text import (
+    jaccard,
+    minhash_signature,
+    portable_hash64,
+    shingle_set,
+    tokenize,
+)
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Per-group exact-duplicate stats via content hash (sha256)."""
+    return (
+        docs.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_h").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("_h")).alias("n_dup"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc per distinct text (lowest id wins — deterministic)."""
+    return (
+        docs.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 1,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band,
+    annotated with exact Jaccard over shingle sets.
+
+    num_hashes/band_rows tune recall vs candidate volume: 8 hashes in
+    1-row bands ≈ P(candidate) = 1-(1-j)^8 — high recall; at larger
+    scale use band_rows=2+ to suppress low-similarity collisions.
+    """
+    assert num_hashes % band_rows == 0
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        shingle_set(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    # band hash = the tuple of band_rows consecutive sig values, joined.
+    n_bands = num_hashes // band_rows
+    bands = sig.select(
+        "id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col("sig").getItem(b * band_rows + r) for r in range(band_rows)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+    left = bands.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band_id", "band_hash"
+    )
+    right = bands.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc SimHash: bit j of the fingerprint is the sign of the sum
+    over tokens of (token-hash bit j ? +1 : -1). Computed as one
+    explode + hash-agg (single shuffle), bits recombined arithmetically
+    so DuckDB can reproduce it exactly."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.pmod(portable_hash64(F.col("tok"), "simhash"), F.lit(1 << bits)))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.cast("bigint").alias("simhash"))

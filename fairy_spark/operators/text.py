@@ -1,0 +1,97 @@
+"""Text-analysis building blocks for the LLM-data-pipeline surface.
+
+All pure built-in column expressions (JVM-side, codegen-friendly) —
+no Python UDFs. Every function here has an exact SQL re-expression in
+DuckDB so the dedup/fingerprint pipelines are oracle-checkable
+end-to-end (portable hashing via md5 hex → bigint, never engine
+bit-mix hashes like xxhash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
+# DuckDB equivalent: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT).
+def portable_hash64(col: Column, seed: str = "") -> Column:
+    payload = F.concat(F.lit(seed), F.lit(":"), col) if seed else col
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash_sql(expr: str, seed: str = "") -> str:
+    payload = f"concat('{seed}', ':', {expr})" if seed else expr
+    return f"CAST(concat('0x', substr(md5({payload}), 1, 15)) AS BIGINT)"
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokens. SQL: string_split_regex(lower(x), '\\s+')."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams.
+    SQL: list_transform(generate_series(1, len(t)-n+1), i -> array_to_string(t[i:i+n-1], ' '))."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+
+
+def shingle_set(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit set for Jaccard/minhash."""
+    return F.array_distinct(word_ngrams(tokenize(text), n))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """Array of num_hashes min-hash values over the shingle set, using
+    seeded portable hashes (deterministic across engines and runs —
+    SURVEY.md §7.5 forbids builtin hash())."""
+    def one_minhash(i: int):
+        seed = f"mh{i}"
+        # NB: the lambda must be single-parameter — PySpark treats a
+        # two-parameter lambda as (element, index) and would bind the
+        # second name to the array index Column.
+        return F.array_min(F.transform(shingles, lambda s: portable_hash64(s, seed)))
+
+    return F.array(*[one_minhash(i) for i in range(num_hashes)])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# --- quality / stats heuristics (deterministic, SQL-portable) ----------------
+
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "for", "on")
+
+
+def stopword_ratio(tokens: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(tokens)
+    return F.when(
+        n > 0, F.size(F.array_intersect(F.array_distinct(tokens), sw)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def mean_token_len(tokens: Column) -> Column:
+    total = F.aggregate(
+        F.transform(tokens, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(tokens) > 0, total / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def rolling_fingerprint(tokens: Column) -> Column:
+    """Polynomial rolling hash over the token stream — order-sensitive
+    document fingerprint (same docs → same print, permuted docs → different).
+    acc = (acc * 131 + h(tok) % 65536) % 1_000_000_007, left fold; stays
+    within bigint so Spark and DuckDB agree exactly."""
+    return F.aggregate(
+        F.transform(tokens, lambda t: F.pmod(portable_hash64(t, "fp"), F.lit(65536))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * 131 + x, F.lit(1000000007)),
+    )

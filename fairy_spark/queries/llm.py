@@ -1,1 +1,393 @@
-"""Placeholder — populated incrementally."""
+"""LLM-data-pipeline queries (north star; SURVEY.md §2.B LLM ops) over
+the documents/embeddings tables: text stats, language-ID heuristic,
+token counting, fingerprinting, TF, n-grams, exact + minhash-LSH +
+simhash + n-gram-Jaccard dedup, cosine top-k similarity search.
+
+Oracle discipline: every hash is the portable md5-hex hash
+(operators/text.py) and every float fold is an explicit left fold, so
+DuckDB reproduces results bit-for-bit. The Spark side runs the banded
+/ blocked scale plans; the oracle runs the O(n²) declarative
+formulation — same semantics, different physical strategy (that's the
+point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fairy_spark.operators.dedup import (
+    exact_dedup_stats,
+    minhash_lsh_candidates,
+    simhash,
+)
+from fairy_spark.operators.similarity import brute_force_topk, cosine
+from fairy_spark.operators.text import (
+    EN_STOPWORDS,
+    jaccard,
+    mean_token_len,
+    portable_hash_sql,
+    rolling_fingerprint,
+    shingle_set,
+    stopword_ratio,
+    tokenize,
+)
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+# DuckDB fragments mirroring operators/text.py
+_TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)),"
+    " i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS len_chars,
+           CAST(n_chars = LENGTH(text) AS BOOLEAN) AS n_chars_ok,
+           CAST(LEN(toks) AS INTEGER) AS n_words,
+           ROUND(list_reduce(list_prepend(0.0, list_transform(toks, x -> CAST(LENGTH(x) AS DOUBLE))), (a,b) -> a+b)
+                 / LEN(toks), 6) AS mean_tok_len,
+           ROUND(CAST(LEN(list_intersect(list_distinct(toks), {_STOPWORDS_SQL})) AS DOUBLE) / LEN(toks), 6) AS stop_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "n_chars", "text", tokenize(F.col("text")).alias("toks"))
+    return (
+        t.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("len_chars"),
+            (F.col("n_chars") == F.length("text")).alias("n_chars_ok"),
+            F.size("toks").alias("n_words"),
+            F.round(mean_token_len(F.col("toks")), 6).alias("mean_tok_len"),
+            F.round(stopword_ratio(F.col("toks")), 6).alias("stop_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS ws_tokens,
+           CAST(LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS bpeish_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letters runs,
+    digit runs, single punctuation — the standard pre-tokenizer shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.lower("text"), r"\s+")).alias("ws_tokens"),
+            F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+            .cast("int")
+            .alias("bpeish_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN CAST(LEN(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / LEN(toks) > 0.03
+                THEN 'en' ELSE 'unk' END AS detected_lang
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language heuristic. The corpus is synthetic
+    word salad, so the contract is determinism of the classifier, not
+    agreement with the (random) `lang` label — both engines compute the
+    identical function; `labeled_lang` is carried for inspection."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    t = d.select("doc_id", F.col("lang").alias("labeled_lang"), tokenize(F.col("text")).alias("toks"))
+    density = (
+        F.size(F.filter("toks", lambda x: F.array_contains(sw, x))).cast("double")
+        / F.size("toks")
+    )
+    return (
+        t.select(
+            "doc_id",
+            "labeled_lang",
+            F.when(density > 0.03, "en").otherwise("unk").alias("detected_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> {portable_hash_sql('t', 'fp')} % 65536)),
+             (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", rolling_fingerprint(tokenize(F.col("text"))).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tf_top",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+    SELECT tok, COUNT(*) AS tf
+    FROM t
+    GROUP BY tok
+    HAVING COUNT(*) >= 100
+    ORDER BY tf DESC, tok
+    """,
+)
+def text_tf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= 100)
+        .orderBy(F.desc("tf"), F.asc("tok"))
+    )
+
+
+@register(
+    "text_ngram_freq",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                                       i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+          FROM t)
+    SELECT bigram, COUNT(*) AS freq
+    FROM g
+    GROUP BY bigram
+    HAVING COUNT(*) >= 8
+    ORDER BY freq DESC, bigram
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fairy_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(word_ngrams(tokenize(F.col("text")), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 8)
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+    )
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(text)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dup
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_stats(d).orderBy("source")
+
+
+_MH_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             [{", ".join(
+                 "list_aggregate(list_transform(sh, s -> "
+                 + portable_hash_sql("s", f"mh{i}")
+                 + "), 'min')"
+                 for i in range(8)
+             )}] AS sig
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND ({" OR ".join(f"a.sig[{i + 1}] = b.sig[{i + 1}]" for i in range(8))})
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_MH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates. Spark executes the banded
+    plan (explode→equi-join, no crossJoin); the oracle is the O(n²)
+    declarative equivalent."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(d, shingle_n=3, num_hashes=8, band_rows=1)
+    return cands.select(
+        F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    h = portable_hash_sql("tok", "simhash")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(bits)
+    )
+    combine = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), h AS (
+      SELECT id, {h} % 65536 AS h FROM toks
+    ), sums AS (
+      SELECT id, {bit_sums} FROM h GROUP BY id
+    )
+    SELECT id, CAST({combine} AS BIGINT) AS simhash
+    FROM sums
+    ORDER BY id
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, bits=16).orderBy("id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, source, {_SHINGLES_SQL} AS sh FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.005
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard: pairs only within a blocking key
+    (source) — the classic pre-LSH blocking strategy."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", "source", shingle_set(F.col("text"), 3).alias("sh"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("sh").alias("sh_b"))
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(j >= 0.005)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_COS_SQL = """
+  list_reduce(list_prepend(0.0,
+    list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x+y)
+  / (sqrt(list_reduce(list_prepend(0.0,
+       list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x)), (x,y) -> x+y))
+   * sqrt(list_reduce(list_prepend(0.0,
+       list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)), (x,y) -> x+y)))
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_COS_SQL}, 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id <= 10
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a bounded query set: broadcast
+    queries, one corpus scan, per-query top-k window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 10)
+    return brute_force_topk(e, q, k=5).orderBy("query_id", "rn")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold. Spark side
+    avoids materializing all pairs' vectors through the shuffle by
+    scoring within the join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("ml_ann_lsh_topk")  # no SQL oracle: ANN is approximate by design;
+def ml_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only driver check; recall
+    and containment properties asserted in tests/test_similarity.py)."""
+    from fairy_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 10)
+    return lsh_topk(e, q, k=5).orderBy("query_id", "rn")
