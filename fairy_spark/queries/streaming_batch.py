@@ -1,1 +1,158 @@
-"""Placeholder — populated incrementally."""
+"""Batch-equivalent formulations of the streaming window operators
+(SURVEY.md §2.B streaming; §5.2 batch-equivalence strategy).
+
+These run the SAME window semantics the streaming pipeline uses
+(fairy_spark/streaming/pipeline.py), in batch mode, so the DuckDB
+oracle can check them; tests/test_streaming.py then asserts the
+streaming replay converges to these exact results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+
+@register(
+    "stream_tumbling_batch",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type
+    """,
+)
+def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+        .orderBy("w_start", "event_type")
+    )
+
+
+@register(
+    "stream_sliding_batch",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
+             value
+      FROM events
+    )
+    SELECT w_start,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM expanded
+    GROUP BY w_start
+    ORDER BY w_start
+    """,
+)
+def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2-hour window sliding 1 hour: every event lands in exactly two
+    # windows; Spark's F.window handles the expansion natively.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+        .orderBy("w_start")
+    )
+
+
+@register(
+    "stream_session_batch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WHERE user_id <= 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM seq
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) in batch via lag + cumulative flag —
+    semantically session_window(ts, '30 minutes') restricted to
+    (start, end=last event, count)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "stream_dedup_batch",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of streaming dropDuplicates: first event per
+    (user_id, event_type) key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "stream_static_join_batch",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase' AND e.user_id <= 50
+    ORDER BY e.event_id
+    """,
+)
+def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") <= 50)
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .select("event_id", "user_id", F.col("c_mktsegment").alias("segment"))
+        .orderBy("event_id")
+    )

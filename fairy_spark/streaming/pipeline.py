@@ -1,0 +1,130 @@
+"""Structured Streaming surface (SURVEY.md §2.B streaming).
+
+The events table is replayed as a file stream (the analog of the
+reference's chunked ingest path, h2_service.rs:89-109 — records arrive
+in bounded chunks and the engine folds them into state). Each operator
+is a standard Structured Streaming pattern:
+
+  * tumbling / sliding / session windows over event time
+  * watermark + late-data drop
+  * stateful exact dedup on event_id (the streaming half of the
+    LLM dedup surface)
+  * stream-static broadcast join
+  * foreachBatch sink
+
+Batch equivalence is the correctness contract: the same aggregation
+run as a batch query over the full table must equal the final
+streaming state after the replay (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def replay_dir_from_events(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5) -> str:
+    """Split the events table into n_chunks parquet files ordered by ts
+    so a file stream replays them roughly in event-time order (one
+    chunk ≈ one micro-batch with maxFilesPerTrigger=1)."""
+    from fairy_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    chunked = ev.withColumn(
+        "_chunk", F.ntile(n_chunks).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"chunk_{i:03d}"))
+        )
+    return out_dir
+
+
+def read_event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay_dir, "chunk_*"))
+    )
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(stream: DataFrame, window: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    return (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "avg_value", "n")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"), "user_id", "n_events")
+    )
+
+
+def stateful_dedup(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Exact streaming dedup on event_id within the watermark horizon —
+    state is bounded by the watermark (at 100 TB/day this is the only
+    viable exact-dedup memory contract)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_static_join(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: the static side is broadcast per micro-batch."""
+    return stream.join(F.broadcast(dim), on, "inner")
+
+
+def run_to_completion(query_df: DataFrame, mode: str = "append") -> list:
+    """Drive a streaming query over a finite replay dir to completion
+    in-memory; returns collected rows (test harness helper)."""
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = query_df.sparkSession
+    return spark.table(name).collect()

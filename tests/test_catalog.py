@@ -1,0 +1,52 @@
+"""Catalog namespace tests — A13-A19/A24 parity: create → lookup →
+describe → list/page → rename → drop lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+
+from fairy_spark.catalog import Catalog, TableNotFound
+
+
+@pytest.fixture()
+def catalog(spark):
+    return Catalog(spark)
+
+
+def test_view_lifecycle(catalog, spark):
+    df = spark.range(10).withColumnRenamed("id", "n")
+    catalog.create_view("cat_test_view", df)
+    assert catalog.exists("cat_test_view")
+    info = catalog.describe("cat_test_view")
+    assert info.columns == [("n", "bigint")]
+    assert info.is_temporary
+    assert catalog.row_count("cat_test_view") == 10
+    catalog.drop("cat_test_view")
+    assert not catalog.exists("cat_test_view")
+
+
+def test_describe_missing_raises(catalog):
+    with pytest.raises(TableNotFound):
+        catalog.describe("does_not_exist_xyz")
+
+
+def test_table_lifecycle_and_rename(catalog, spark):
+    df = spark.range(5)
+    catalog.create_table("cat_test_tbl", df)
+    assert catalog.exists("cat_test_tbl")
+    catalog.rename_table("cat_test_tbl", "cat_test_tbl2")
+    assert catalog.exists("cat_test_tbl2")
+    assert not catalog.exists("cat_test_tbl")
+    assert catalog.row_count("cat_test_tbl2") == 5
+    catalog.drop("cat_test_tbl2")
+    assert not catalog.exists("cat_test_tbl2")
+
+
+def test_listing_pagination(catalog, spark):
+    for i in range(5):
+        catalog.create_view(f"cat_page_{i}", spark.range(1))
+    all_tables = catalog.list_tables()
+    page = catalog.list_tables_page(limit=2, offset=1)
+    assert page == all_tables[1:3]
+    for i in range(5):
+        catalog.drop(f"cat_page_{i}")

@@ -1,0 +1,98 @@
+"""KVStore lifecycle tests — the reference's behavioral spec, re-stated:
+put/get round-trip (A1/A2), overwrite-replaces (local_file_kv_store.rs
+File::create semantics), missing-key error (A2 open failure), the
+create→lookup→delete→recreate lifecycle idioms of the reference's
+inode_table tests (fuse/src/async_fuse/inode_table.rs:263-352), and
+bucket determinism (A3/A4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fairy_spark.kv import KeyNotFound, KVStore
+
+
+@pytest.fixture()
+def kv(spark):
+    store = KVStore(spark, name="test", num_buckets=8)
+    store.drop()
+    yield store
+    store.drop()
+
+
+def test_put_get_roundtrip(kv):
+    kv.put("k1", b"hello world")
+    assert kv.get("k1") == b"hello world"
+
+
+def test_get_missing_raises(kv):
+    kv.put("k1", b"x")
+    with pytest.raises(KeyNotFound):
+        kv.get("nope")
+
+
+def test_overwrite_replaces(kv):
+    kv.put("k", b"v1")
+    kv.put("k", b"v2")
+    assert kv.get("k") == b"v2"
+
+
+def test_delete_then_recreate(kv):
+    # inode_table.rs lifecycle idiom: create → unlink → recreate
+    kv.put("k", b"v1")
+    kv.delete("k")
+    assert not kv.exists("k")
+    with pytest.raises(KeyNotFound):
+        kv.get("k")
+    kv.put("k", b"v3")
+    assert kv.get("k") == b"v3"
+
+
+def test_batch_put_and_scan(kv):
+    pairs = [(f"key{i}", f"value{i}".encode()) for i in range(20)]
+    kv.put_batch(pairs)
+    live = {r["key"]: bytes(r["value"]) for r in kv.scan().collect()}
+    assert live == dict(pairs)
+
+
+def test_get_df_batch_lookup(kv, spark):
+    kv.put_batch([(f"k{i}", bytes([i])) for i in range(10)])
+    probe = spark.createDataFrame([("k1",), ("k7",), ("missing",)], "key string")
+    got = {r["key"]: bytes(r["value"]) for r in kv.get_df(probe).collect()}
+    assert got == {"k1": b"\x01", "k7": b"\x07"}
+
+
+def test_compact_preserves_live_state(kv):
+    kv.put("a", b"1")
+    kv.put("a", b"2")
+    kv.put("b", b"3")
+    kv.delete("b")
+    kv.put("c", b"4")
+    kv.compact()
+    assert kv.get("a") == b"2"
+    assert not kv.exists("b")
+    assert kv.get("c") == b"4"
+    # post-compact writes still win
+    kv.put("a", b"5")
+    assert kv.get("a") == b"5"
+
+
+def test_bucket_determinism(kv):
+    b1 = kv.bucket_of("some-key")
+    b2 = kv.bucket_of("some-key")
+    assert b1 == b2
+    assert 0 <= b1 < kv.num_buckets
+
+
+def test_put_df_bulk_ingest(kv, spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(25)
+    from pyspark.sql import functions as F
+
+    kv.put_df(
+        docs.select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("text").cast("binary").alias("value"),
+        )
+    )
+    sample = docs.select("doc_id", "text").collect()[0]
+    assert kv.get(str(sample["doc_id"])) == sample["text"].encode()
