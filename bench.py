@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md §2 protocol).
+
+Runs one headline query per SURVEY.md §2.B category at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Timing: one JVM/session warm-up action, then each query timed on a
+full materialization (count of the result — forces the whole plan
+without driver-side row transfer costs skewing the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fairy_spark.config import EngineConfig
+from fairy_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",      # scan → filter → hash agg → sort
+    "join_3way_revenue",       # fact⋈fact⋈dim⋈broadcast-dim
+    "join_asof",               # as-of join (union+window encoding)
+    "agg_rollup",              # hierarchical aggregate
+    "win_topk_per_group",      # ranking window
+    "set_union_distinct",      # set op + distinct
+    "fn_string",               # scalar-function pipeline
+    "stream_tumbling_batch",   # event-time window aggregation
+    "dedup_minhash_lsh",       # minhash banding + jaccard verify
+    "sim_cosine_topk",         # vector similarity top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    cfg = EngineConfig(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        app_name="fairy_spark_bench",
+    )
+    spark = get_spark(cfg)
+
+    from fairy_spark.queries import QUERIES
+
+    # warm-up: JVM + parquet footer reads, not counted
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ similarity space instead of key space).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fairy_spark.operators.text import (
     jaccard,
@@ -63,16 +64,27 @@ def minhash_lsh_candidates(
     scale use band_rows=2+ to suppress low-similarity collisions.
     """
     assert num_hashes % band_rows == 0
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        shingle_set(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # Persist the shingle table: it feeds the signature computation AND
+    # both sides of the verification join — without it the md5 pipeline
+    # runs 4x inside one action. ~|docs| rows of token arrays: tiny
+    # relative to the pair stage it saves.
+    shingled = (
+        docs.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            shingle_set(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = shingled.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
 
-    # band hash = the tuple of band_rows consecutive sig values, joined.
+    # Bands carry ONLY (id, band_id, band_hash): the band self-join
+    # shuffles a few dozen bytes per row instead of the shingle arrays;
+    # shingles are joined back just for the surviving candidate pairs.
     n_bands = num_hashes // band_rows
     bands = sig.select(
         "id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -86,20 +98,36 @@ def minhash_lsh_candidates(
         ).alias("band_id", "band_hash"),
     )
 
-    left = bands.select(
-        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band_id", "band_hash"
-    )
-    right = bands.select(
-        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band_id", "band_hash"
-    )
+    # Explicit repartition on the join keys: the band table is tiny
+    # (AQE would coalesce it to ~1 partition) but the self-join output
+    # is quadratic in bucket size — without this the explosion runs
+    # single-threaded. Input-size-based planning misjudges explode-joins.
+    # The self-join uses aliases over the SAME plan so the shuffle
+    # exchange is planned once and reused for both sides.
+    bands = bands.repartition(par, "band_id", "band_hash")
     pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.select(
-        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    # Verification: join the shingle sets back for candidate pairs only.
+    # Broadcast the per-doc shingle table (it is |docs| rows of arrays —
+    # small relative to pairs; at larger scale swap to a shuffle join on
+    # id, which is still |pairs|-bound, never |docs|²).
+    sh_a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(F.broadcast(sh_a), "id_a")
+        .join(F.broadcast(sh_b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
     )
 
 

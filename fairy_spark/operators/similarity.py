@@ -53,9 +53,13 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
+    # Repartition the corpus scan: the parquet input is few/small files
+    # (1 partition) but the scoring work is |corpus|×|queries| folds —
+    # spread it across the cluster before the broadcast join.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    )
+    ).repartition(par)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))

@@ -25,6 +25,7 @@ from fairy_spark.operators.text import (
     EN_STOPWORDS,
     jaccard,
     mean_token_len,
+    minhash_sql,
     portable_hash_sql,
     rolling_fingerprint,
     shingle_set,
@@ -227,12 +228,7 @@ _MH_ORACLE = f"""
       SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
     ), sig AS (
       SELECT doc_id, sh,
-             [{", ".join(
-                 "list_aggregate(list_transform(sh, s -> "
-                 + portable_hash_sql("s", f"mh{i}")
-                 + "), 'min')"
-                 for i in range(8)
-             )}] AS sig
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
       FROM s
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
