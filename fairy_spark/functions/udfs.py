@@ -1,0 +1,113 @@
+"""Python UDF surface (SURVEY.md §2.B UDF/UDAF/UDTF).
+
+Policy: built-ins first — these exist for the cases built-ins can't
+express (external Python logic, per-group model-ish computation,
+custom table generation). Every UDF here is Arrow-vectorized
+(pandas_udf / applyInPandas / mapInPandas); row-at-a-time Python UDFs
+are deliberately absent — at 100 TB they are 10-100× slower
+(per-row pickle round trips vs Arrow batches).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf(T.DoubleType())
+def logistic_quality_score(n_words: pd.Series, mean_len: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF: a toy document quality score
+    1/(1+exp(-(0.05*n_words + 0.5*mean_len - 6))). One Arrow batch in,
+    one out — numpy math, no per-row Python."""
+    z = 0.05 * n_words + 0.5 * mean_len - 6.0
+    return 1.0 / (1.0 + (-z).map(math.exp))
+
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["o_totalprice"].mean()
+    sd = pdf["o_totalprice"].std(ddof=1)  # sample stddev = SQL stddev_samp
+    z = (pdf["o_totalprice"] - mu) / sd if sd and sd > 0 else pdf["o_totalprice"] * 0.0
+    return pd.DataFrame(
+        {"o_custkey": pdf["o_custkey"], "o_orderkey": pdf["o_orderkey"], "z": z}
+    )
+
+
+def zscore_per_group(orders: DataFrame) -> DataFrame:
+    """Grouped-map (applyInPandas): per-customer z-score of order price.
+    The group is the unit of pandas work — state never exceeds one
+    group, so memory is bounded by max group size, not table size."""
+    return orders.groupBy("o_custkey").applyInPandas(_zscore_group, ZSCORE_SCHEMA)
+
+
+WEIGHTED_AVG_SCHEMA = T.StructType(
+    [
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("wavg_price", T.DoubleType()),
+    ]
+)
+
+
+def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
+    w = pdf["l_quantity"]
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "wavg_price": [(pdf["l_extendedprice"] * w).sum() / w.sum()],
+        }
+    )
+
+
+def weighted_avg_udaf(lineitem: DataFrame) -> DataFrame:
+    """UDAF via applyInPandas one-row-out (Spark has no Python UDAF —
+    SURVEY.md §7.3): quantity-weighted average price per return flag."""
+    return lineitem.groupBy("l_returnflag").applyInPandas(
+        _weighted_avg, WEIGHTED_AVG_SCHEMA
+    )
+
+
+def batch_enrich(events: DataFrame) -> DataFrame:
+    """mapInPandas: per-partition batch iterator — the shape used for
+    custom scans/decoders. Adds a value bucket + running flag without
+    any shuffle (narrow, partition-local)."""
+    schema = T.StructType(
+        events.schema.fields
+        + [T.StructField("value_bucket", T.LongType()), T.StructField("is_high", T.BooleanType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["value_bucket"] = (pdf["value"] // 10).astype("int64")
+            pdf["is_high"] = pdf["value"] >= 50.0
+            yield pdf
+
+    return events.mapInPandas(gen, schema)
+
+
+def make_token_udtf():
+    """Python UDTF (Spark >= 3.5): one input row → one row per token
+    with its position. The explode-based built-in path covers this in
+    production; the UDTF form exists for custom generators that aren't
+    array-shaped."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.lower().split()):
+                    yield i, tok
+
+    return Tokenize

@@ -1,0 +1,137 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference stores opaque blobs (Vec<u8> values, kv_store/mod.rs:37-39);
+a training-data pipeline needs the same carry-through plus decode /
+feature-extract / resize / frame-sample stages. Design:
+
+  * payload: BinaryType column — never interpreted by the engine core;
+    partitioned/shuffled as bytes (Arrow handles binary columns
+    zero-copy between JVM and Python).
+  * meta: typed struct (media_type, n_bytes, checksum) — predicate-able
+    without touching payload bytes (column pruning keeps blob I/O out
+    of metadata-only queries).
+  * decode/resize/frame-sample: mapInPandas batch stages. The actual
+    codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+    decode body is stubbed — REAL Spark plumbing (schema, batching,
+    partition-locality), FAKE pixels. Set decode_mode="fake" for a
+    deterministic stand-in; "strict" raises NotImplementedError the
+    way the real import failure would.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("checksum", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table using document text bytes as stand-in
+    payloads (the engine treats payloads as opaque either way)."""
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        # double (not float32) so the deterministic fake features are
+        # exactly reproducible by the SQL oracle; a real extractor
+        # would emit float32
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_and_featurize(media: DataFrame, decode_mode: str = "fake", feature_dim: int = 8) -> DataFrame:
+    """mapInPandas decode + feature-extract stage.
+
+    Real pipeline shape: iterate Arrow batches, decode payload bytes,
+    emit fixed-schema rows. decode_mode="fake" derives deterministic
+    dimensions/features from the payload checksum (so tests are exact);
+    "strict" raises NotImplementedError at the decode site — the
+    clearly-marked stub for the missing codec libraries.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            if decode_mode == "strict":
+                raise NotImplementedError(
+                    "image decode requires PIL/ffmpeg, not available in this "
+                    "environment; use decode_mode='fake' for the deterministic stand-in"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                digest = hashlib.md5(b).digest()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": 64 + digest[0] % 64,
+                        "height": 64 + digest[1] % 64,
+                        "n_channels": 3,
+                        "feature": [
+                            round(digest[i] / 255.0, 6) for i in range(feature_dim)
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "n_channels", "feature"])
+
+    return media.mapInPandas(gen, DECODED_SCHEMA)
+
+
+def resize_stub(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Resize stage: pure metadata arithmetic here (aspect-preserving
+    target dims); the pixel resample itself is part of the stubbed
+    decode. Kept JVM-side — no Python needed for the geometry."""
+    scale = F.lit(target) / F.greatest("width", "height")
+    return decoded.select(
+        "media_id",
+        F.round(F.col("width") * scale).cast("int").alias("resized_w"),
+        F.round(F.col("height") * scale).cast("int").alias("resized_h"),
+        "feature",
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_index)
+    to decode — the explode happens engine-side so the decode stage
+    receives an already-parallel frame workload."""
+    n_frames = F.least(
+        (F.col("meta.n_bytes") / every_n).cast("int") + 1, F.lit(max_frames)
+    )
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
+    ).withColumn("byte_offset", F.col("frame_index") * every_n)

@@ -48,6 +48,7 @@ def _load_all() -> None:
         functions_sql,
         llm,
         streaming_batch,
+        udfs_mm,
     )
 
 

@@ -1,0 +1,216 @@
+"""Queries exercising the Python-UDF surface and the multimodal
+column pipeline (SURVEY.md §2.B UDF/UDAF/UDTF + multimodal carry).
+
+The UDFs are Arrow-vectorized Python; the oracles re-express the same
+deterministic math in SQL — proving the UDF path computes exactly
+what the declarative path would, which is the correctness contract
+for custom operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fairy_spark.functions.udfs import (
+    batch_enrich,
+    logistic_quality_score,
+    make_token_udtf,
+    weighted_avg_udaf,
+    zscore_per_group,
+)
+from fairy_spark.operators.multimodal import (
+    decode_and_featurize,
+    frame_sample_plan,
+    media_table_from_documents,
+    resize_stub,
+)
+from fairy_spark.operators.text import mean_token_len, tokenize
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+
+@register(
+    "udf_pandas_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_words,
+             list_reduce(list_prepend(0.0,
+               list_transform(string_split_regex(lower(text), '\\s+'),
+                              x -> CAST(LENGTH(x) AS DOUBLE))), (a,b) -> a+b)
+               / LEN(string_split_regex(lower(text), '\\s+')) AS mean_len
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(0.05 * n_words + 0.5 * mean_len - 6.0))), 6) AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def udf_pandas_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("double").alias("n_words"),
+        mean_token_len(tokenize(F.col("text"))).alias("mean_len"),
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.round(logistic_quality_score(F.col("n_words"), F.col("mean_len")), 6).alias(
+                "quality"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "udf_group_zscore",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / STDDEV_SAMP(o_totalprice) OVER w, 6) AS z
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey)
+    QUALIFY COUNT(*) OVER w > 1
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    multi = o.join(counts.filter(F.col("_n") > 1).select("o_custkey"), "o_custkey")
+    z = zscore_per_group(multi)
+    return z.select("o_custkey", "o_orderkey", F.round("z", 6).alias("z")).orderBy(
+        "o_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "udf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = weighted_avg_udaf(li)
+    return w.select("l_returnflag", F.round("wavg_price", 6).alias("wavg_price")).orderBy(
+        "l_returnflag"
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(value / 10) AS BIGINT) AS value_bucket,
+           CAST(value >= 50.0 AS BOOLEAN) AS is_high
+    FROM events
+    WHERE user_id <= 30
+    ORDER BY event_id
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    return batch_enrich(ev).select("event_id", "value_bucket", "is_high").orderBy("event_id")
+
+
+@register(
+    "udf_tokenize_udtf",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents WHERE doc_id <= 20)
+    SELECT t.doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t.toks[u.i] AS token
+    FROM t, UNNEST(generate_series(1, len(t.toks))) AS u(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def udf_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 20)
+    d.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("fairy_tokenize", make_token_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM udtf_docs_in d, LATERAL fairy_tokenize(d.text) t
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+@register(
+    "mm_payload_carry",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           MD5(text) AS checksum,
+           'image/fake' AS media_type
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def mm_payload_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload carry (A1/A2 blob semantics): metadata is
+    queryable without touching payload bytes — column pruning drops the
+    blob column from the scan entirely."""
+    media = media_table_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "media_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.checksum").alias("checksum"),
+            "media_type",
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64 AS width,
+           64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64 AS height,
+           3 AS n_channels,
+           list_transform(generate_series(1, 8),
+                          i -> ROUND(CAST(concat('0x', substr(md5(text), 2*i-1, 2)) AS INT) / 255.0, 6)) AS feature
+    FROM documents
+    WHERE doc_id <= 50
+    ORDER BY media_id
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode+featurize with the deterministic fake decoder
+    (real codecs stubbed — see operators/multimodal.py). The oracle
+    recomputes the fake decode in SQL, checking the batch plumbing
+    end-to-end."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    media = media_table_from_documents(docs)
+    return decode_and_featurize(media, decode_mode="fake").orderBy("media_id")
+
+
+@register(
+    "mm_frame_plan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, LEAST(CAST(LENGTH(text) / 10 AS INT) + 1, 4) AS n_frames
+               FROM documents WHERE doc_id <= 30)
+    SELECT media_id, CAST(u.i AS INTEGER) AS frame_index, CAST(u.i * 10 AS INTEGER) AS byte_offset
+    FROM m, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+    ORDER BY media_id, frame_index
+    """,
+)
+def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 30)
+    media = media_table_from_documents(docs)
+    return (
+        frame_sample_plan(media, every_n=10, max_frames=4)
+        .select("media_id", "frame_index", F.col("byte_offset").cast("int").alias("byte_offset"))
+        .orderBy("media_id", "frame_index")
+    )
