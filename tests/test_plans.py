@@ -1,0 +1,116 @@
+"""Physical-plan quality gates (the 100 TB contract).
+
+Correct results with the wrong plan don't survive a 100× scale-up:
+these tests pin the plan properties that matter — predicate pushdown
+into the parquet scan, column pruning, broadcast joins on dims,
+whole-stage codegen on hot paths, and no cartesian products where an
+equi-join is expected (SURVEY.md §4; brief: '.explain the plan and
+iterate until it's the plan you'd want')."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_spark.queries import QUERIES
+from fairy_spark.sources.tables import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def codegen_subtrees(spark, build_df) -> int:
+    """Number of whole-stage-codegen spans in the plan. AQE hides
+    codegen wrapping until execution, so re-plan with AQE off (the
+    static plan is what AQE's stages compile to anyway)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(build_df(), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = [l for l in plan.splitlines() if "WholeStageCodegen subtrees" in l]
+    return int(m[0].split()[1]) if m else 0
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan, plan
+
+
+def test_column_pruning_in_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # ReadSchema must contain only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_q1_is_partial_agg_plan(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = plan_of(df)
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan
+    assert codegen_subtrees(spark, lambda: QUERIES["q1_pricing_summary"](spark, sf_dir)) >= 1
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["join_3way_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_of(QUERIES["join_broadcast_dims"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2  # dims-only query must never shuffle-join
+
+
+def test_semi_anti_join_types(spark, sf_dir):
+    assert "LeftSemi" in plan_of(QUERIES["join_semi"](spark, sf_dir))
+    assert "LeftAnti" in plan_of(QUERIES["join_anti"](spark, sf_dir))
+
+
+def test_range_join_not_cartesian(spark, sf_dir):
+    # equi key anchors the join: must not degenerate to nested-loop/cartesian
+    plan = plan_of(QUERIES["join_range"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["sort_global_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_minhash_band_join_is_equi(spark, sf_dir):
+    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kv_point_lookup_prunes_buckets(spark):
+    """A2/A4 contract: a point get on the bucketed store must prune to
+    one bucket file, not scan the table."""
+    from fairy_spark.kv import KVStore
+
+    kv = KVStore(spark, name="plan_probe", num_buckets=8)
+    kv.drop()
+    kv.put_batch([(f"k{i}", bytes([i])) for i in range(32)])
+    probe = spark.table(kv.table).filter(F.col("key") == "k3")
+    plan = plan_of(probe)
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    kv.drop()
+
+
+def test_scalar_pipeline_is_codegen(spark, sf_dir):
+    assert codegen_subtrees(spark, lambda: QUERIES["fn_math"](spark, sf_dir)) >= 1
+    assert "BatchEvalPython" not in plan_of(QUERIES["fn_math"](spark, sf_dir))

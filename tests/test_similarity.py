@@ -1,0 +1,67 @@
+"""Similarity-search property tests: ANN vs brute-force ground truth,
+approx-distinct error bound, multimodal strict-mode stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_spark.operators.similarity import brute_force_topk, lsh_topk
+from fairy_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_lsh_results_subset_of_corpus_and_ranked(spark, emb):
+    q = emb.filter(F.col("vec_id") <= 10)
+    rows = lsh_topk(emb, q, k=5).collect()
+    assert rows
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_query.items():
+        rns = [r["rn"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert rns == list(range(1, len(rns) + 1))
+        coss = [r["cos"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert coss == sorted(coss, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
+
+
+def test_lsh_cos_values_match_brute_force(spark, emb):
+    """Every (query, neighbor) the ANN returns must carry the same
+    cosine the exact path computes — approximation affects recall,
+    never scores."""
+    q = emb.filter(F.col("vec_id") <= 10)
+    ann = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in lsh_topk(emb, q, k=5).collect()}
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(emb, q, k=500).collect()
+    }
+    for key, cos in ann.items():
+        assert key in exact
+        assert abs(exact[key] - cos) < 1e-9
+
+
+def test_approx_count_distinct_bounded_error(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_multimodal_strict_decode_raises(spark, sf_dir):
+    from fairy_spark.operators.multimodal import decode_and_featurize, media_table_from_documents
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = media_table_from_documents(docs)
+    from py4j.protocol import Py4JJavaError
+    import pyspark.errors
+
+    with pytest.raises(Exception) as exc:
+        decode_and_featurize(media, decode_mode="strict").collect()
+    assert "NotImplementedError" in str(exc.value) or "decode requires" in str(exc.value)
