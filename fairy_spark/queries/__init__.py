@@ -46,6 +46,9 @@ def _load_all() -> None:
         windows,
         setops,
         functions_sql,
+        subqueries,
+        sources_io,
+        sampling_misc,
         llm,
         streaming_batch,
         udfs_mm,

@@ -246,3 +246,128 @@ def agg_having_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_qty")
         .orderBy("l_suppkey")
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 6)                 AS med_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6)    AS p25,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6)    AS p75,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6)    AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    QUANTILE_CONT linear interpolation). At 100 TB the approximate
+    sketch (`percentile_approx`, checked in agg_approx_distinct's
+    style) is the scale path; this is the exact reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("med_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT l_linestatus, l_returnflag, COUNT(*) AS n
+      FROM lineitem GROUP BY l_linestatus, l_returnflag
+    ), ranked AS (
+      SELECT l_linestatus, l_returnflag, n,
+             ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                                ORDER BY n DESC, l_returnflag) AS rn
+      FROM counts
+    )
+    SELECT l_linestatus, l_returnflag AS mode_flag, n AS mode_count
+    FROM ranked WHERE rn = 1
+    ORDER BY l_linestatus
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with an explicit tie-break (count desc, then value) —
+    built-in `mode()` is tie-nondeterministic, which is exactly the
+    kind of thing that diverges between engines; encode the tie-break
+    in the plan instead."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_linestatus", "l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_linestatus").orderBy(F.col("n").desc(), "l_returnflag")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_linestatus",
+            F.col("l_returnflag").alias("mode_flag"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), 6) AS qty_A,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0), 6) AS qty_N,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0), 6) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT value list — without it Spark runs an extra
+    distinct-collect job over the full table to discover values, which
+    at 100 TB is a whole wasted scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return p.select(
+        "l_linestatus",
+        F.round(F.coalesce(F.col("A"), F.lit(0.0)), 6).alias("qty_A"),
+        F.round(F.coalesce(F.col("N"), F.lit(0.0)), 6).alias("qty_N"),
+        F.round(F.coalesce(F.col("R"), F.lit(0.0)), 6).alias("qty_R"),
+    ).orderBy("l_linestatus")
+
+
+@register(
+    "agg_boolean_countif",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000)     AS n_big,
+           CAST(BOOL_AND(o_totalprice > 1000) AS BOOLEAN)    AS all_over_1k,
+           CAST(BOOL_OR(o_orderstatus = 'F') AS BOOLEAN)     AS any_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )

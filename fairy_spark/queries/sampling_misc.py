@@ -1,0 +1,88 @@
+"""Deterministic sampling, string aggregation, unpivot (SURVEY.md §2.B misc surface).
+
+Sampling note: ``df.sample`` draws from a per-partition RNG — not
+reproducible across engines or even across partition layouts, so it
+can never be oracle-checked. The engine's reproducible sample is
+HASH-MOD sampling (filter on a stable content hash), the same
+technique used to carve deterministic held-out splits in training-data
+pipelines; at 100 TB it's a pushable filter — no extra pass, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+
+@register(
+    "sample_hash_mod",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+          IN ('0', '1')
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/8 deterministic sample keyed on row identity via md5 — both
+    engines compute identical lowercase-hex md5, so the sampled SET
+    (not just its size) is oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.filter(F.substring(F.md5(key), 1, 1).isin("0", "1"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect → sort_array → join. The
+    sort_array wrap is the determinism discipline — collect_list order
+    is partition-arrival order, never rely on it."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "fn_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS measure, ROUND(p_retailprice, 6) AS val
+    FROM part WHERE p_size > 40
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS measure, ROUND(CAST(p_size AS DOUBLE), 6) AS val
+    FROM part WHERE p_size > 40
+    ORDER BY p_partkey, measure
+    """,
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via the native unpivot (Expand node: one pass, no
+    self-union re-scan of the source)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "raw")
+        .select("p_partkey", "measure", F.round("raw", 6).alias("val"))
+        .orderBy("p_partkey", "measure")
+    )

@@ -1,0 +1,139 @@
+"""Source/sink round-trips: CSV + JSON scans, parquet sink (SURVEY.md §2.B scans/sinks).
+
+Generalizes the reference's ingest/serve pair (h2 put_object/get_object,
+common/src/h2/h2_service.rs:89-123) to format-typed columnar IO: each
+query WRITES testdata out through a sink, READS it back through the
+corresponding source with an explicit schema (never inference — at
+100 TB schema inference is a full extra pass), and aggregates; the
+oracle computes the same aggregate straight from parquet, so a match
+proves lossless round-trip.
+
+Sink layout is scale-minded: parquet sink is partitioned by the read
+predicate's column so the read-back scan partition-prunes (the moral
+analog of the reference's hash-dir placement, local_file_kv_store.rs:62-70).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+_IO_ROOT = os.environ.get("FAIRY_SPARK_IO_DIR", "/tmp/fairy_spark_io")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), name)
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 6) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → pipe-delimited CSV with header → explicit-schema read
+    → aggregate. Proves the CSV source/sink pair preserves values."""
+    path = _scratch(sf_dir, "orders_csv")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(*cols)
+        .write.mode("overwrite")
+        .options(header=True, sep="|")
+        .csv(path)
+    )
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderpriority STRING"
+    ).options(header=True, sep="|").csv(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           SUM(n_chars) AS chars,
+           SUM(LENGTH(text)) AS text_len
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-lines → explicit-schema read → aggregate.
+    Unicode text survives the round-trip byte-exact."""
+    path = _scratch(sf_dir, "documents_json")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING"
+    ).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.length("text")).alias("text_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 6) AS qty
+    FROM lineitem
+    WHERE l_returnflag = 'A' AND l_quantity > 5
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → parquet partitioned by l_returnflag → read back with
+    a partition predicate. The read-back filter prunes to the one
+    l_returnflag=A directory (checked in test_plans.py) — at 100 TB
+    that's the difference between scanning 1/3 and 3/3 of the table."""
+    path = _scratch(sf_dir, "lineitem_parquet")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 5)
+        .select("l_orderkey", "l_quantity", "l_linestatus", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "A")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("qty"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -96,7 +96,12 @@ def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (start, end=last event, count)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # ts is TIMESTAMP_NTZ (tables.py loader); timestampdiff is the
+    # NTZ-safe epoch arithmetic (unix_micros rejects NTZ input).
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over"
+        " (partition by user_id order by ts, event_id), ts)"
+    )
     seq = ev.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
@@ -156,3 +161,33 @@ def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.col("c_mktsegment").alias("segment"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "stream_stateful_ema_batch",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.125 * x + 0.875 * acc), 6) AS ema
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_ema_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the applyInPandasWithState running-stats operator
+    (streaming/stateful.py): per-user count/sum/EMA folded in event-time
+    order. Both engines run the identical fold recurrence (seed = first
+    value), so doubles agree to rounding."""
+    from fairy_spark.streaming.stateful import user_running_stats_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    out = user_running_stats_batch(ev)
+    return out.select(
+        "user_id",
+        "n",
+        F.round("total", 6).alias("total"),
+        F.round("ema", 6).alias("ema"),
+    ).orderBy("user_id")

@@ -1,0 +1,187 @@
+"""Subquery surface: scalar, IN, EXISTS/NOT EXISTS, lateral.
+
+The reference has no query language at all (SURVEY.md §3 — request
+structs only), so this whole family is north-star relational surface.
+It is also where Catalyst earns its keep at 100 TB: correlated
+subqueries are decorrelated into joins (RewriteCorrelatedScalarSubquery
+/ RewritePredicateSubquery), so none of these plans execute a
+per-row inner query — the oracle checks semantics, test_plans.py
+checks the rewrite produced a join, not a nested loop.
+
+Expressed via ``spark.sql`` over temp views deliberately: the SQL
+subquery planner IS the feature under test; the DataFrame API has no
+subquery syntax (semi/anti joins cover that side in queries/joins.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import register_views
+
+
+@register(
+    "sub_scalar_agg",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 6) AS price
+    FROM lineitem
+    WHERE l_extendedprice > 1.8 * (SELECT AVG(l_extendedprice) FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def sub_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery → broadcast of a 1-row relation;
+    the fact scan stays a single pass."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 6) AS price
+        FROM lineitem
+        WHERE l_extendedprice > 1.8 * (SELECT AVG(l_extendedprice) FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
+
+
+@register(
+    "sub_in_segment",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > 150000
+    ORDER BY o_orderkey
+    """,
+)
+def sub_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join after RewritePredicateSubquery."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 150000
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sub_exists_bigspender",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def sub_exists_bigspender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → decorrelated to a semi join on o_custkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "sub_not_exists_no_urgent",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def sub_not_exists_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (customers with no urgent order) → anti join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "sub_correlated_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 6) AS total,
+           ROUND((SELECT COALESCE(SUM(l.l_extendedprice * (1 - l.l_discount)), 0)
+                  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey), 6) AS net
+    FROM orders o
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar agg subquery in the SELECT list — rewritten
+    to a left outer join against a pre-aggregated lineitem."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(o_totalprice, 6) AS total,
+               ROUND((SELECT COALESCE(SUM(l.l_extendedprice * (1 - l.l_discount)), 0)
+                      FROM lineitem l WHERE l.l_orderkey = o.o_orderkey), 6) AS net
+        FROM orders o
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sub_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice
+           FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) t
+    WHERE c.c_custkey <= 50
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
+def sub_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table: top-2 orders per customer.
+    Planner turns this into a ranked window over a join — no per-row
+    re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice
+               FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) t
+        WHERE c.c_custkey <= 50
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )

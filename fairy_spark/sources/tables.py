@@ -39,6 +39,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): unreadable in Spark 4
+        # unless nanosAsLong is on. Set it at runtime so the engine
+        # works on ANY session handed to us (the external driver's
+        # vanilla session doesn't carry our builder config).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts arrives as long ns-since-epoch (nanosAsLong); convert to a
@@ -48,7 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F, types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # ns-long → TIMESTAMP_NTZ by pure epoch arithmetic:
+            # timestamp_micros() would produce a tz-sensitive TIMESTAMP
+            # whose collected value depends on the session timezone —
+            # NTZ matches DuckDB's naive read of the same column and is
+            # session-tz-independent (all other testdata timestamps are
+            # already read as NTZ because isAdjustedToUTC=false).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

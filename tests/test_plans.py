@@ -114,3 +114,34 @@ def test_kv_point_lookup_prunes_buckets(spark):
 def test_scalar_pipeline_is_codegen(spark, sf_dir):
     assert codegen_subtrees(spark, lambda: QUERIES["fn_math"](spark, sf_dir)) >= 1
     assert "BatchEvalPython" not in plan_of(QUERIES["fn_math"](spark, sf_dir))
+
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """Correlated subqueries must be rewritten to joins — a per-row
+    inner query (nested loop over the fact table) would be O(n·m) at
+    100 TB."""
+    for name, want in [
+        ("sub_in_segment", "LeftSemi"),
+        ("sub_exists_bigspender", "LeftSemi"),
+        ("sub_not_exists_no_urgent", "LeftAnti"),
+    ]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert want in plan, f"{name}: expected {want}\n{plan}"
+        assert "CartesianProduct" not in plan, name
+    # scalar + lateral: any join strategy is fine, never a cartesian
+    for name in ["sub_scalar_agg", "sub_correlated_scalar", "sub_lateral_topk"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_parquet_sink_readback_partition_prunes(spark, sf_dir, tmp_path):
+    """sink_parquet_partitioned's read-back predicate is a partition
+    filter: the scan must list only the matching directory."""
+    QUERIES["sink_parquet_partitioned"](spark, sf_dir).collect()  # materialize sink
+    import fairy_spark.queries.sources_io as io_mod
+
+    back = spark.read.parquet(io_mod._scratch(sf_dir, "lineitem_parquet")).filter(
+        F.col("l_returnflag") == "A"
+    )
+    plan = plan_of(back)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan.replace("#", " #"), plan

@@ -85,3 +85,28 @@ def test_stream_static_join(spark, replay_dir):
         .count()
     )
     assert len(got) == batch
+
+
+def test_stateful_custom_operator_matches_batch(spark, replay_dir):
+    """applyInPandasWithState running stats: the final per-user state
+    after replaying all chunks must equal the batch fold (count, sum,
+    event-time-ordered EMA)."""
+    from fairy_spark.streaming.stateful import (
+        user_running_stats,
+        user_running_stats_batch,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    got = run_to_completion(user_running_stats(stream), mode="update")
+    # update mode re-emits per micro-batch; final state = last emit per user
+    final = {}
+    for r in got:
+        final[r["user_id"]] = r  # memory sink preserves batch order
+    batch = {r["user_id"]: r for r in user_running_stats_batch(
+        load_table(spark, SF, "events")).collect()}
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        s = final[uid]
+        assert s["n"] == b["n"], uid
+        assert abs(s["total"] - b["total"]) < 1e-6, uid
+        assert abs(s["ema"] - b["ema"]) < 1e-6, uid
