@@ -24,6 +24,10 @@ from fairy_spark.operators.text import (
     tokenize,
 )
 
+# session-id → last call's persisted [shingle, signature] tables
+# (see minhash_lsh_candidates)
+_SHINGLE_CACHE: dict[int, list[DataFrame]] = {}
+
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
     """Per-group exact-duplicate stats via content hash (sha256)."""
@@ -68,16 +72,34 @@ def minhash_lsh_candidates(
     # Persist the shingle table: it feeds the signature computation AND
     # both sides of the verification join — without it the md5 pipeline
     # runs 4x inside one action. ~|docs| rows of token arrays: tiny
-    # relative to the pair stage it saves.
+    # relative to the pair stage it saves. The PREVIOUS call's cache is
+    # dropped first: a per-call persist with no unpersist accumulates
+    # one copy per invocation (measured: e2e degraded 6s → 16s over
+    # three calls at sf0.1 from cache+GC pressure).
     shingled = (
         docs.repartition(par)
         .select(
             F.col(id_col).alias("id"),
             shingle_set(F.col(text_col), shingle_n).alias("shingles"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = shingled.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    for prev in _SHINGLE_CACHE.pop(id(docs.sparkSession), []):
+        prev.unpersist(blocking=False)
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist the SIGNATURE table too (|docs| rows × num_hashes longs —
+    # tiny): the band self-join's two sides can't share one exchange
+    # once AQE turns the join into a broadcast, so without this the
+    # md5+minhash pipeline runs once per side (verified in the plan).
+    sig = shingled.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE[id(docs.sparkSession)] = [shingled, sig]
+    # Materialize eagerly: the downstream plan reads these from FOUR
+    # subtrees (two band-join sides, two verify sides) inside one
+    # action — if the cache is cold they race and recompute (measured
+    # 7s vs 2s at sf0.1). Two tiny jobs up front make the big join read
+    # warm cache deterministically.
+    sig.count()
 
     # Bands carry ONLY (id, band_id, band_hash): the band self-join
     # shuffles a few dozen bytes per row instead of the shingle arrays;

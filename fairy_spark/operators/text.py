@@ -30,11 +30,24 @@ def tokenize(text: Column) -> Column:
 
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Space-joined word n-grams.
-    SQL: list_transform(generate_series(1, len(t)-n+1), i -> array_to_string(t[i:i+n-1], ' '))."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
+    SQL: list_transform(generate_series(1, len(t)-n+1), i -> array_to_string(t[i:i+n-1], ' ')).
+
+    Built by zipping n-1 SHIFTED copies of the token array rather than
+    slicing per index — per-index slice is an O(len) array copy inside
+    an O(len) transform (quadratic per doc, and measured 2-4× slower
+    at sf0.1); the zip form is n-1 linear passes. concat_ws skips the
+    nulls zip_with pads with, and the final slice drops the ragged
+    tail, so output order and values are identical to the per-index
+    form (same oracle SQL)."""
+    sz = F.size(tokens)
+    z = tokens
+    for k in range(1, n):
+        z = F.zip_with(
+            z,
+            F.slice(tokens, k + 1, F.greatest(sz - k, F.lit(0))),
+            lambda acc, nxt: F.concat_ws(" ", acc, nxt),
+        )
+    return F.slice(z, 1, F.greatest(sz - (n - 1), F.lit(0)))
 
 
 def shingle_set(text: Column, n: int = 3) -> Column:
@@ -52,16 +65,32 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     in SQL: h_i(s) = CAST(concat('0x', substr(md5(s), 1+i, 15)) AS BIGINT).
     """
     assert num_hashes <= 17
+    # Expression structure matters: referencing a shared `hexes`
+    # sub-expression from num_hashes separate array_min's duplicates
+    # the md5 transform num_hashes times in the plan (Catalyst does not
+    # CSE across higher-order functions — verified in the physical
+    # plan; 8× the md5 work). Instead: nested transform so md5 runs
+    # ONCE per shingle (the outer lambda sees the materialized hex),
+    # then one aggregate() fold computes all minima in a single pass.
     # NB: single-parameter lambdas only — PySpark binds a second lambda
     # parameter to the array index.
-    hexes = F.transform(shingles, lambda s: F.md5(s))
-
-    def one_minhash(i: int):
-        return F.array_min(
-            F.transform(hexes, lambda h: F.conv(F.substring(h, 1 + i, 15), 16, 10).cast("bigint"))
-        )
-
-    return F.array(*[one_minhash(i) for i in range(num_hashes)])
+    per_shingle = F.transform(
+        F.transform(shingles, lambda s: F.md5(s)),
+        lambda h: F.array(
+            *[
+                F.conv(F.substring(h, 1 + i, 15), 16, 10).cast("bigint")
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    # least() skips nulls, so a null-array init yields exactly
+    # array_min semantics (empty shingle set → all-null signature).
+    init = F.array_repeat(F.lit(None).cast("bigint"), num_hashes)
+    return F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, vs: F.zip_with(acc, vs, lambda a, v: F.least(a, v)),
+    )
 
 
 def minhash_sql(i: int, shingles_expr: str = "sh") -> str:

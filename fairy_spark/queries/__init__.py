@@ -49,6 +49,7 @@ def _load_all() -> None:
         subqueries,
         sources_io,
         sampling_misc,
+        tpch_like,
         llm,
         streaming_batch,
         udfs_mm,
