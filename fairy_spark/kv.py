@@ -196,6 +196,49 @@ class KVStore:
         self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
         self._next_seq = 2
 
+    def evict(self, keep_latest: int) -> int:
+        """Retention eviction: keep only the keep_latest most recently
+        written live keys (recency = max seq per key), delete the rest.
+        Returns the number of keys evicted.
+
+        The reference README claims a 'lock-free eviction policy'
+        (README.md:10) that the code never implements (SURVEY.md §0
+        claim-vs-code gap) — this is that capability, expressed as a
+        log-structured retention pass: rank live keys by recency,
+        tombstone the tail, compact. O(store), run like a GC cycle."""
+        from pyspark.sql import Window
+
+        live = self._latest().filter(F.col("value").isNotNull())
+        # Global recency rank. The single-partition window is bounded:
+        # it ranks (key, seq) metadata only, never values — the same
+        # scale class as a filename listing. (A value-free keyspace of
+        # 10^9 keys is ~GBs; shard by recency bucket before ranking if
+        # that ever binds.)
+        w = Window.orderBy(F.col("seq").desc(), F.col("key"))
+        victims = (
+            live.select("key", "seq")
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") > keep_latest)
+            .select("key")
+        )
+        n = victims.count()
+        if n:
+            seq = self._alloc_seq()
+            tombstones = victims.select(
+                "key",
+                F.lit(None).cast("binary").alias("value"),
+                F.lit(seq).cast("long").alias("seq"),
+            )
+            (
+                tombstones.write.mode("append")
+                .bucketBy(self.num_buckets, "key")
+                .sortBy("key")
+                .format("parquet")
+                .saveAsTable(self.table)
+            )
+            self.compact()
+        return n
+
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
         self._next_seq = None

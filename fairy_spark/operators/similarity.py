@@ -157,3 +157,124 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", "rn")
     )
+
+
+def _nearest_centroid(vec_df: DataFrame, cent: DataFrame, vec_expr: str, n_probe: int = 1) -> DataFrame:
+    """Attach the n_probe nearest centroid ids (L2) to each row of
+    vec_df. Centroids are broadcast (k rows); the argmin is a ranking
+    window per vector — no shuffle of the vector table itself."""
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_expr), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # First column is the row's unique id — partitioning the argmin
+    # window by it (not the vector payload) keeps the sort key small.
+    w = Window.partitionBy(vec_df.columns[0]).orderBy(F.asc("_d2"), F.asc("_cid"))
+    return (
+        vec_df.join(F.broadcast(cent), F.lit(True))
+        .withColumn("_d2", d2)
+        .withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= n_probe)
+        .drop("_cvec", "_d2", "_cr")
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic k-means over the corpus,
+    entirely in DataFrame ops (no RNG, no MLlib state).
+
+    * init: the n_clusters vectors with the smallest md5(id) — a
+      deterministic pseudo-random sample (same trick as hash-mod
+      sampling).
+    * lloyd_iters rounds of assign→mean; the mean is computed by
+      posexploding dimensions and re-collecting — one shuffle per
+      iteration keyed on (cluster, dim), fully parallel in both the
+      corpus size and the dimensionality.
+    * returns (assignments, centroids): assignments = corpus rows +
+      `cluster`; centroids = (cluster ids, centroid vector).
+
+    At 100 TB the assignments table is written partitioned BY cluster,
+    so a probe reads only n_probe/n_clusters of the data — the IVF
+    analog of the reference's hash-dir placement
+    (local_file_kv_store.rs:62-70).
+    """
+    from fairy_spark.operators.text import portable_hash64
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
+    )
+    cent = (
+        corpus.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_clusters)
+        .select(
+            (F.row_number().over(Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))) - 1).alias("_cid"),
+            F.col("_v").alias("_cvec"),
+        )
+    )
+    for _ in range(lloyd_iters):
+        assigned = _nearest_centroid(corpus, cent, "_v", n_probe=1)
+        cent = (
+            assigned.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cid", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_dim", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cvec")
+            )
+        )
+    assignments = _nearest_centroid(corpus, cent, "_v", n_probe=1).select(
+        F.col("_id").alias(id_col), F.col("_v").alias(vec_col), F.col("_cid").alias("cluster")
+    )
+    return assignments, cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors in the query's n_probe nearest
+    clusters. Work per query = n_probe/n_clusters of the corpus instead
+    of all of it; recall grows with n_probe (exact at n_probe =
+    n_clusters). Same scoring arithmetic as brute_force_topk, so any
+    returned pair carries the identical cosine."""
+    assignments, cent = ivf_index(embeddings, n_clusters, 1, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+    q_probed = _nearest_centroid(q, cent, "qv", n_probe=n_probe).select(
+        "query_id", "qv", norm(F.col("qv")).alias("qnorm"), F.col("_cid").alias("cluster")
+    )
+    c = assignments.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nnorm"),
+        "cluster",
+    )
+    scored = (
+        c.join(F.broadcast(q_probed), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )

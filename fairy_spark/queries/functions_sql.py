@@ -346,3 +346,34 @@ def fn_null_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "fn_string_distance",
+    oracle="""
+    SELECT p1.p_partkey AS key_a, p2.p_partkey AS key_b,
+           levenshtein(p1.p_brand, p2.p_brand) AS lev_brand,
+           CAST(p1.p_type = p2.p_type AS BOOLEAN) AS same_type
+    FROM part p1 JOIN part p2 ON p1.p_partkey + 1 = p2.p_partkey
+    WHERE p1.p_partkey <= 200
+    ORDER BY key_a
+    """,
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance over adjacent part rows — fuzzy-matching primitive
+    (both engines implement classic Levenshtein)."""
+    p = load_table(spark, sf_dir, "part")
+    p1 = p.select(F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("b1"),
+                  F.col("p_type").alias("t1"))
+    p2 = p.select(F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("b2"),
+                  F.col("p_type").alias("t2"))
+    return (
+        p1.join(p2, F.col("key_a") + 1 == F.col("key_b"))
+        .filter(F.col("key_a") <= 200)
+        .select(
+            "key_a", "key_b",
+            F.levenshtein("b1", "b2").alias("lev_brand"),
+            (F.col("t1") == F.col("t2")).alias("same_type"),
+        )
+        .orderBy("key_a")
+    )

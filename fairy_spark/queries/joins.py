@@ -258,3 +258,31 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("purchase_value", 6).alias("last_purchase_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           ROUND(e.value, 6) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value > 50
+    ORDER BY e.event_id
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): result is IDENTICAL to the
+    plain join — the salt only widens the hot keys' shuffle space. The
+    oracle is therefore the unsalted join."""
+    from fairy_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 50)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        salted_join(ev, c.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+                    on="user_id", n_salt=8)
+        .select("event_id", "user_id", F.col("c_mktsegment").alias("segment"),
+                F.round("value", 6).alias("value"))
+        .orderBy("event_id")
+    )

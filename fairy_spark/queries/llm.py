@@ -408,3 +408,16 @@ def ml_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") <= 10)
     return lsh_topk(e, q, k=5).orderBy("query_id", "rn")
+
+
+@register("ml_ann_ivf_topk")  # no SQL oracle: ANN is approximate by design;
+def ml_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-clustered approximate top-k (rows-only driver check; recall,
+    score-exactness, and ranking properties asserted in
+    tests/test_similarity.py). Coarse quantizer = deterministic k-means
+    (operators/similarity.ivf_index)."""
+    from fairy_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 10)
+    return ivf_topk(e, q, k=5, n_clusters=16, n_probe=4).orderBy("query_id", "rn")

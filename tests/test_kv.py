@@ -96,3 +96,18 @@ def test_put_df_bulk_ingest(kv, spark):
     )
     sample = docs.select("doc_id", "text").collect()[0]
     assert kv.get(str(sample["doc_id"])) == sample["text"].encode()
+
+
+def test_evict_keeps_most_recent(kv):
+    """Eviction (the reference README's claimed-but-unbuilt capability):
+    keep_latest=N retains the N most recently written keys; evicted
+    keys read as missing; survivors keep their values."""
+    for i in range(10):
+        kv.put(f"ev{i}", bytes([i]))
+    n = kv.evict(keep_latest=3)
+    assert n == 7
+    assert sorted(r["key"] for r in kv.keys().collect()) == ["ev7", "ev8", "ev9"]
+    assert kv.get("ev9") == bytes([9])
+    assert not kv.exists("ev0")
+    # eviction is idempotent at the same retention
+    assert kv.evict(keep_latest=3) == 0

@@ -145,3 +145,56 @@ def test_parquet_sink_readback_partition_prunes(spark, sf_dir, tmp_path):
     )
     plan = plan_of(back)
     assert "PartitionFilters: [isnotnull(l_returnflag" in plan.replace("#", " #"), plan
+
+
+def test_bucketed_colocated_join_no_shuffle(spark, sf_dir):
+    """THE 100 TB join story: two tables bucketed+sorted on the join
+    key join with ZERO exchanges — at scale this turns every daily
+    fact-fact join from a full shuffle into a local merge. (Reference
+    analog: both stores sharded by the same key hash, A4.)"""
+    from fairy_spark.sources.tables import load_table
+
+    for t in ("bk_orders", "bk_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (load_table(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bk_orders"))
+    (load_table(spark, sf_dir, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("bk_lineitem"))
+    # Disable broadcast so the planner must use the bucket layout (at
+    # the SF under test the small side would otherwise broadcast, which
+    # proves nothing about co-location).
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("bk_orders")
+            .join(spark.table("bk_lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    join_section = plan.split("HashAggregate")[0]
+    assert "Exchange" not in join_section, plan  # co-located: no shuffle before/within the join
+    assert "SortMergeJoin" in plan, plan
+    # sanity: result matches the plain (shuffled) join
+    plain = (
+        load_table(spark, sf_dir, "orders")
+        .join(load_table(spark, sf_dir, "lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    for t in ("bk_orders", "bk_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_salted_join_no_cartesian_and_spread(spark, sf_dir):
+    plan = plan_of(QUERIES["join_salted_skew"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

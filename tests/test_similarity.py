@@ -65,3 +65,40 @@ def test_multimodal_strict_decode_raises(spark, sf_dir):
     with pytest.raises(Exception) as exc:
         decode_and_featurize(media, decode_mode="strict").collect()
     assert "NotImplementedError" in str(exc.value) or "decode requires" in str(exc.value)
+
+
+def test_ivf_results_ranked_and_score_exact(spark, emb):
+    """IVF ANN: ranked output, no self-matches, and every returned
+    (query, neighbor) carries the exact brute-force cosine —
+    approximation affects recall, never scores."""
+    from fairy_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") <= 10)
+    rows = ivf_topk(emb, q, k=5, n_clusters=8, n_probe=2).collect()
+    assert rows
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk(emb, q, k=500).collect()
+    }
+    by_query = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_query.setdefault(r["query_id"], []).append(r)
+        assert (r["query_id"], r["neighbor_id"]) in exact
+        assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cos"]) < 1e-9
+    for qid, rs in by_query.items():
+        rns = sorted(r["rn"] for r in rs)
+        assert rns == list(range(1, len(rns) + 1))
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """n_probe == n_clusters probes every cluster → exact search: the
+    result set must equal brute-force top-k."""
+    from fairy_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") <= 5)
+    ann = {(r["query_id"], r["neighbor_id"]) for r in
+           ivf_topk(emb, q, k=5, n_clusters=4, n_probe=4).collect()}
+    bf = {(r["query_id"], r["neighbor_id"]) for r in
+          brute_force_topk(emb, q, k=5).collect()}
+    assert ann == bf
