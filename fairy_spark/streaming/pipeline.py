@@ -128,3 +128,16 @@ def run_to_completion(query_df: DataFrame, mode: str = "append") -> list:
     q.awaitTermination()
     spark = query_df.sparkSession
     return spark.table(name).collect()
+
+
+def run_foreach_batch(query_df: DataFrame, fn, mode: str = "append") -> None:
+    """Drive a finite stream through a foreachBatch sink (the engine's
+    programmable ingest hook — analog of the reference's put path,
+    h2_service.rs:89-109: arbitrary code per arriving chunk)."""
+    q = (
+        query_df.writeStream.foreachBatch(fn)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

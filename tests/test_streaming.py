@@ -110,3 +110,59 @@ def test_stateful_custom_operator_matches_batch(spark, replay_dir):
         assert s["n"] == b["n"], uid
         assert abs(s["total"] - b["total"]) < 1e-6, uid
         assert abs(s["ema"] - b["ema"]) < 1e-6, uid
+
+
+def test_foreach_batch_sink_sees_all_rows(spark, replay_dir):
+    """foreachBatch sink: every replayed row passes through the hook
+    exactly once, across multiple micro-batches."""
+    from fairy_spark.streaming.pipeline import run_foreach_batch
+
+    seen = {"rows": 0, "batches": 0}
+
+    def sink(batch_df, batch_id):
+        seen["rows"] += batch_df.count()
+        seen["batches"] += 1
+
+    stream = read_event_stream(spark, replay_dir)
+    run_foreach_batch(stream, sink)
+    total = load_table(spark, SF, "events").count()
+    assert seen["rows"] == total
+    assert seen["batches"] >= 2  # maxFilesPerTrigger=1 over 4 chunks
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data drop: an event older than (max seen ts - watermark)
+    arriving in a later micro-batch must NOT re-open its closed window.
+    Batch mode would count it; the watermark contract drops it."""
+    import os
+    from pyspark.sql import Row
+    from datetime import datetime
+
+    def write_chunk(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        path = os.path.join(str(tmp_path), name)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        # the file stream orders micro-batches by mod time, not path —
+        # pin mtimes so chunk_001 provably precedes chunk_002
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    # chunk 1: on-time events advancing max ts to 06:00
+    write_chunk("chunk_001", [(1, t(1), 1, "a", 1.0, "{}"),
+                              (2, t(6), 1, "a", 1.0, "{}")], mtime=1_000_000)
+    # spacer batch: the watermark used in batch N derives from data
+    # seen through batch N-2 (it is committed at end-of-batch and
+    # applied on the NEXT trigger), so one batch must pass before the
+    # 06:00-2h=04:00 watermark takes effect
+    write_chunk("chunk_002", [(4, t(6, 30), 1, "a", 1.0, "{}")], mtime=2_000_000)
+    # chunk 3: a LATE event at 01:30 — its [01:00,02:00) window closed
+    # at watermark 04:00, so it must be dropped
+    write_chunk("chunk_003", [(3, t(1, 30), 1, "a", 1.0, "{}"),
+                              (5, t(7), 1, "a", 1.0, "{}")], mtime=3_000_000)
+    stream = read_event_stream(spark, str(tmp_path))
+    got = run_to_completion(tumbling_counts(stream, window="1 hour", watermark="2 hours"),
+                            mode="append")
+    counts = {r["w_start"]: r["n"] for r in got}
+    assert counts.get(t(1)) == 1, counts  # late event_id=3 dropped, only event 1 counted
