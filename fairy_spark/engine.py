@@ -43,5 +43,64 @@ class Engine:
             self._kv[name] = KVStore(self.spark, name, num_buckets=self.cfg.kv_num_buckets)
         return self._kv[name]
 
+    # -- LLM-data-pipeline surface (operators/*) ------------------------------
+
+    def dedup_exact(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """One surviving row id per distinct text (lowest id wins)."""
+        from fairy_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(docs, text_col, id_col)
+
+    def dedup_near(
+        self, docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """MinHash-LSH near-duplicate pairs with exact-Jaccard scores
+        >= threshold."""
+        from pyspark.sql import functions as F
+
+        from fairy_spark.operators.dedup import minhash_lsh_candidates
+
+        cands = minhash_lsh_candidates(docs, id_col=id_col, text_col=text_col)
+        return cands.filter(F.col("jaccard") >= threshold)
+
+    def similar_topk(
+        self, corpus: DataFrame, queries: DataFrame, k: int = 5, method: str = "brute",
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Cosine top-k neighbors: method in {brute, lsh, ivf}."""
+        from fairy_spark.operators import similarity as S
+
+        fn = {"brute": S.brute_force_topk, "lsh": S.lsh_topk, "ivf": S.ivf_topk}[method]
+        return fn(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+    def text_profile(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Per-doc quality stats: chars, tokens, mean token length,
+        stopword ratio, rolling fingerprint."""
+        from pyspark.sql import functions as F
+
+        from fairy_spark.operators.text import (
+            mean_token_len,
+            rolling_fingerprint,
+            stopword_ratio,
+            tokenize,
+        )
+
+        toks = tokenize(F.col(text_col))
+        return docs.withColumns(
+            {
+                "n_chars_computed": F.length(text_col).cast("bigint"),
+                "n_tokens": F.size(toks),
+                "mean_token_len": mean_token_len(toks),
+                "stopword_ratio": stopword_ratio(toks),
+                "fingerprint": rolling_fingerprint(toks),
+            }
+        )
+
+    def stream_events(self, replay_dir: str) -> DataFrame:
+        """File-replayed event stream (streaming/pipeline.py)."""
+        from fairy_spark.streaming.pipeline import read_event_stream
+
+        return read_event_stream(self.spark, replay_dir)
+
     def stop(self) -> None:
         self.spark.stop()

@@ -377,3 +377,94 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a")
     )
+
+
+@register(
+    "fn_struct_nested",
+    oracle="""
+    SELECT o_orderkey,
+           {'k': o_orderkey, 'status': o_orderstatus}.status      AS s_status,
+           {'k': o_orderkey, 'status': o_orderstatus}.k + 1       AS s_next,
+           CAST(LEN([o_orderkey, o_custkey]) AS INTEGER)          AS arr_n,
+           [o_orderkey, o_custkey][1]                             AS first_key
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+)
+def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack/unpack + array-of-keys access — nested-type surface
+    (the reference has no nested types at all; SURVEY §1.2)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    st = F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status"))
+    arr = F.array("o_orderkey", "o_custkey")
+    return (
+        o.select(
+            "o_orderkey",
+            st.getField("status").alias("s_status"),
+            (st.getField("k") + 1).alias("s_next"),
+            F.size(arr).alias("arr_n"),
+            F.element_at(arr, 1).alias("first_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_try_ops",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INTEGER)                            AS brand_int,
+           TRY_CAST(SUBSTR(p_brand, 7) AS INTEGER)                 AS brand_num,
+           CASE WHEN p_size = 0 THEN NULL
+                ELSE CAST(p_retailprice / p_size AS DOUBLE) END    AS price_per_size
+    FROM part
+    WHERE p_partkey <= 300
+    ORDER BY p_partkey
+    """,
+)
+def fn_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions: try_cast on non-numeric input → NULL
+    instead of an ANSI runtime error, try_divide for zero divisors —
+    the fail-soft contract a 100 TB batch job needs (one bad row must
+    not kill a 10-hour pipeline)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_brand").try_cast("int").alias("brand_int"),
+            F.substring("p_brand", 7, 10).try_cast("int").alias("brand_num"),
+            F.try_divide(F.col("p_retailprice"), F.col("p_size")).cast("double").alias("price_per_size"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber & 3                                 AS b_and,
+           l_linenumber | 8                                 AS b_or,
+           xor(l_linenumber, 5)                             AS b_xor,
+           l_linenumber << 2                                AS b_shl,
+           CAST(l_orderkey AS BIGINT) >> 3                  AS b_shr
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_linenumber").bitwiseAND(F.lit(3)).alias("b_and"),
+            F.col("l_linenumber").bitwiseOR(F.lit(8)).alias("b_or"),
+            F.col("l_linenumber").bitwiseXOR(F.lit(5)).alias("b_xor"),
+            F.shiftleft(F.col("l_linenumber"), 2).alias("b_shl"),
+            F.shiftright(F.col("l_orderkey"), 3).alias("b_shr"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -189,3 +189,47 @@ def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "win_value_fns_ignore_nulls",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS px
+      FROM orders WHERE o_orderkey <= 4000
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(FIRST_VALUE(px IGNORE NULLS) OVER w, 6)  AS first_px,
+           ROUND(LAST_VALUE(px IGNORE NULLS) OVER w, 6)   AS last_px,
+           ROUND(NTH_VALUE(px, 2 IGNORE NULLS) OVER w, 6) AS second_px
+    FROM base
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def win_value_fns_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with IGNORE NULLS over a running frame —
+    the gap-fill primitive (carry last observation forward)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(F.col("o_totalprice")).alias("px"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.first("px", ignorenulls=True).over(w), 6).alias("first_px"),
+            F.round(F.last("px", ignorenulls=True).over(w), 6).alias("last_px"),
+            F.round(F.nth_value("px", 2, ignoreNulls=True).over(w), 6).alias("second_px"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )

@@ -1,0 +1,78 @@
+"""Engine façade smoke tests — the switchover surface a reference user
+drives (SURVEY.md §3.4 entry points): sql / table / kv / catalog /
+dedup / similarity / text profile."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_spark.engine import Engine
+from fairy_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    eng = Engine(spark=spark)
+    eng.attach_testdata(sf_dir)
+    return eng
+
+
+def test_sql_and_table(engine):
+    n = engine.sql("SELECT COUNT(*) AS n FROM nation").first()["n"]
+    assert n == 25
+    assert engine.table("region").count() == 5
+
+
+def test_kv_through_engine(engine):
+    kv = engine.kv("engine_smoke")
+    kv.drop()
+    kv.put("a", b"1")
+    assert kv.get("a") == b"1"
+    kv.drop()
+
+
+def test_dedup_exact_through_engine(engine, spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = engine.dedup_exact(docs)
+    n_docs = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    assert kept.count() == n_distinct <= n_docs
+
+
+def test_dedup_near_through_engine(engine, spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = engine.dedup_near(docs, threshold=0.3).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["jaccard"] >= 0.3
+
+
+def test_similar_topk_methods_agree_on_scores(engine, spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 3)
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos"]
+             for r in engine.similar_topk(emb, q, k=3, method="brute").collect()}
+    for method in ("lsh", "ivf"):
+        for r in engine.similar_topk(emb, q, k=3, method=method).collect():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in brute:
+                assert abs(brute[key] - r["cos"]) < 1e-9
+
+
+def test_text_profile(engine, spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    prof = engine.text_profile(docs)
+    rows = prof.select("n_chars", "n_chars_computed", "n_tokens", "stopword_ratio").collect()
+    for r in rows:
+        assert r["n_chars"] == r["n_chars_computed"]
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_catalog_lifecycle_through_engine(engine, spark):
+    df = spark.range(5).withColumnRenamed("id", "x")
+    engine.catalog.create_view("engine_v", df)
+    assert "engine_v" in engine.catalog.list_tables()
+    assert engine.catalog.row_count("engine_v") == 5
+    engine.catalog.drop("engine_v")

