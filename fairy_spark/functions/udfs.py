@@ -111,3 +111,27 @@ def make_token_udtf():
                     yield i, tok
 
     return Tokenize
+
+
+def arrow_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """mapInArrow: per-batch vector norms computed directly on Arrow
+    RecordBatches (no pandas materialization — the zero-copy path for
+    numeric array columns)."""
+    import pyarrow as pa
+    import numpy as np
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            # list<float> -> flat values reshaped per row
+            norms = []
+            for i in range(batch.num_rows):
+                v = np.asarray(embs[i].as_py(), dtype=np.float64)
+                norms.append(float(np.sqrt((v * v).sum())))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(norms, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    schema = "vec_id bigint, l2_norm double"
+    return embeddings.select("vec_id", "embedding").mapInArrow(gen, schema)

@@ -116,10 +116,13 @@ def resize_stub(decoded: DataFrame, target: int = 224) -> DataFrame:
     target dims); the pixel resample itself is part of the stubbed
     decode. Kept JVM-side — no Python needed for the geometry."""
     scale = F.lit(target) / F.greatest("width", "height")
+    # floor, not round: round-half midpoints are HALF_UP in Spark but
+    # banker's in DuckDB — floor is the cross-engine-deterministic
+    # choice (and standard for image geometry anyway)
     return decoded.select(
         "media_id",
-        F.round(F.col("width") * scale).cast("int").alias("resized_w"),
-        F.round(F.col("height") * scale).cast("int").alias("resized_h"),
+        F.floor(F.col("width") * scale).cast("int").alias("resized_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("resized_h"),
         "feature",
     )
 

@@ -191,3 +191,47 @@ def stream_stateful_ema_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 6).alias("total"),
         F.round("ema", 6).alias("ema"),
     ).orderBy("user_id")
+
+
+@register(
+    "ts_resample_ffill",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n, AVG(value) AS avg_value
+      FROM events WHERE user_id <= 10
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT key, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY key
+    ), grid AS (
+      SELECT s.key, unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS bucket
+      FROM span s
+    ), j AS (
+      SELECT g.key, g.bucket,
+             COALESCE(a.n, 0) AS n,
+             a.avg_value
+      FROM grid g LEFT JOIN agg a ON g.key = a.key AND g.bucket = a.bucket
+    )
+    SELECT key, bucket, CAST(n AS BIGINT) AS n,
+           ROUND(avg_value, 6) AS avg_value,
+           ROUND(LAST_VALUE(avg_value IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill_value
+    FROM j
+    ORDER BY key, bucket
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with forward-fill
+    (operators/timeseries.py) — gap-fill for irregular event streams."""
+    from fairy_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    out = resample_ffill(ev)
+    return out.select(
+        "key",
+        "bucket",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("ffill_value", 6).alias("ffill_value"),
+    ).orderBy("key", "bucket")

@@ -214,3 +214,59 @@ def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_index", F.col("byte_offset").cast("int").alias("byte_offset"))
         .orderBy("media_id", "frame_index")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_reduce(list_prepend(0.0,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)), (a,b) -> a+b)), 6) AS l2_norm
+    FROM embeddings
+    WHERE vec_id <= 200
+    ORDER BY vec_id
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow vector norms — Arrow-native batch processing
+    (functions/udfs.py:arrow_norm_stats). numpy's pairwise summation
+    differs from a strict left fold at ~1e-15 relative, far inside the
+    1e-6 rounding, so the oracle still matches exactly."""
+    from fairy_spark.functions.udfs import arrow_norm_stats
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 200)
+    return (
+        arrow_norm_stats(e)
+        .select("vec_id", F.round("l2_norm", 6).alias("l2_norm"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "mm_resize_plan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64 AS width,
+             64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64 AS height
+      FROM documents WHERE doc_id <= 50
+    )
+    SELECT media_id,
+           CAST(FLOOR(width  * (224.0 / GREATEST(width, height))) AS INT) AS resized_w,
+           CAST(FLOOR(height * (224.0 / GREATEST(width, height))) AS INT) AS resized_h
+    FROM d
+    ORDER BY media_id
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry over the decoded (fake) dims —
+    JVM-side arithmetic; the pixel resample lives in the stubbed decode
+    (operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    media = media_table_from_documents(docs)
+    decoded = decode_and_featurize(media, decode_mode="fake")
+    return (
+        resize_stub(decoded, target=224)
+        .select("media_id", "resized_w", "resized_h")
+        .orderBy("media_id")
+    )
