@@ -26,6 +26,11 @@ class Engine:
         self.spark = spark or get_spark(self.cfg)
         self.catalog = Catalog(self.spark)
         self._kv: dict[str, KVStore] = {}
+        # make module-referenced UDFs importable on executor workers
+        # regardless of the driver process's cwd (shipping.py)
+        from fairy_spark.shipping import ensure_package_shipped
+
+        ensure_package_shipped(self.spark)
 
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)

@@ -29,7 +29,19 @@ ORACLE: dict[str, str] = {}
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         assert name not in QUERIES, f"duplicate query name {name}"
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Ship the package to Python workers first: UDF-bearing
+            # queries crash with ModuleNotFoundError on any driver
+            # whose cwd isn't the repo root otherwise (shipping.py).
+            from fairy_spark.shipping import ensure_package_shipped
+
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
         return fn
