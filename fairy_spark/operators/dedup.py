@@ -134,17 +134,18 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verification: join the shingle sets back for candidate pairs only.
-    # Broadcast the per-doc shingle table (it is |docs| rows of arrays —
-    # small relative to pairs; at larger scale swap to a shuffle join on
-    # id, which is still |pairs|-bound, never |docs|²).
+    # Verification: join the shingle sets back for candidate pairs only,
+    # as SHUFFLE joins on id — the shingle table is O(corpus), so
+    # broadcasting it caps at driver/executor memory long before 100 TB;
+    # the shuffle join is |pairs|-bound (never |docs|²) and measured
+    # no slower at sf0.1.
     sh_a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        pairs.join(F.broadcast(sh_a), "id_a")
-        .join(F.broadcast(sh_b), "id_b")
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
