@@ -371,3 +371,72 @@ def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           MIN(CAST(o_custkey AS VARCHAR)) AS min_str,
+           MAX(CAST(o_custkey AS VARCHAR)) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_totalprice),
+           MIN(CAST(o_totalprice AS VARCHAR)), MAX(CAST(o_totalprice AS VARCHAR))
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def agg_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (operators/profiling.py) — the
+    ingest-time data-quality sweep. The oracle re-scans per column
+    (UNION ALL); the engine does it in a single aggregate."""
+    from fairy_spark.operators.profiling import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_custkey", "o_orderpriority", "o_totalprice"]
+    ).orderBy("col_name")
+
+
+@register(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 500000 THEN 21
+                     ELSE FLOOR(o_totalprice / 25000) + 1 END AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 6) AS lo,
+           ROUND(MAX(o_totalprice), 6) AS hi
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — single-pass binned
+    profile (the numeric-distribution half of agg_profile_table)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+        .orderBy("bin")
+    )
