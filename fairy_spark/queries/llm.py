@@ -421,3 +421,53 @@ def ml_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") <= 10)
     return ivf_topk(e, q, k=5, n_clusters=16, n_probe=4).orderBy("query_id", "rn")
+
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM s
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ({" OR ".join(f"a.sig[{i + 1}] = b.sig[{i + 1}]" for i in range(8))})
+       AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)) >= 0.4
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND r.u != e.v
+    )
+    SELECT u AS node, LEAST(u, MIN(v)) AS comp
+    FROM reach
+    GROUP BY u
+    ORDER BY node
+    """
+
+
+@register("dedup_components", oracle=_CC_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the minhash-LSH
+    pair graph (operators/components.py, iterative min-label
+    propagation — the Pregel pattern in DataFrames, one shuffle per
+    round, rounds bounded by cluster diameter). The oracle computes
+    identical components with a recursive-CTE transitive closure —
+    fine at oracle scale, unthinkable at 100 TB; the iterative plan is
+    the scale path."""
+    from fairy_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, shingle_n=3, num_hashes=8, band_rows=1).filter(
+        F.col("jaccard") >= 0.4
+    )
+    return connected_components(pairs).orderBy("node")

@@ -141,3 +141,37 @@ def run_foreach_batch(query_df: DataFrame, fn, mode: str = "append") -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream inner join: rows pair when keys match and the
+    right event lands within [left.ts, left.ts + within]. Both sides
+    carry watermarks + the time-range condition, so Spark can bound
+    the join STATE on both sides — without them stream-stream join
+    state grows forever (the non-negotiable contract at stream scale)."""
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    ).withWatermark("r_ts", watermark)
+    return (
+        l.alias("l")
+        .join(
+            r.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("r.r_ts") >= F.col("l.l_ts"))
+            & (F.col("r.r_ts") <= F.col("l.l_ts") + F.expr(f"INTERVAL {within}")),
+        )
+        .select(F.col("l.k").alias(key), "l_event", "r_event", "l_ts", "r_ts")
+    )

@@ -1,0 +1,45 @@
+"""Connected-components dedup clustering properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_spark.operators.components import connected_components, dedup_survivors
+from fairy_spark.operators.dedup import minhash_lsh_candidates
+from fairy_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d).filter(F.col("jaccard") >= 0.4).persist()
+
+
+def test_component_labels_are_consistent(spark, pairs):
+    """Every edge's endpoints carry the same component label, and the
+    label is the min node id of its component."""
+    comp = connected_components(pairs).persist()
+    joined = (
+        pairs.join(comp.withColumnRenamed("node", "id_a").withColumnRenamed("comp", "ca"), "id_a")
+        .join(comp.withColumnRenamed("node", "id_b").withColumnRenamed("comp", "cb"), "id_b")
+    )
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+    mins = comp.groupBy("comp").agg(F.min("node").alias("mn"))
+    assert mins.filter(F.col("comp") != F.col("mn")).count() == 0
+    comp.unpersist()
+
+
+def test_survivors_partition_the_corpus(spark, sf_dir, pairs):
+    """Exactly one survivor per cluster + every unpaired doc: survivor
+    count == n_docs - (paired_docs - n_clusters)."""
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(pairs)
+    n_docs = d.count()
+    n_paired = comp.count()
+    n_clusters = comp.select("comp").distinct().count()
+    surv = dedup_survivors(d, pairs)
+    assert surv.count() == n_docs - n_paired + n_clusters
+    # survivors are unique and every survivor is a real doc id
+    assert surv.distinct().count() == surv.count()
+    assert surv.join(d, "doc_id", "left_anti").count() == 0
