@@ -468,3 +468,46 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "fn_map_hof",
+    oracle="""
+    SELECT n_nationkey,
+           ['n', 'r']                                             AS ks,
+           [n_nationkey * 2, n_regionkey * 2]                     AS doubled,
+           [n_nationkey + n_regionkey]                            AS zipped,
+           CAST(LEN(list_filter([n_nationkey, n_regionkey],
+                                x -> x >= 10)) AS INTEGER)        AS n_big
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — transform_values, map_zip_with,
+    map_filter — checked through their sorted entry lists (DuckDB has
+    list HOFs, not map HOFs, so the oracle works on the equivalent
+    arrays; the semantics under test are Spark's map lambdas)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("n"), F.col("n_nationkey"), F.lit("r"), F.col("n_regionkey")
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    zipped = F.map_zip_with(
+        F.create_map(F.lit("x"), F.col("n_nationkey")),
+        F.create_map(F.lit("x"), F.col("n_regionkey")),
+        lambda k, v1, v2: v1 + v2,
+    )
+    filtered = F.map_filter(m, lambda k, v: v >= 10)
+    return (
+        n.select(
+            "n_nationkey",
+            F.sort_array(F.map_keys(m)).alias("ks"),
+            F.array(
+                F.element_at(doubled, "n"), F.element_at(doubled, "r")
+            ).alias("doubled"),
+            F.map_values(zipped).alias("zipped"),
+            F.size(filtered).alias("n_big"),
+        )
+        .orderBy("n_nationkey")
+    )
