@@ -137,3 +137,27 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "catalog_list_columns",
+    oracle="""
+    SELECT column_name
+    FROM information_schema.columns
+    WHERE table_name = 'lineitem'
+    ORDER BY column_name
+    """,
+)
+def catalog_list_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog describe (reference A13-A19 inode/metadata namespace →
+    spark.catalog): column listing for a registered table, as a
+    DataFrame so the driver can name-set-compare it against DuckDB's
+    information_schema."""
+    from fairy_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    cols = [c.name for c in spark.catalog.listColumns("lineitem")]
+    return (
+        spark.createDataFrame([(c,) for c in cols], "column_name string")
+        .orderBy("column_name")
+    )

@@ -214,3 +214,10 @@ def test_q5_dims_broadcast_q18_preagg(spark, sf_dir):
                    plan18.find("ShuffledHashJoin"))
     assert agg_pos != -1 and join_pos != -1
     assert "CartesianProduct" not in plan18
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A total order at scale must sample + range-partition (parallel
+    sort), never single-partition sort."""
+    plan = plan_of(QUERIES["sort_multikey_nulls"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan
