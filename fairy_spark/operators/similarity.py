@@ -89,30 +89,31 @@ def brute_force_topk(
     )
 
 
+def plane_weights(p: int, dims: int = 64) -> list[float]:
+    """Plane p's weight vector: w_d = (md5-hash('hp{p}:{d}') % 2001 - 1000)/1000
+    in [-1, 1) — deterministic, no RNG state (SURVEY.md §7.5). Computed
+    driver-side with hashlib (identical values to the in-plan
+    portable_hash64 formula) so the weights embed as LITERALS: the
+    naive in-plan form re-hashed planes×dims md5s per ROW."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"hp{p}:{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for d in range(dims)
+    ]
+
+
 def hyperplane_signature(vec: Column, planes: int = 8, dims: int = 64) -> Column:
-    """Deterministic random-hyperplane LSH signature (one bit per plane).
-    Plane p's weight for dim d = portable_hash('p:d') scaled to [-1, 1] —
-    reproducible everywhere, no RNG state (SURVEY.md §7.5)."""
+    """Deterministic random-hyperplane LSH signature (one bit per plane):
+    bit p = sign of <vec, w_p>. Projections are explicit left folds in
+    double, so the DuckDB oracle reproduces the exact same bits."""
     dv = _dvec(vec)
     bits = []
     for p in range(planes):
-        # weight_d in [-1,1): (h % 2001 - 1000)/1000
+        w = F.array(*[F.lit(x) for x in plane_weights(p, dims)])
         proj = F.aggregate(
-            F.zip_with(
-                dv,
-                F.sequence(F.lit(0), F.lit(dims - 1)),
-                lambda x, d: x
-                * (
-                    (
-                        F.pmod(
-                            portable_hash64(F.concat(F.lit(f"hp{p}:"), d.cast("string"))),
-                            F.lit(2001),
-                        )
-                        - 1000
-                    ).cast("double")
-                    / 1000.0
-                ),
-            ),
+            F.zip_with(dv, w, lambda x, wd: x * wd),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -121,6 +122,20 @@ def hyperplane_signature(vec: Column, planes: int = 8, dims: int = 64) -> Column
     for b in bits[1:]:
         sig = sig + b
     return sig.cast("int")
+
+
+def hyperplane_signature_sql(planes: int = 8, dims: int = 64, vec: str = "embedding") -> str:
+    """DuckDB expression computing the identical signature (same
+    literal weights, same left-fold order)."""
+    terms = []
+    for p in range(planes):
+        w = "[" + ", ".join(repr(x) for x in plane_weights(p, dims)) + "]"
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dims}),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({w})[i])), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def lsh_topk(

