@@ -490,3 +490,149 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= 0.4
     )
     return connected_components(pairs).orderBy("node")
+
+
+@register(
+    "text_pack_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, LEN({_TOKS_SQL}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document packing: assign docs (in stable doc_id order) to
+    ~512-token context bins by running token count — the standard
+    pretraining sequence-packing op. One window pass; at 100 TB
+    partition by shard key first and pack within shards."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 512.0).alias("bin_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: first-k per class (deterministic by id order)
+    — the class-balancing primitive. Ranking window per stratum, one
+    shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "ml_minmax_scale",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+    )
+    SELECT doc_id,
+           ROUND((n_chars - lo) / CAST(hi - lo AS DOUBLE), 6) AS scaled
+    FROM documents, stats
+    ORDER BY doc_id
+    """,
+)
+def ml_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling: global stats computed once and
+    broadcast into the row pass (a 1-row cross join, NOT a window over
+    an unpartitioned frame — the window form funnels the table through
+    one task)."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("n_chars") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")).cast("double"),
+                6,
+            ).alias("scaled"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "documents_clean",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, {_TOKS_SQL} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, n_chars,
+             LEN(toks) AS n_tokens,
+             CAST(LEN(list_intersect(list_distinct(toks), {_STOPWORDS_SQL})) AS DOUBLE)
+               / LEN(toks) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(stop_ratio, 6) AS stop_ratio
+    FROM scored
+    WHERE n_chars BETWEEN 100 AND 20000
+      AND n_tokens >= 20
+      AND stop_ratio >= 0.01
+    ORDER BY doc_id
+    """,
+)
+def documents_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality-filter pass every training-data pipeline
+    starts with: length bounds + token floor + stopword-density floor,
+    one scan, all pushable predicates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        stopword_ratio(toks).alias("stop_ratio_raw"),
+    )
+    return (
+        scored.filter(
+            F.col("n_chars").between(100, 20000)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("stop_ratio_raw") >= 0.01)
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", F.round("stop_ratio_raw", 6).alias("stop_ratio")
+        )
+        .orderBy("doc_id")
+    )
