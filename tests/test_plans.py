@@ -221,3 +221,47 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     sort), never single-partition sort."""
     plan = plan_of(QUERIES["sort_multikey_nulls"](spark, sf_dir))
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_salting_flattens_skewed_shuffle(spark):
+    """Synthetic power-law key (one key = half the rows): after
+    hash-partitioning on the bare key the hot partition holds ~half the
+    table; on (key, salt) no partition exceeds ~2/n_salt of it."""
+    from pyspark.sql import Row
+
+    n = 20_000
+    rows = [Row(k="hot" if i % 2 == 0 else f"k{i % 97}", v=i) for i in range(n)]
+    df = spark.createDataFrame(rows)
+
+    def max_partition_rows(d, *cols):
+        sizes = (
+            d.repartition(16, *[F.col(c) for c in cols])
+            .withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").count().agg(F.max("count")).first()[0]
+        )
+        return sizes
+
+    hot = max_partition_rows(df, "k")
+    salted = max_partition_rows(
+        df.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))),
+        "k", "_salt",
+    )
+    assert hot >= n / 2  # skew really lands on one task
+    # the 8 hot (key, salt) combos can still hash-collide across 16
+    # partitions, so assert a substantial spread, not a perfect one
+    assert salted <= 0.7 * hot, (hot, salted)
+
+
+def test_ivf_assignments_partition_prune(spark, sf_dir, tmp_path):
+    """SCALE.md contract: the IVF assignments table written
+    partitionBy(cluster) serves probes with partition pruning."""
+    from fairy_spark.operators.similarity import ivf_index
+    from fairy_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(500)
+    assignments, _cent = ivf_index(emb, n_clusters=4)
+    path = str(tmp_path / "ivf_assignments")
+    assignments.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("cluster") == 1)
+    plan = plan_of(probe)
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120], plan
