@@ -265,3 +265,12 @@ def test_ivf_assignments_partition_prune(spark, sf_dir, tmp_path):
     probe = spark.read.parquet(path).filter(F.col("cluster") == 1)
     plan = plan_of(probe)
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def test_q6_pushes_all_predicates(spark, sf_dir):
+    """Q6 is pure scan-filter-agg: every predicate must reach the
+    parquet reader — at 100 TB the scan IS the query."""
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for frag in ["l_shipdate", "l_discount", "LessThan(l_quantity"]:
+        assert frag in pushed, (frag, pushed)
