@@ -101,6 +101,12 @@ class Engine:
             }
         )
 
+    def profile(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+        """One-pass per-column stats (operators/profiling.py)."""
+        from fairy_spark.operators.profiling import profile_table
+
+        return profile_table(df, columns)
+
     def stream_events(self, replay_dir: str) -> DataFrame:
         """File-replayed event stream (streaming/pipeline.py)."""
         from fairy_spark.streaming.pipeline import read_event_stream

@@ -171,6 +171,13 @@ class KVStore:
         """Full live view (key, value) — the analytics bridge."""
         return self._latest().filter(F.col("value").isNotNull()).select("key", "value")
 
+    def scan_prefix(self, prefix: str) -> DataFrame:
+        """Live (key, value) pairs under a key prefix — the directory-
+        listing analog of the reference's FUSE namespace (readdir over
+        ListStatusCache, uring_fs/mod.rs:116-166; ours is a pushed
+        StringStartsWith on the sorted bucketed files)."""
+        return self.scan().filter(F.col("key").startswith(prefix))
+
     def bucket_of(self, key: str) -> int:
         """Deterministic bucket id, analog of data_path()'s
         ``short_hash % num_bucket`` (local_file_kv_store.rs:62-70)."""

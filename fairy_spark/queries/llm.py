@@ -636,3 +636,52 @@ def documents_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents WHERE doc_id <= 100
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks
+    )
+    SELECT tf.doc_id, tf.tok AS tok,
+           CAST(tf.tf AS BIGINT) AS tf,
+           CAST(df.df AS BIGINT) AS df,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    WHERE df.df >= 5
+    ORDER BY tf.doc_id, tf.tok
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: term frequency per doc × log inverse document
+    frequency. Two hash aggregations over the exploded token table +
+    one broadcast of the (small) document-frequency side; n_docs rides
+    in as a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df") >= 5
+    )
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "tok")
+    )

@@ -76,3 +76,11 @@ def test_catalog_lifecycle_through_engine(engine, spark):
     assert "engine_v" in engine.catalog.list_tables()
     assert engine.catalog.row_count("engine_v") == 5
     engine.catalog.drop("engine_v")
+
+
+def test_profile_through_engine(engine, spark, sf_dir):
+    p = engine.profile(load_table(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice"])
+    rows = {r["col_name"]: r for r in p.collect()}
+    assert set(rows) == {"o_custkey", "o_totalprice"}
+    assert rows["o_custkey"]["n_nulls"] == 0
+    assert rows["o_custkey"]["n_distinct"] > 0

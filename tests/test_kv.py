@@ -111,3 +111,13 @@ def test_evict_keeps_most_recent(kv):
     assert not kv.exists("ev0")
     # eviction is idempotent at the same retention
     assert kv.evict(keep_latest=3) == 0
+
+
+def test_scan_prefix_lists_namespace(kv):
+    """FUSE readdir analog: prefix scan returns exactly the keys under
+    the prefix, live values only."""
+    kv.put_batch([("dir1/a", b"1"), ("dir1/b", b"2"), ("dir2/c", b"3")])
+    kv.delete("dir1/b")
+    got = sorted(r["key"] for r in kv.scan_prefix("dir1/").collect())
+    assert got == ["dir1/a"]
+    assert sorted(r["key"] for r in kv.scan_prefix("dir2/").collect()) == ["dir2/c"]
