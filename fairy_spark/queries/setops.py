@@ -89,6 +89,61 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _urgent(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+def _big_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    ) ORDER BY custkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection: each custkey kept min(count_left, count_right)
+    times. Both sides carry genuine duplicates (customers place several
+    orders), so this is distinguishable from distinct INTERSECT."""
+    return (
+        _urgent(spark, sf_dir)
+        .intersectAll(_big_orders(spark, sf_dir))
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    ) ORDER BY custkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: occurrences on the right subtract from the
+    left count instead of deleting the key outright."""
+    return (
+        _urgent(spark, sf_dir)
+        .exceptAll(_big_orders(spark, sf_dir))
+        .orderBy("custkey")
+    )
+
+
 @register(
     "sort_multikey_nulls",
     oracle="""
