@@ -274,3 +274,18 @@ def test_q6_pushes_all_predicates(spark, sf_dir):
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     for frag in ["l_shipdate", "l_discount", "LessThan(l_quantity"]:
         assert frag in pushed, (frag, pushed)
+
+
+def test_q14_broadcasts_part_q4_plans_semi(spark, sf_dir):
+    """Q14's part side must broadcast (a shuffle there re-partitions the
+    whole fact for a dim join); Q4's EXISTS must stay a left-semi join —
+    an inner join would duplicate orders per matching lineitem and
+    corrupt the counts as well as widen the shuffle."""
+    plan14 = plan_of(QUERIES["q14_promo_revenue"](spark, str(sf_dir)))
+    assert "BroadcastHashJoin" in plan14 or "BroadcastExchange" in plan14, plan14
+    plan4 = plan_of(QUERIES["q4_order_priority"](spark, str(sf_dir)))
+    assert "LeftSemi" in plan4, plan4
+    # orders scan reads only what the query needs
+    read_schemas = [l for l in plan4.splitlines() if "ReadSchema" in l]
+    orders_rs = [l for l in read_schemas if "o_orderpriority" in l]
+    assert orders_rs and "o_totalprice" not in orders_rs[0], read_schemas
