@@ -121,3 +121,24 @@ def test_scan_prefix_lists_namespace(kv):
     got = sorted(r["key"] for r in kv.scan_prefix("dir1/").collect())
     assert got == ["dir1/a"]
     assert sorted(r["key"] for r in kv.scan_prefix("dir2/").collect()) == ["dir2/c"]
+
+
+def test_scan_prefix_filter_pushed_below_latest_agg(kv):
+    """The prefix predicate must apply BEFORE the latest-version
+    resolution aggregation, not after it: at 100 TB the difference is
+    aggregating the whole store vs only the prefix's buckets."""
+    import io
+    from contextlib import redirect_stdout
+
+    kv.put_batch([("p/a", b"1"), ("q/b", b"2")])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        kv.scan_prefix("p/").explain("formatted")
+    plan = buf.getvalue()
+    # StartsWith appears in the scan's pushed filters / below the agg
+    agg_pos = plan.find("max_by")
+    sw_pos = plan.rfind("StartsWith")
+    assert sw_pos != -1, plan
+    assert "PushedFilters: [IsNotNull(key), StringStartsWith(key,p/)" in plan or (
+        agg_pos != -1 and sw_pos > agg_pos
+    ), plan
