@@ -235,3 +235,47 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_value", 6).alias("avg_value"),
         F.round("ffill_value", 6).alias("ffill_value"),
     ).orderBy("key", "bucket")
+
+
+@register(
+    "stream_stream_join_batch",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_event,
+           r.event_id AS r_event,
+           l.ts AS l_ts,
+           r.ts AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type <> 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 2 HOUR
+    ORDER BY l.user_id, l_event, r_event
+    """,
+)
+def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch formulation of streaming/pipeline.py::stream_stream_join
+    (purchases ⋈ later same-user events within 2h). The streaming
+    variant adds watermarks on both sides so join state stays bounded;
+    tests/test_streaming.py asserts the replay converges to exactly
+    these pairs. The time-range condition rides inside the equi-join,
+    so the shuffle keys stay user_id on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("l_event"), F.col("ts").alias("l_ts")
+    )
+    r = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    return (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 2 hours")),
+        )
+        .select("user_id", "l_event", "r_event", "l_ts", "r_ts")
+        .orderBy("user_id", "l_event", "r_event")
+    )
