@@ -161,3 +161,36 @@ def catalog_list_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(c,) for c in cols], "column_name string")
         .orderBy("column_name")
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 6) AS total,
+           CAST(SUM(l_quantity) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → read back → aggregate. ORC is the third
+    columnar format a reference user migrating a warehouse would
+    bring; Spark's ORC source supports the same predicate pushdown
+    and column pruning as parquet, so the engine surface is identical.
+    Timestamps and doubles must survive the round-trip bit-exact."""
+    path = _scratch(sf_dir, "lineitem_orc")
+    cols = ["l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity", "l_shipdate"]
+    load_table(spark, sf_dir, "lineitem").select(*cols).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 6).alias("total"),
+            F.sum("l_quantity").cast("double").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
