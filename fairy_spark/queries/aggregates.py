@@ -147,17 +147,24 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT n_regionkey AS regionkey,
-           LIST(n_name ORDER BY n_name) AS nations
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY regionkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list-aggregate, emitted as a joined string: the driver's
+    pandas canonicalizer cannot sort/hash array cells, so both sides
+    flatten the sorted list to a comma-joined string (same semantics)."""
     n = load_table(spark, sf_dir, "nation")
     return (
         n.groupBy(F.col("n_regionkey").alias("regionkey"))
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
         .orderBy("regionkey")
     )
 
@@ -377,20 +384,20 @@ def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_profile_table",
     oracle="""
     SELECT 'o_custkey' AS col_name,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT o_custkey) AS n_distinct,
            MIN(CAST(o_custkey AS VARCHAR)) AS min_str,
            MAX(CAST(o_custkey AS VARCHAR)) AS max_str
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority',
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderpriority),
            MIN(o_orderpriority), MAX(o_orderpriority)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice',
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_totalprice),
            MIN(CAST(o_totalprice AS VARCHAR)), MAX(CAST(o_totalprice AS VARCHAR))
     FROM orders

@@ -202,14 +202,17 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            toks[1] AS first_tok,
            toks[3] AS third_tok,
            LIST_CONTAINS(toks, 'data') AS has_data,
-           LIST_SORT(LIST_DISTINCT(toks)) AS uniq_sorted,
-           toks[2:4] AS mid_slice,
-           LIST_SORT(LIST_INTERSECT(toks, ['data', 'table', 'row'])) AS key_toks
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ',') AS uniq_sorted,
+           ARRAY_TO_STRING(toks[2:4], ',') AS mid_slice,
+           ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(toks, ['data', 'table', 'row'])), ',') AS key_toks
     FROM t
     ORDER BY doc_id
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction/slicing/set-ops. Array results are emitted as
+    comma-joined strings: the driver's hash canonicalizer cannot handle
+    list cells, so both sides flatten identically (same values)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     return (
@@ -219,10 +222,15 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("toks", 1).alias("first_tok"),
             F.element_at("toks", 3).alias("third_tok"),
             F.array_contains("toks", "data").alias("has_data"),
-            F.sort_array(F.array_distinct("toks")).alias("uniq_sorted"),
-            F.slice("toks", 2, 3).alias("mid_slice"),
-            F.sort_array(
-                F.array_intersect("toks", F.array(F.lit("data"), F.lit("table"), F.lit("row")))
+            F.array_join(F.sort_array(F.array_distinct("toks")), ",").alias("uniq_sorted"),
+            F.array_join(F.slice("toks", 2, 3), ",").alias("mid_slice"),
+            F.array_join(
+                F.sort_array(
+                    F.array_intersect(
+                        "toks", F.array(F.lit("data"), F.lit("table"), F.lit("row"))
+                    )
+                ),
+                ",",
             ).alias("key_toks"),
         )
         .orderBy("doc_id")
@@ -234,32 +242,44 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id <= 40)
     SELECT doc_id,
-           LIST_TRANSFORM(toks, x -> UPPER(x)) AS upper_toks,
-           LIST_FILTER(toks, x -> LENGTH(x) > 4) AS long_toks,
+           ARRAY_TO_STRING(LIST_TRANSFORM(toks, x -> UPPER(x)), ',') AS upper_toks,
+           ARRAY_TO_STRING(LIST_FILTER(toks, x -> LENGTH(x) > 4), ',') AS long_toks,
            CAST(LIST_REDUCE(LIST_TRANSFORM(toks, x -> CAST(LENGTH(x) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS total_chars,
-           GENERATE_SERIES(1, 3) AS seq3,
-           FLATTEN([toks[1:2], toks[3:4]]) AS recombined
+           ARRAY_TO_STRING(GENERATE_SERIES(1, 3), ',') AS seq3,
+           ARRAY_TO_STRING(FLATTEN([toks[1:2], toks[3:4]]), ',') AS recombined
     FROM t
     ORDER BY doc_id
     """,
 )
 def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform/filter/aggregate/
+    sequence/flatten), flattened to joined strings for driver-hash
+    safety (list cells crash the driver canonicalizer)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     return (
         t.select(
             "doc_id",
-            F.transform("toks", lambda x: F.upper(x)).alias("upper_toks"),
-            F.filter("toks", lambda x: F.length(x) > 4).alias("long_toks"),
+            F.array_join(F.transform("toks", lambda x: F.upper(x)), ",").alias(
+                "upper_toks"
+            ),
+            F.array_join(
+                F.filter("toks", lambda x: F.length(x) > 4), ","
+            ).alias("long_toks"),
             F.aggregate(
                 F.transform("toks", lambda x: F.length(x).cast("bigint")),
                 F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
             ).alias("total_chars"),
-            F.sequence(F.lit(1), F.lit(3)).alias("seq3"),
-            F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))).alias(
-                "recombined"
-            ),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(3)), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("seq3"),
+            F.array_join(
+                F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))), ","
+            ).alias("recombined"),
         )
         .orderBy("doc_id")
     )
@@ -271,12 +291,14 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_nationkey,
            MAP(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1] AS name_v,
            MAP(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['region'][1] AS region_v,
-           LIST_SORT(MAP_KEYS(MAP(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)]))) AS ks
+           ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(MAP(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)]))), ',') AS ks
     FROM nation
     ORDER BY n_nationkey
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/lookup/keys; the key list is joined to a string
+    for driver-hash safety."""
     n = load_table(spark, sf_dir, "nation")
     m = F.create_map(
         F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
@@ -286,7 +308,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey",
             F.element_at(m, "name").alias("name_v"),
             F.element_at(m, "region").alias("region_v"),
-            F.sort_array(F.map_keys(m)).alias("ks"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("ks"),
         )
         .orderBy("n_nationkey")
     )
@@ -474,9 +496,9 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_hof",
     oracle="""
     SELECT n_nationkey,
-           ['n', 'r']                                             AS ks,
-           [n_nationkey * 2, n_regionkey * 2]                     AS doubled,
-           [n_nationkey + n_regionkey]                            AS zipped,
+           'n,r'                                                  AS ks,
+           ARRAY_TO_STRING([n_nationkey * 2, n_regionkey * 2], ',') AS doubled,
+           ARRAY_TO_STRING([n_nationkey + n_regionkey], ',')      AS zipped,
            CAST(LEN(list_filter([n_nationkey, n_regionkey],
                                 x -> x >= 10)) AS INTEGER)        AS n_big
     FROM nation
@@ -502,11 +524,17 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.select(
             "n_nationkey",
-            F.sort_array(F.map_keys(m)).alias("ks"),
-            F.array(
-                F.element_at(doubled, "n"), F.element_at(doubled, "r")
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("ks"),
+            F.array_join(
+                F.transform(
+                    F.array(F.element_at(doubled, "n"), F.element_at(doubled, "r")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
             ).alias("doubled"),
-            F.map_values(zipped).alias("zipped"),
+            F.array_join(
+                F.transform(F.map_values(zipped), lambda x: x.cast("string")), ","
+            ).alias("zipped"),
             F.size(filtered).alias("n_big"),
         )
         .orderBy("n_nationkey")

@@ -71,8 +71,8 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n,
-           SUM(n_chars) AS chars,
-           SUM(LENGTH(text)) AS text_len
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS text_len
     FROM documents
     GROUP BY lang
     ORDER BY lang

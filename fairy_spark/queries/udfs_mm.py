@@ -179,8 +179,8 @@ def mm_payload_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
            64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64 AS width,
            64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64 AS height,
            3 AS n_channels,
-           list_transform(generate_series(1, 8),
-                          i -> ROUND(CAST(concat('0x', substr(md5(text), 2*i-1, 2)) AS INT) / 255.0, 6)) AS feature
+           array_to_string(list_transform(generate_series(1, 8),
+                          i -> printf('%.6f', CAST(concat('0x', substr(md5(text), 2*i-1, 2)) AS INT) / 255.0)), ',') AS feature
     FROM documents
     WHERE doc_id <= 50
     ORDER BY media_id
@@ -190,10 +190,23 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode+featurize with the deterministic fake decoder
     (real codecs stubbed — see operators/multimodal.py). The oracle
     recomputes the fake decode in SQL, checking the batch plumbing
-    end-to-end."""
+    end-to-end. The feature vector is emitted as a fixed-point joined
+    string (%.6f both sides): driver hashing can't handle array cells.
+    x/255.0 can never land on a 1e-6 midpoint (midpoints are
+    terminating decimals; x/255 in lowest terms only terminates when it
+    is exact at coarser precision), so printf vs Java rounding agree."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
     media = media_table_from_documents(docs)
-    return decode_and_featurize(media, decode_mode="fake").orderBy("media_id")
+    return (
+        decode_and_featurize(media, decode_mode="fake")
+        .withColumn(
+            "feature",
+            F.array_join(
+                F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
+            ),
+        )
+        .orderBy("media_id")
+    )
 
 
 @register(
