@@ -225,13 +225,18 @@ def ivf_index(
     corpus = embeddings.select(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
     )
-    cent = (
+    # Seed selection is a global top-k (TakeOrderedAndProject), and the
+    # k seed rows are numbered on the driver: k = n_clusters rows is
+    # index metadata, not data — numbering them with a row_number window
+    # would plan a SinglePartition exchange (banned by test_plans.py).
+    seed_rows = (
         corpus.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(n_clusters)
-        .select(
-            (F.row_number().over(Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))) - 1).alias("_cid"),
-            F.col("_v").alias("_cvec"),
-        )
+        .collect()
+    )
+    cent = embeddings.sparkSession.createDataFrame(
+        [(i, list(r["_v"])) for i, r in enumerate(seed_rows)],
+        "_cid INT, _cvec ARRAY<DOUBLE>",
     )
     for _ in range(lloyd_iters):
         assigned = _nearest_centroid(corpus, cent, "_v", n_probe=1)

@@ -512,22 +512,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document packing: assign docs (in stable doc_id order) to
     ~512-token context bins by running token count — the standard
-    pretraining sequence-packing op. One window pass; at 100 TB
-    partition by shard key first and pack within shards."""
-    from pyspark.sql import Window
+    pretraining sequence-packing op. Distributed two-pass prefix sum
+    (operators/packing.py): per-shard local windows + driver-side
+    prefix over #shard subtotals; NO single-partition window (gated in
+    tests/test_plans.py)."""
+    from fairy_spark.operators.packing import pack_into_bins
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
-    return (
-        c.select(
-            "doc_id",
-            "n_tokens",
-            F.floor((F.col("cum") - F.col("n_tokens")) / 512.0).alias("bin_id"),
-        )
-        .orderBy("doc_id")
-    )
+    return pack_into_bins(t, "doc_id", "n_tokens", bin_tokens=512).orderBy("doc_id")
 
 
 @register(

@@ -289,3 +289,32 @@ def test_q14_broadcasts_part_q4_plans_semi(spark, sf_dir):
     read_schemas = [l for l in plan4.splitlines() if "ReadSchema" in l]
     orders_rs = [l for l in read_schemas if "o_orderpriority" in l]
     assert orders_rs and "o_totalprice" not in orders_rs[0], read_schemas
+
+
+def _physical_nodes(df):
+    plan = df._jdf.queryExecution().sparkPlan()
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def test_no_single_partition_window_in_any_query(spark, sf_dir):
+    """Registry-wide scale gate: no query may plan a Window over a
+    SinglePartition exchange — that funnels the whole input through ONE
+    task (the round-1 text_pack_bins defect; fatal at 100 TB). Running
+    sums over the full corpus must use the two-pass sharded prefix sum
+    (operators/packing.py); driver-side numbering of k-row frames
+    (operators/similarity.py seeds) replaces global row_number."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        for n in _physical_nodes(fn(spark, str(sf_dir))):
+            if n.nodeName() == "Window":
+                part = n.children().apply(0).outputPartitioning().toString()
+                if "SinglePartition" in part:
+                    offenders.append(name)
+                    break
+    assert not offenders, offenders
