@@ -58,7 +58,6 @@ class KVStore:
         self.spark = spark
         self.table = f"fairy_kv_{name}"
         self.num_buckets = num_buckets
-        self._next_seq: int | None = None
 
     # -- internals ---------------------------------------------------------
 
@@ -71,15 +70,20 @@ class KVStore:
         return self.spark.table(self.table)
 
     def _alloc_seq(self) -> int:
-        if self._next_seq is None:
-            if self._exists_table():
-                row = self._log().agg(F.max("seq").alias("m")).first()
-                self._next_seq = (row["m"] or 0) + 1
-            else:
-                self._next_seq = 1
-        seq = self._next_seq
-        self._next_seq += 1
-        return seq
+        """Next write sequence, re-read from the table at EVERY batch.
+
+        A cached counter goes stale the moment another KVStore handle
+        (or a recreated one) writes to the same backing table, and
+        colliding seqs make max_by(value, seq) resolve last-write-wins
+        nondeterministically. Re-reading max(seq) is a parquet
+        footer-stats aggregate — metadata cost per batch, not a scan.
+        Two handles writing CONCURRENTLY can still read the same max;
+        single live writer per table is the documented contract (the
+        reference's local FS store assumes the same)."""
+        if self._exists_table():
+            row = self._log().agg(F.max("seq").alias("m")).first()
+            return (row["m"] or 0) + 1
+        return 1
 
     def _append(self, rows: list[Row]) -> None:
         df = self.spark.createDataFrame(rows, KV_SCHEMA)
@@ -106,18 +110,34 @@ class KVStore:
         self.put_batch([(key, value)])
 
     def put_batch(self, pairs: list[tuple[str, bytes]]) -> None:
+        # Duplicate keys within one batch share one seq — keep only the
+        # LAST occurrence so read-back is strict last-write-wins instead
+        # of a nondeterministic max_by tie.
+        deduped = {k: v for k, v in pairs}
         seq = self._alloc_seq()
-        self._append([Row(key=k, value=bytes(v), seq=seq) for k, v in pairs])
+        self._append([Row(key=k, value=bytes(v), seq=seq) for k, v in deduped.items()])
 
     def put_df(self, df: DataFrame) -> None:
         """Bulk ingest from any (key string, value binary) DataFrame —
         the analog of the h2 put_object ingest path (h2_service.rs:89-109),
-        minus its first-chunk-only truncation bug (SURVEY.md §3.1)."""
+        minus its first-chunk-only truncation bug (SURVEY.md §3.1).
+
+        Duplicate keys within the batch are reduced to one row (all
+        batch rows share one seq, so duplicates would otherwise tie on
+        max_by): 'last' occurrence by input partition order, which is
+        deterministic for a deterministic input plan."""
         seq = self._alloc_seq()
-        rows = df.select(
-            F.col("key").cast("string").alias("key"),
-            F.col("value").cast("binary").alias("value"),
-            F.lit(seq).cast("long").alias("seq"),
+        deduped = (
+            df.select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("binary").alias("value"),
+                F.monotonically_increasing_id().alias("_pos"),
+            )
+            .groupBy("key")
+            .agg(F.max_by("value", "_pos").alias("value"))
+        )
+        rows = deduped.select(
+            "key", "value", F.lit(seq).cast("long").alias("seq")
         )
         (
             rows.write.mode("append")
@@ -188,10 +208,18 @@ class KVStore:
 
     def compact(self) -> None:
         """Fold the log: one row per live key, seq reset. O(store) — run
-        it like any LSM major compaction, not per-put."""
+        it like any LSM major compaction, not per-put.
+
+        Swap order is crash-safe: snapshot → tmp, live → backup,
+        tmp → live, drop backup. A failure at any step leaves either the
+        old live table bound, or a backup to restore from (restored
+        automatically if the final rename fails) — never an unbound name
+        with the data stranded. Requires exclusive access, like every
+        other write on this class (single-writer contract)."""
         latest = self._latest().filter(F.col("value").isNotNull())
         snapshot = latest.select("key", "value", F.lit(1).cast("long").alias("seq"))
         tmp = self.table + "_compact"
+        bak = self.table + "_bak"
         (
             snapshot.write.mode("overwrite")
             .bucketBy(self.num_buckets, "key")
@@ -199,9 +227,17 @@ class KVStore:
             .format("parquet")
             .saveAsTable(tmp)
         )
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
-        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
-        self._next_seq = 2
+        self.spark.sql(f"DROP TABLE IF EXISTS {bak}")
+        had_live = self._exists_table()
+        if had_live:
+            self.spark.sql(f"ALTER TABLE {self.table} RENAME TO {bak}")
+        try:
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
+        except Exception:
+            if had_live:
+                self.spark.sql(f"ALTER TABLE {bak} RENAME TO {self.table}")
+            raise
+        self.spark.sql(f"DROP TABLE IF EXISTS {bak}")
 
     def evict(self, keep_latest: int) -> int:
         """Retention eviction: keep only the keep_latest most recently
@@ -211,23 +247,37 @@ class KVStore:
         The reference README claims a 'lock-free eviction policy'
         (README.md:10) that the code never implements (SURVEY.md §0
         claim-vs-code gap) — this is that capability, expressed as a
-        log-structured retention pass: rank live keys by recency,
-        tombstone the tail, compact. O(store), run like a GC cycle."""
-        from pyspark.sql import Window
+        log-structured retention pass: find the recency boundary,
+        tombstone everything past it, compact. O(store), run like a GC
+        cycle.
 
+        No global window: the boundary (seq, key) of the keep_latest-th
+        most recent key comes from a distributed top-k (map-side top-k
+        per partition, then keep_latest rows reduced — bounded by the
+        parameter, not the keyspace), and victims are a plain filter
+        against that boundary. Recency order is (seq DESC, key ASC),
+        encoded as an ascending struct(-seq, key) so the boundary is its
+        max over the kept set."""
         live = self._latest().filter(F.col("value").isNotNull())
-        # Global recency rank. The single-partition window is bounded:
-        # it ranks (key, seq) metadata only, never values — the same
-        # scale class as a filename listing. (A value-free keyspace of
-        # 10^9 keys is ~GBs; shard by recency bucket before ranking if
-        # that ever binds.)
-        w = Window.orderBy(F.col("seq").desc(), F.col("key"))
-        victims = (
-            live.select("key", "seq")
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") > keep_latest)
-            .select("key")
+        recency = F.struct(
+            (-F.col("seq")).alias("ns"), F.col("key").alias("k")
         )
+        if keep_latest <= 0:
+            victims = live.select("key")
+        else:
+            kept = (
+                live.select(recency.alias("_r"))
+                .orderBy("_r")
+                .limit(keep_latest)
+            )
+            row = kept.agg(F.max("_r").alias("b")).first()
+            if row["b"] is None:
+                return 0
+            bound = F.struct(
+                F.lit(row["b"]["ns"]).cast("long").alias("ns"),
+                F.lit(row["b"]["k"]).alias("k"),
+            )
+            victims = live.filter(recency > bound).select("key")
         n = victims.count()
         if n:
             seq = self._alloc_seq()
@@ -248,4 +298,3 @@ class KVStore:
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
-        self._next_seq = None

@@ -142,3 +142,43 @@ def test_scan_prefix_filter_pushed_below_latest_agg(kv):
     assert "PushedFilters: [IsNotNull(key), StringStartsWith(key,p/)" in plan or (
         agg_pos != -1 and sw_pos > agg_pos
     ), plan
+
+
+def test_second_handle_sees_prior_writes(kv, spark):
+    """Seq allocation is re-read from the table per batch: a second
+    handle (or a recreated one) must continue the seq chain, so its
+    overwrite wins on read-back instead of tying with the first
+    handle's write."""
+    kv.put("k", b"old")
+    other = KVStore(spark, name="test", num_buckets=8)
+    other.put("k", b"new")
+    assert kv.get("k") == b"new"
+    kv.put("k", b"newer")
+    assert other.get("k") == b"newer"
+
+
+def test_put_batch_duplicate_keys_last_wins(kv):
+    kv.put_batch([("dup", b"first"), ("other", b"x"), ("dup", b"last")])
+    assert kv.get("dup") == b"last"
+    assert kv.get("other") == b"x"
+
+
+def test_no_window_in_kv_module():
+    """Scale gate (VERDICT r1 item 6): kv.py must not rank the keyspace
+    through a global window."""
+    import inspect
+
+    import fairy_spark.kv as kv_mod
+
+    src = inspect.getsource(kv_mod)
+    assert "Window" not in src, "kv.py regained a window-based ranking"
+
+
+def test_evict_boundary_ties_deterministic(kv):
+    """Keys written in one batch share a seq; the eviction boundary must
+    break ties by key so the same keys survive on every run."""
+    kv.put_batch([(f"k{i}", bytes([i])) for i in range(6)])
+    evicted = kv.evict(keep_latest=3)
+    assert evicted == 3
+    # (seq ties broken by key ASC) -> k0..k2 kept
+    assert sorted(r["key"] for r in kv.keys().collect()) == ["k0", "k1", "k2"]
