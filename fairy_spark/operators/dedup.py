@@ -24,9 +24,11 @@ from fairy_spark.operators.text import (
     tokenize,
 )
 
-# session-id → last call's persisted [shingle, signature] tables
-# (see minhash_lsh_candidates)
-_SHINGLE_CACHE: dict[int, list[DataFrame]] = {}
+# applicationId → last call's persisted [shingle, signature] tables
+# (see minhash_lsh_candidates). Keyed on applicationId, not
+# id(session): Python can reuse an id() after GC, which would unpersist
+# another context's frames or skip cleanup entirely.
+_SHINGLE_CACHE: dict[str, list[DataFrame]] = {}
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
@@ -83,7 +85,8 @@ def minhash_lsh_candidates(
             shingle_set(F.col(text_col), shingle_n).alias("shingles"),
         )
     )
-    for prev in _SHINGLE_CACHE.pop(id(docs.sparkSession), []):
+    app_id = docs.sparkSession.sparkContext.applicationId
+    for prev in _SHINGLE_CACHE.pop(app_id, []):
         prev.unpersist(blocking=False)
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     # Persist the SIGNATURE table too (|docs| rows × num_hashes longs —
@@ -93,7 +96,7 @@ def minhash_lsh_candidates(
     sig = shingled.withColumn(
         "sig", minhash_signature(F.col("shingles"), num_hashes)
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    _SHINGLE_CACHE[id(docs.sparkSession)] = [shingled, sig]
+    _SHINGLE_CACHE[app_id] = [shingled, sig]
     # Materialize eagerly: the downstream plan reads these from FOUR
     # subtrees (two band-join sides, two verify sides) inside one
     # action — if the cache is cold they race and recompute (measured

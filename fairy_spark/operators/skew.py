@@ -33,7 +33,17 @@ def salted_join(
     result — only the shuffle layout. The small side is exploded
     n_salt× (acceptable: salting targets big⋈small; for big⋈big skew
     use AQE's skew-join, which splits SMJ partitions natively).
+
+    Only inner and left joins are semantics-preserving: an outer
+    small side would emit each UNMATCHED small row once per salt
+    replica, silently diverging from the unsalted join.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, got {how!r}: "
+            "the exploded small side replicates unmatched rows n_salt times "
+            "under right/full outer semantics"
+        )
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).alias("_salt")
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

@@ -25,8 +25,15 @@ from fairy_spark.sources.tables import load_table
 _IO_ROOT = os.environ.get("FAIRY_SPARK_IO_DIR", "/tmp/fairy_spark_io")
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    return os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), name)
+def _scratch(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Per-application scratch dir: two concurrent sessions running the
+    same sink round-trip (bench + tests happen in this repo) must not
+    overwrite each other's in-flight sink, so the path is scoped by
+    applicationId (unique per SparkContext)."""
+    app_id = spark.sparkContext.applicationId
+    return os.path.join(
+        _IO_ROOT, app_id, os.path.basename(sf_dir.rstrip("/")), name
+    )
 
 
 @register(
@@ -43,7 +50,7 @@ def _scratch(sf_dir: str, name: str) -> str:
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → pipe-delimited CSV with header → explicit-schema read
     → aggregate. Proves the CSV source/sink pair preserves values."""
-    path = _scratch(sf_dir, "orders_csv")
+    path = _scratch(spark, sf_dir, "orders_csv")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     (
         load_table(spark, sf_dir, "orders")
@@ -81,7 +88,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → JSON-lines → explicit-schema read → aggregate.
     Unicode text survives the round-trip byte-exact."""
-    path = _scratch(sf_dir, "documents_json")
+    path = _scratch(spark, sf_dir, "documents_json")
     (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", "n_chars", "text")
@@ -119,7 +126,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partition predicate. The read-back filter prunes to the one
     l_returnflag=A directory (checked in test_plans.py) — at 100 TB
     that's the difference between scanning 1/3 and 3/3 of the table."""
-    path = _scratch(sf_dir, "lineitem_parquet")
+    path = _scratch(spark, sf_dir, "lineitem_parquet")
     (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") > 5)
@@ -181,7 +188,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bring; Spark's ORC source supports the same predicate pushdown
     and column pruning as parquet, so the engine surface is identical.
     Timestamps and doubles must survive the round-trip bit-exact."""
-    path = _scratch(sf_dir, "lineitem_orc")
+    path = _scratch(spark, sf_dir, "lineitem_orc")
     cols = ["l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity", "l_shipdate"]
     load_table(spark, sf_dir, "lineitem").select(*cols).write.mode("overwrite").orc(path)
     back = spark.read.orc(path)

@@ -16,13 +16,21 @@ import os
 import tempfile
 import zipfile
 
-_SHIPPED_SESSIONS: set[int] = set()
+# Keyed on applicationId, which is unique per SparkContext lifetime —
+# id(sc) can be REUSED by a new context after the old one is GC'd,
+# silently skipping addPyFile and reintroducing the executor
+# ModuleNotFoundError this module exists to fix.
+_SHIPPED_APPS: set[str] = set()
+_ZIP_CACHE: str | None = None
 
 
-def ensure_package_shipped(spark) -> None:
-    sc = spark.sparkContext
-    if id(sc) in _SHIPPED_SESSIONS:
-        return
+def _package_zip() -> str:
+    """Build the package zip once per process and reuse it — the
+    package source doesn't change mid-process, and re-zipping per
+    context leaked a temp file each time."""
+    global _ZIP_CACHE
+    if _ZIP_CACHE is not None and os.path.exists(_ZIP_CACHE):
+        return _ZIP_CACHE
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     fd, zpath = tempfile.mkstemp(prefix="fairy_spark_ship_", suffix=".zip")
     os.close(fd)
@@ -38,5 +46,14 @@ def ensure_package_shipped(spark) -> None:
                     "fairy_spark", os.path.relpath(full, pkg_dir)
                 )
                 zf.write(full, rel)
-    sc.addPyFile(zpath)
-    _SHIPPED_SESSIONS.add(id(sc))
+    _ZIP_CACHE = zpath
+    return zpath
+
+
+def ensure_package_shipped(spark) -> None:
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    sc.addPyFile(_package_zip())
+    _SHIPPED_APPS.add(app_id)
