@@ -68,6 +68,9 @@ def _load_all() -> None:
         streaming_batch,
         udfs_mm,
     )
+    # streaming_exec reuses streaming_batch's oracle strings, so it
+    # must import after streaming_batch has registered them.
+    from fairy_spark.queries import streaming_exec  # noqa: F401
 
 
 def _interleave_families() -> None:

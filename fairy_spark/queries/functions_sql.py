@@ -338,6 +338,43 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_json_schema",
+    oracle="""
+    SELECT event_id,
+           'STRUCT<k: BIGINT, tags: ARRAY<STRING>>' AS schema_ddl,
+           to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER))) AS rejson,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """,
+)
+def fn_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_of_json (the last SURVEY §2.B json-family gap) plus a
+    parse→re-serialize round-trip. schema_of_json requires a foldable
+    argument, so it infers from a canonical literal of the props shape
+    (constant-folded by Catalyst — zero per-row cost); the oracle pins
+    the expected DDL. json_tuple exercises the generator-style
+    extractor; to_json proves serialization round-trips."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    return (
+        ev.select(
+            "event_id",
+            F.schema_of_json(F.lit('{"k": 1, "tags": ["a", "b"]}')).alias(
+                "schema_ddl"
+            ),
+            F.to_json(
+                F.named_struct(
+                    F.lit("k"), F.from_json("props", "k INT").getField("k")
+                )
+            ).alias("rejson"),
+            F.json_tuple("props", "k").alias("k_str"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "fn_null_misc",
     oracle="""
     SELECT c_custkey,

@@ -1,0 +1,180 @@
+"""REAL streaming executions, oracle-checked (SURVEY.md §2.B streaming).
+
+The stream_*_batch queries check window SEMANTICS through batch twins;
+these stream_exec_* queries drive the actual Structured Streaming
+engine — chunked file-source replay, micro-batch trigger
+(availableNow), state store, watermarks, memory/parquet sinks — and
+hand the SINK contents to the same DuckDB oracles. A green row here
+hash-checks the streaming path itself, not a batch reformulation.
+
+Replay determinism: chunks are event-time-quantile splits of the
+events table, each sorted by (ts, event_id), so every run feeds the
+engine identical micro-batches and the final state is reproducible.
+
+Aggregations run in `complete` output mode: with a finite replay,
+append mode would hold back every window the final watermark hasn't
+passed (the well-known tail-loss pitfall), while complete mode's final
+emission IS the full converged state — exactly what the batch twin
+computes. Non-aggregating streams (joins, dedup) run in append mode.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fairy_spark.queries import ORACLE, register
+from fairy_spark.sources.tables import load_table
+from fairy_spark.streaming.pipeline import (
+    read_event_stream,
+    replay_dir_from_events,
+    run_to_table,
+    sliding_avg,
+    stateful_dedup,
+    stream_static_join,
+    stream_stream_join,
+    tumbling_counts,
+)
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per application × sf) the chunked replay directory.
+    App-scoped path: concurrent sessions must not race on one replay."""
+    app_id = spark.sparkContext.applicationId
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "fairy_spark_stream",
+        app_id,
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    marker = os.path.join(d, "_READY")
+    if not os.path.exists(marker):
+        replay_dir_from_events(spark, sf_dir, d, n_chunks=4)
+        with open(marker, "w"):
+            pass
+    return d
+
+
+def _checkpoint(spark: SparkSession, name: str) -> str:
+    import uuid
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "fairy_spark_stream",
+        spark.sparkContext.applicationId,
+        "ckpt",
+        f"{name}_{uuid.uuid4().hex[:8]}",
+    )
+
+
+@register("stream_exec_tumbling", oracle=ORACLE["stream_tumbling_batch"])
+def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts through the live engine; same oracle as
+    the batch twin."""
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir))
+    sink = run_to_table(tumbling_counts(stream), mode="complete")
+    return sink.orderBy("w_start", "event_type")
+
+
+@register("stream_exec_sliding", oracle=ORACLE["stream_sliding_batch"])
+def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir))
+    sink = run_to_table(sliding_avg(stream), mode="complete")
+    return sink.select("w_start", "n", "avg_value").orderBy("w_start")
+
+
+@register("stream_exec_session", oracle=ORACLE["stream_session_batch"])
+def stream_exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(30 min) through the live engine. The sink emits
+    (start, end=last_event+gap, user, n); the oracle's shape is
+    (session ordinal, start, end=last event). Sessions of one user
+    never overlap, so the ordinal is a rank over s_start — a batch
+    window over the tiny sink table — and last event = end - gap
+    exactly (session_window's end is defined as last + gap)."""
+    from fairy_spark.streaming.pipeline import session_windows
+
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir)).filter(
+        F.col("user_id") <= 20
+    )
+    sink = run_to_table(session_windows(stream), mode="complete")
+    w = Window.partitionBy("user_id").orderBy("s_start")
+    return (
+        sink.withColumn("session_id", F.row_number().over(w).cast("bigint"))
+        .select(
+            "user_id",
+            "session_id",
+            "s_start",
+            (F.col("s_end") - F.expr("INTERVAL 30 minutes")).alias("s_end"),
+            F.col("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register("stream_exec_dedup", oracle=ORACLE["stream_dedup_batch"])
+def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicates over the watermark
+    horizon) into a parquet file sink — the durable-ingest shape — then
+    the sink is aggregated min(event_id) per (user, type) for the
+    oracle. Aggregating the SINK keeps the check independent of
+    micro-batch arrival order."""
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir))
+    deduped = stateful_dedup(stream)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "fairy_spark_stream",
+        spark.sparkContext.applicationId,
+        "dedup_sink",
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", _checkpoint(spark, "dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register("stream_exec_static_join", oracle=ORACLE["stream_static_join_batch"])
+def stream_exec_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join through the live engine (the static
+    dim re-broadcasts per micro-batch)."""
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir)).filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") <= 50)
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream_static_join(stream, c, "user_id").select(
+        "event_id", "user_id", F.col("c_mktsegment").alias("segment")
+    )
+    sink = run_to_table(joined, mode="append")
+    return sink.orderBy("event_id")
+
+
+@register("stream_exec_stream_join", oracle=ORACLE["stream_stream_join_batch"])
+def stream_exec_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded inner join through the live engine:
+    watermarks on both sides bound the state store; the 4h watermark
+    exceeds the 2h join window so no candidate is evicted early, and
+    the replay's final emission equals the batch pair set."""
+    replay = _replay_dir(spark, sf_dir)
+    left = read_event_stream(spark, replay).filter(
+        F.col("event_type") == "purchase"
+    )
+    right = read_event_stream(spark, replay).filter(
+        F.col("event_type") != "purchase"
+    )
+    joined = stream_stream_join(left, right, key="user_id", within="2 hours")
+    sink = run_to_table(joined, mode="append")
+    return sink.orderBy("user_id", "l_event", "r_event")

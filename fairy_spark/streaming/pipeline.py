@@ -38,18 +38,31 @@ EVENT_SCHEMA = T.StructType(
 def replay_dir_from_events(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5) -> str:
     """Split the events table into n_chunks parquet files ordered by ts
     so a file stream replays them roughly in event-time order (one
-    chunk ≈ one micro-batch with maxFilesPerTrigger=1)."""
+    chunk ≈ one micro-batch with maxFilesPerTrigger=1).
+
+    Chunk boundaries are event-time quantiles (percentile_approx with a
+    tight accuracy — a distributed sketch, driver sees n_chunks
+    scalars), NOT a global ntile window: the ntile form funnels the
+    whole table through one task, the exact plan shape the
+    test_plans.py single-partition-window gate bans."""
     from fairy_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events").orderBy("ts")
-    chunked = ev.withColumn(
-        "_chunk", F.ntile(n_chunks).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP'1970-01-01 00:00:00', ts)")
+    fracs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = ev.select(
+        F.percentile_approx(us, fracs, 100_000).alias("q")
+    ).first()["q"] or []
+    chunk_expr = sum(
+        ((us > F.lit(int(b))).cast("int") for b in bounds), F.lit(0)
     )
+    chunked = ev.withColumn("_chunk", chunk_expr)
     os.makedirs(out_dir, exist_ok=True)
-    for i in range(1, n_chunks + 1):
+    for i in range(n_chunks):
         (
             chunked.filter(F.col("_chunk") == i)
             .drop("_chunk")
+            .sort("ts", "event_id")
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"chunk_{i:03d}"))
@@ -112,9 +125,13 @@ def stream_static_join(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return stream.join(F.broadcast(dim), on, "inner")
 
 
-def run_to_completion(query_df: DataFrame, mode: str = "append") -> list:
+def run_to_table(query_df: DataFrame, mode: str = "append") -> DataFrame:
     """Drive a streaming query over a finite replay dir to completion
-    in-memory; returns collected rows (test harness helper)."""
+    into a memory sink; returns the sink table as a DataFrame. This is
+    the REAL streaming execution path (micro-batch engine, state store,
+    watermarks) — the oracle-checked stream_exec_* queries run through
+    here, so the hash gate checks the streaming plan itself, not just
+    its batch twin."""
     import uuid
 
     name = f"mem_{uuid.uuid4().hex[:8]}"
@@ -126,8 +143,12 @@ def run_to_completion(query_df: DataFrame, mode: str = "append") -> list:
         .start()
     )
     q.awaitTermination()
-    spark = query_df.sparkSession
-    return spark.table(name).collect()
+    return query_df.sparkSession.table(name)
+
+
+def run_to_completion(query_df: DataFrame, mode: str = "append") -> list:
+    """Collected-rows variant of run_to_table (test harness helper)."""
+    return run_to_table(query_df, mode).collect()
 
 
 def run_foreach_batch(query_df: DataFrame, fn, mode: str = "append") -> None:
