@@ -63,11 +63,27 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).count()
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+    # Three timed repetitions per query; report the MEDIAN plus the
+    # min-max spread so run-to-run noise (±0.1-0.2 s on sub-second
+    # queries) can't be mistaken for a plan regression.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    per_query = {name: round(median(ts), 3) for name, ts in samples.items()}
+    spread = {
+        name: [round(min(ts), 3), round(max(ts), 3)]
+        for name, ts in samples.items()
+    }
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -77,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
                 "cpus": int(cpus),
             }

@@ -140,7 +140,7 @@ def test_parquet_sink_readback_partition_prunes(spark, sf_dir, tmp_path):
     QUERIES["sink_parquet_partitioned"](spark, sf_dir).collect()  # materialize sink
     import fairy_spark.queries.sources_io as io_mod
 
-    back = spark.read.parquet(io_mod._scratch(sf_dir, "lineitem_parquet")).filter(
+    back = spark.read.parquet(io_mod._scratch(spark, sf_dir, "lineitem_parquet")).filter(
         F.col("l_returnflag") == "A"
     )
     plan = plan_of(back)
