@@ -66,10 +66,23 @@ def main() -> None:
     # Three timed repetitions per query; report the MEDIAN plus the
     # min-max spread so run-to-run noise (±0.1-0.2 s on sub-second
     # queries) can't be mistaken for a plan regression.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    import gc
+
+    # Interleaved reps (full suite per rep, median per query): the box
+    # shows occasional multi-second stalls unrelated to the plans
+    # (host-level noise); interleaving decorrelates a stall from any one
+    # query's three samples so the median absorbs it.
     for _ in range(reps):
         for name in HEADLINE:
+            # Collect BETWEEN runs, outside the timed window: building
+            # these plans leaves thousands of py4j object refs, and an
+            # organic Python GC cycle mid-query detaches them through the
+            # gateway while the job runs — measured 10-15 s stalls on a
+            # ~2 s query. Deterministic collection here keeps the timings
+            # about the plan, not the driver's garbage history.
+            gc.collect()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
