@@ -1,0 +1,40 @@
+"""MERGE / upsert — the row-level maintenance op the reference's KV
+overwrite path implies at table granularity (put = overwrite semantics,
+local_file_kv_store.rs:19-48), expressed relationally.
+
+Spark core has no built-in MERGE INTO against plain parquet (that's a
+table-format feature), but the semantics compose from one full-outer
+join: source wins on key conflicts (WHEN MATCHED UPDATE), source-only
+keys append (WHEN NOT MATCHED INSERT), untouched target rows pass
+through. One shuffle on the key for each side; with both tables
+bucketed on the key (the KV layout) the join is exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """Upsert ``source`` into ``target`` on ``key``: matched keys take
+    the source row wholesale, unmatched source keys are inserted,
+    remaining target rows are unchanged. Columns must match.
+
+    The merged frame is returned (caller persists/writes it — at scale
+    you'd write partitioned and swap, like KVStore.compact)."""
+    assert set(target.columns) == set(source.columns), "column sets must match"
+    t = target.alias("t")
+    s = source.alias("s")
+    # Branch on KEY presence, not per-column coalesce: a matched source
+    # row must win wholesale even where its non-key columns are NULL
+    # (coalesce would silently resurrect the target's old value).
+    take_source = F.col(f"s.{key}").isNotNull()
+    merged_cols = [
+        F.coalesce(F.col(f"s.{key}"), F.col(f"t.{key}")).alias(key)
+        if c == key
+        else F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer").select(
+        *merged_cols
+    )

@@ -678,3 +678,83 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "tok")
     )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+                                i -> array_to_string(toks[i:i+2], ' ')) AS grams
+          FROM t)
+    SELECT doc_id,
+           CAST(LEN(grams) AS INTEGER) AS n_grams,
+           ROUND(1.0 - CAST(LEN(list_distinct(grams)) AS DOUBLE) / LEN(grams), 6)
+             AS rep_ratio
+    FROM g
+    WHERE LEN(grams) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram ratio per document — the standard boilerplate /
+    degenerate-repetition quality signal in pretraining filters
+    (1 - distinct/total over word 3-grams). Pure JVM HOF pipeline, no
+    shuffle: the ratio is per-row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    t = d.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
+    return (
+        t.select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("grams")).cast("double")
+                / F.size("grams"),
+                6,
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_pattern_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '(table|query|scan)')) AS INTEGER)
+             AS n_term_hits,
+           CAST(LEN(regexp_extract_all(text, '[aeiou][a-z]+')) AS INTEGER)
+             AS n_vowel_runs,
+           regexp_matches(text, '[0-9]') AS has_digits
+    FROM documents
+    WHERE doc_id <= 200
+    ORDER BY doc_id
+    """,
+)
+def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex content scan per document — the PII/content-pattern sweep
+    shape (regexp_count + regexp_like, both whole-stage-codegen
+    expressions; swap patterns for email/phone/ID classes in a real
+    pipeline — the synthetic corpus contains none, so the patterns here
+    target its actual vocabulary to keep the oracle signal non-zero)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count("text", F.lit("(table|query|scan)")).cast("int").alias(
+                "n_term_hits"
+            ),
+            F.regexp_count("text", F.lit("[aeiou][a-z]+")).cast("int").alias(
+                "n_vowel_runs"
+            ),
+            F.col("text").rlike("[0-9]").alias("has_digits"),
+        )
+        .orderBy("doc_id")
+    )

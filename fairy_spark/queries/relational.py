@@ -208,3 +208,69 @@ def kv_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("dummy_true")
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 42.5, 'I'
+      FROM orders WHERE o_orderkey % 101 = 0
+    ), merged AS (
+      SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                  ELSE t.o_totalprice END AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                  ELSE t.o_orderstatus END AS o_orderstatus
+      FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM merged
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over plain parquet (operators/merge.py):
+    matched keys update wholesale from the source, unmatched source keys
+    insert, the rest pass through — one full-outer join on the key. The
+    source batch is derived deterministically from orders (a price
+    correction slice + a synthetic insert slice), and the merged table
+    is aggregated by status so the oracle checks update, insert, and
+    pass-through rows in one result."""
+    from fairy_spark.operators.merge import merge_upsert as do_merge
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit(42.5).alias("o_totalprice"),
+        F.lit("I").alias("o_orderstatus"),
+    )
+    merged = do_merge(o, updates.unionByName(inserts), key="o_orderkey")
+    # Sum integer CENTS, not doubles: a ~1e10 float sum's accumulation-
+    # order divergence between engines exceeds 1e-6 rounding, but the
+    # per-value cents conversion is exact (stored doubles never sit on
+    # a .5-cent midpoint) and integer summation is order-free.
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        merged.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("status")
+    )

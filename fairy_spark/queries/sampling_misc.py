@@ -86,3 +86,29 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "measure", F.round("raw", 6).alias("val"))
         .orderBy("p_partkey", "measure")
     )
+
+
+@register(
+    "fn_id_provenance",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           TRUE AS ids_unique,
+           TRUE AS files_tagged
+    FROM orders
+    """,
+)
+def fn_id_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monotonically_increasing_id + input_file_name invariants (the
+    last lightly-exercised SURVEY §2.B scalar pair). The ids are
+    nondeterministic VALUES (partition-indexed), so the oracle checks
+    the INVARIANTS instead: ids are globally unique across partitions
+    and every row carries a non-empty source-file tag."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.monotonically_increasing_id().alias("mid"),
+        F.input_file_name().alias("fname"),
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count_distinct("mid") == F.count(F.lit(1))).alias("ids_unique"),
+        F.min(F.length("fname") > 0).alias("files_tagged"),
+    )

@@ -16,6 +16,11 @@ def test_query_vs_oracle(name, spark, sf_dir, duck):
     assert res.ok, str(res)
     if name in ORACLE:
         assert res.oracle_rows == res.spark_rows
+        # The driver HASHES values: a cell that matches only within
+        # float tolerance here is a driver mismatch there. Queries must
+        # round/flatten on both sides until comparison is exact (sum
+        # integer cents instead of doubles for large money totals).
+        assert res.inexact_cells == 0, f"{res.inexact_cells} tolerance-only cells"
 
 
 def test_all_queries_have_oracle_or_are_whitelisted():
