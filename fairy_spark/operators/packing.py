@@ -1,9 +1,11 @@
 """Distributed sequence packing — running token sums WITHOUT a global
 single-partition window.
 
-Reference parity: the reference's packing stage walks documents in
-id order accumulating token counts into fixed-size context bins
-(single-node loop). The naive Spark translation is
+SURVEY.md §2.B "sequence packing": walk documents in id order
+accumulating token counts into fixed-size context bins — the standard
+pretraining context-packing op (a single-node loop in a conventional
+pipeline; the reference itself has no packing stage, this is part of
+the training-data surface the brief adds). The naive Spark form is
 ``Window.orderBy(id)`` with no partitionBy — Catalyst plans that as a
 SinglePartition exchange, funnelling the WHOLE corpus through one task:
 fine at sf0.1, fatal at 100 TB.
