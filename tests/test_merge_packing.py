@@ -1,0 +1,73 @@
+"""Unit tests for operators/merge.py and operators/packing.py edge
+semantics the oracle queries can't isolate: source-NULL-wins on merge,
+and prefix-sum correctness across shard boundaries / empty input."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from fairy_spark.operators.merge import merge_upsert
+from fairy_spark.operators.packing import pack_into_bins, packed_running_sum
+
+
+def test_merge_matched_source_null_wins(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v="old1"), Row(k=2, v="old2")], "k INT, v STRING"
+    )
+    source = spark.createDataFrame(
+        [Row(k=1, v=None), Row(k=3, v="new3")], "k INT, v STRING"
+    )
+    got = {r["k"]: r["v"] for r in merge_upsert(target, source, "k").collect()}
+    # matched key 1 takes the source row WHOLESALE — including its NULL
+    assert got == {1: None, 2: "old2", 3: "new3"}
+
+
+def test_merge_requires_matching_columns(spark):
+    a = spark.createDataFrame([Row(k=1, v="x")], "k INT, v STRING")
+    b = spark.createDataFrame([Row(k=1, w="y")], "k INT, w STRING")
+    try:
+        merge_upsert(a, b, "k")
+        raise AssertionError("expected column-mismatch assertion")
+    except AssertionError as e:
+        assert "column sets" in str(e)
+
+
+def test_prefix_sum_matches_serial_fold_across_shards(spark):
+    rows = [Row(id=i, w=(i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id BIGINT, w BIGINT")
+    # many shards so several shard boundaries land inside the range
+    out = {
+        r["id"]: r["cum"]
+        for r in packed_running_sum(df, "id", "w", n_shards=16).collect()
+    }
+    acc = 0
+    for r in rows:
+        acc += r.w
+        assert out[r.id] == acc, (r.id, out[r.id], acc)
+
+
+def test_prefix_sum_sparse_ids_and_empty(spark):
+    sparse = spark.createDataFrame(
+        [Row(id=3, w=2), Row(id=1000, w=5), Row(id=40, w=1)], "id BIGINT, w BIGINT"
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in packed_running_sum(sparse, "id", "w", n_shards=8).collect()
+    }
+    assert got == {3: 2, 40: 3, 1000: 8}
+    empty = spark.createDataFrame([], "id BIGINT, w BIGINT")
+    assert packed_running_sum(empty, "id", "w").count() == 0
+
+
+def test_pack_bins_never_splits_monotonically(spark):
+    rows = [Row(id=i, tok=50) for i in range(40)]
+    df = spark.createDataFrame(rows, "id BIGINT, tok BIGINT")
+    out = (
+        pack_into_bins(df, "id", "tok", bin_tokens=512, n_shards=4)
+        .orderBy("id")
+        .collect()
+    )
+    bins = [r["bin_id"] for r in out]
+    # bins are nondecreasing in id order and change at ~512-token marks
+    assert bins == sorted(bins)
+    assert bins[0] == 0 and bins[-1] == (50 * 39) // 512
