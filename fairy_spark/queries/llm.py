@@ -758,3 +758,132 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id <= 300
+    ), dl AS (
+      SELECT doc_id, CAST(LEN(toks) AS DOUBLE) AS dl FROM d
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+    ), toks AS (
+      SELECT doc_id, unnest(toks) AS tok FROM d
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+      WHERE tok IN ('table', 'query', 'scan', 'spark')
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+      WHERE tok IN ('table', 'query', 'scan', 'spark')
+      GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id,
+             LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN df ON tf.tok = df.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           ROUND(SUM(s), 6) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query-term
+    set — the retrieval-scoring sibling of text_tfidf. Per-term df and
+    the corpus stats (N, avgdl) broadcast; the only data-scale shuffle
+    is the (doc, term) tf aggregation. Both engines evaluate the
+    identical IEEE expression tree, so 6-decimal rounding is exact."""
+    terms = ["table", "query", "scan", "spark"]
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    base = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    dl = base.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    toks = base.select("doc_id", F.explode("toks").alias("tok")).filter(
+        F.col("tok").isin(*terms)
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.round(F.sum("s"), 6).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH cc AS ({_CC_ORACLE}),
+    members AS (
+      SELECT cc.node, cc.comp, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cc.comp
+                                ORDER BY d.n_chars DESC, cc.node) AS rn
+      FROM cc JOIN documents d ON cc.node = d.doc_id
+    )
+    SELECT comp,
+           MIN(CASE WHEN rn = 1 THEN node END) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM members
+    GROUP BY comp
+    ORDER BY comp
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — the step
+    after dedup_components in a real pipeline: keep ONE representative
+    (longest text, ties to smallest id) per component and count the
+    members it replaces. Expressed as min_by over an ordering struct —
+    a hash aggregate on the component key, no ranking window."""
+    from fairy_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, shingle_n=3, num_hashes=8, band_rows=1).filter(
+        F.col("jaccard") >= 0.4
+    )
+    cc = connected_components(pairs)
+    members = cc.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    order_key = F.struct(
+        (-F.col("n_chars")).alias("neg_chars"), F.col("node").alias("node")
+    )
+    return (
+        members.groupBy("comp")
+        .agg(
+            F.min_by("node", order_key).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("comp")
+    )
