@@ -73,7 +73,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(l_extendedprice + l_tax, 6) AS add_v,
            ROUND(l_extendedprice - l_discount, 6) AS sub_v,
            ROUND(l_quantity * l_discount, 6) AS mul_v,
-           ROUND(l_extendedprice / l_quantity, 6) AS div_v,
+           CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS div_v,
            CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS pmod7,
            ROUND(ABS(l_discount - 0.05), 6) AS abs_v,
            CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_v,
@@ -100,7 +100,16 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") + F.col("l_tax"), 6).alias("add_v"),
             F.round(F.col("l_extendedprice") - F.col("l_discount"), 6).alias("sub_v"),
             F.round(F.col("l_quantity") * F.col("l_discount"), 6).alias("mul_v"),
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("div_v"),
+            # floor(x*1e6 + 0.5): ROUND() near a 1e-6 midpoint disagrees
+            # between Spark (BigDecimal of the exact double) and DuckDB
+            # (*1e6 + libm round); this form is the same IEEE expression
+            # tree on both engines, so quotients round identically.
+            (
+                F.floor(
+                    F.col("l_extendedprice") / F.col("l_quantity") * 1000000 + 0.5
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("div_v"),
             F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("pmod7"),
             F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_v"),
             F.floor("l_extendedprice").cast("bigint").alias("floor_v"),

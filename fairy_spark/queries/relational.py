@@ -21,12 +21,16 @@ from fairy_spark.sources.tables import load_table
       l_returnflag,
       l_linestatus,
       ROUND(SUM(l_quantity), 6)                                        AS sum_qty,
-      ROUND(SUM(l_extendedprice), 6)                                   AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+      SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0        AS sum_base_price,
+      SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+                                                                       AS sum_disc_price,
+      SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) / 10000.0
+                                                                       AS sum_charge,
       ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
-      ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
-      ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+      ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 6)
+                                                                       AS avg_price,
+      ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*), 6)
+                                                                       AS avg_disc,
       COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -35,20 +39,38 @@ from fairy_spark.sources.tables import load_table
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Money aggregates sum FIXED-POINT INTEGERS
+    (cents for 2-decimal sources, 1e-4 units for derived products) and
+    divide back once: a ~1e10 double sum's accumulation-order
+    divergence between engines exceeds 6-decimal rounding at sf0.1+,
+    while integer summation is order-free and the final division of
+    the same integer yields the same double everywhere. Quantity sums
+    stay plain (integral doubles sum exactly)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_cents = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    disc_price_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    charge_u = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 10000,
+        0,
+    ).cast("bigint")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(charge), 6).alias("sum_charge"),
+            (F.sum(cents) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price_u) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_u) / 10000.0).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(cents) / 100.0 / n, 6).alias("avg_price"),
+            F.round(F.sum(disc_cents) / 100.0 / n, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -41,7 +41,7 @@ def _scratch(spark: SparkSession, sf_dir: str, name: str) -> str:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 6) AS total
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -49,7 +49,9 @@ def _scratch(spark: SparkSession, sf_dir: str, name: str) -> str:
 )
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → pipe-delimited CSV with header → explicit-schema read
-    → aggregate. Proves the CSV source/sink pair preserves values."""
+    → aggregate. Proves the CSV source/sink pair preserves values.
+    Totals sum exact integer cents (order-free) — a ~7e9 double sum
+    diverges between engines beyond 6-decimal rounding at sf0.1."""
     path = _scratch(spark, sf_dir, "orders_csv")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     (
@@ -67,7 +69,9 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 6).alias("total"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0).alias(
+                "total"
+            ),
         )
         .orderBy("o_orderpriority")
     )
