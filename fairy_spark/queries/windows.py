@@ -175,17 +175,26 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percent_rank/cume_dist via the two-pass sharded rank
+    (operators/ranking.py) — NOT ``Window.orderBy`` with no
+    partitionBy, which plans an Exchange SinglePartition (the round-2
+    scale defect). (s_acctbal, s_suppkey) is a strict total order
+    (s_suppkey unique), so rank == row_number and
+    percent_rank = (pos-1)/(N-1), cume_dist = pos/N with N a driver
+    scalar from the same pass-1 shard counts."""
     s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
+    from fairy_spark.operators.ranking import sharded_global_row_number
+
+    ranked, n = sharded_global_row_number(
+        s, ["s_acctbal", "s_suppkey"], n_shards=32
+    )
+    denom = float(max(n - 1, 1))
     return (
-        s.select(
+        ranked.select(
             "s_suppkey",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.sum(F.lit(1))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("bigint")
-            .alias("pos"),
+            F.round((F.col("pos") - F.lit(1)) / F.lit(denom), 6).alias("pct_rank"),
+            F.round(F.col("pos") / F.lit(float(max(n, 1))), 6).alias("cume"),
+            F.col("pos"),
         )
         .orderBy("s_suppkey")
     )

@@ -13,7 +13,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from fairy_spark.queries import QUERIES
 from fairy_spark.sources.tables import load_table
@@ -291,30 +291,66 @@ def test_q14_broadcasts_part_q4_plans_semi(spark, sf_dir):
     assert orders_rs and "o_totalprice" not in orders_rs[0], read_schemas
 
 
-def _physical_nodes(df):
-    plan = df._jdf.queryExecution().sparkPlan()
-    stack = [plan]
-    while stack:
-        n = stack.pop()
-        yield n
-        ch = n.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
+def _executed_nodes(spark, build_df):
+    """Yield nodes of the POST-EnsureRequirements physical plan.
+
+    ``sparkPlan()`` is the plan *before* EnsureRequirements inserts
+    exchanges, so partitioning checks against it are vacuous (the
+    round-2 verdict proved the old gate could never fire). Build AND
+    inspect with AQE off: under AQE, ``executedPlan()`` is an
+    AdaptiveSparkPlan whose subtree isn't final until execution."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        stack = [build_df()._jdf.queryExecution().executedPlan()]
+        while stack:
+            n = stack.pop()
+            yield n
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _single_partition_windows(spark, build_df) -> list[str]:
+    """Window/Sort nodes whose input is a single partition — i.e. the
+    whole input funnels through ONE task. Window's outputPartitioning
+    delegates to its child, so checking the node itself sees through
+    the Sort that EnsureRequirements inserts above the exchange."""
+    hits = []
+    for n in _executed_nodes(spark, build_df):
+        if n.nodeName() in ("Window", "WindowGroupLimit"):
+            if "SinglePartition" in n.outputPartitioning().toString():
+                hits.append(n.nodeName())
+    return hits
+
+
+def test_gate_canary_flags_global_window(spark, sf_dir):
+    """The gate MUST fire on a deliberately global window — otherwise
+    the registry-wide test below proves nothing (the round-2 defect:
+    a pre-EnsureRequirements check that could never flag anything)."""
+    s = load_table(spark, str(sf_dir), "supplier")
+
+    def bad():
+        w = Window.orderBy("s_suppkey")
+        return s.select("s_suppkey", F.row_number().over(w).alias("rn"))
+
+    assert _single_partition_windows(spark, bad), (
+        "canary not flagged: the SinglePartition gate is blind again"
+    )
 
 
 def test_no_single_partition_window_in_any_query(spark, sf_dir):
     """Registry-wide scale gate: no query may plan a Window over a
     SinglePartition exchange — that funnels the whole input through ONE
-    task (the round-1 text_pack_bins defect; fatal at 100 TB). Running
-    sums over the full corpus must use the two-pass sharded prefix sum
-    (operators/packing.py); driver-side numbering of k-row frames
-    (operators/similarity.py seeds) replaces global row_number."""
+    task (the round-1 text_pack_bins defect, the round-2 win_cume_pct
+    defect; fatal at 100 TB). Running sums over the full corpus must
+    use the two-pass sharded prefix sum (operators/packing.py) and
+    global ranks the sharded rank (operators/ranking.py); driver-side
+    numbering of k-row frames (operators/similarity.py seeds) replaces
+    global row_number."""
     offenders = []
     for name, fn in QUERIES.items():
-        for n in _physical_nodes(fn(spark, str(sf_dir))):
-            if n.nodeName() == "Window":
-                part = n.children().apply(0).outputPartitioning().toString()
-                if "SinglePartition" in part:
-                    offenders.append(name)
-                    break
+        if _single_partition_windows(spark, lambda f=fn: f(spark, str(sf_dir))):
+            offenders.append(name)
     assert not offenders, offenders
