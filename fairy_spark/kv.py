@@ -52,14 +52,52 @@ class KeyNotFound(KeyError):
 
 
 class KVStore:
+    """Bucketed log-structured KV store over a managed Spark table.
+
+    SINGLE-WRITER CONTRACT: all mutating methods (put/put_batch/put_df/
+    delete/compact/evict) assume exactly one live writer handle per
+    backing table. Concurrent writers can allocate the same seq
+    (nondeterministic last-write-wins) and compact/evict swap tables by
+    rename, which is not atomic across two drivers. Readers are always
+    safe. The reference's local FS store carries the same assumption
+    (local_file_kv_store.rs — plain create/rename, no locking).
+
+    Crash recovery: a hard crash inside compact() can strand the data
+    under ``<table>_bak``/``<table>_compact`` with the live name
+    unbound; __init__ detects and restores that automatically (see
+    _recover_orphans), so re-creating the handle heals the store.
+    """
+
     def __init__(self, spark: SparkSession, name: str = "kv_default", num_buckets: int = 1024):
         # 1024 matches the reference default (local_kv_options.rs:23);
         # tests use a smaller fanout so bucket files stay non-tiny.
         self.spark = spark
         self.table = f"fairy_kv_{name}"
         self.num_buckets = num_buckets
+        self._recover_orphans()
 
     # -- internals ---------------------------------------------------------
+
+    def _recover_orphans(self) -> None:
+        """Heal a compact() hard-crash: if the live name is unbound but
+        a ``_bak`` (old live, renamed away) or ``_compact`` (finished
+        snapshot, not yet renamed in) table exists, rebind it. At every
+        crash point the two are logically equivalent (the snapshot is
+        written before the live table is renamed away), so preferring
+        ``_bak`` restores the exact pre-compact bytes. A leftover
+        snapshot/backup NEXT TO a live table is stale garbage from an
+        interrupted earlier attempt and is dropped."""
+        bak, tmp = self.table + "_bak", self.table + "_compact"
+        cat = self.spark.catalog
+        if not cat.tableExists(self.table):
+            if cat.tableExists(bak):
+                self.spark.sql(f"ALTER TABLE {bak} RENAME TO {self.table}")
+            elif cat.tableExists(tmp):
+                self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
+        if cat.tableExists(self.table):
+            for t in (tmp, bak):
+                if cat.tableExists(t):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t}")
 
     def _exists_table(self) -> bool:
         return self.spark.catalog.tableExists(self.table)
@@ -211,11 +249,12 @@ class KVStore:
         it like any LSM major compaction, not per-put.
 
         Swap order is crash-safe: snapshot → tmp, live → backup,
-        tmp → live, drop backup. A failure at any step leaves either the
-        old live table bound, or a backup to restore from (restored
-        automatically if the final rename fails) — never an unbound name
-        with the data stranded. Requires exclusive access, like every
-        other write on this class (single-writer contract)."""
+        tmp → live, drop backup. An in-process failure restores the
+        backup immediately; a hard crash (process kill) between the two
+        renames leaves the live name unbound with the data in _bak —
+        healed by _recover_orphans on the next handle creation.
+        Requires exclusive access, like every other write on this
+        class (single-writer contract)."""
         latest = self._latest().filter(F.col("value").isNotNull())
         snapshot = latest.select("key", "value", F.lit(1).cast("long").alias("seq"))
         tmp = self.table + "_compact"

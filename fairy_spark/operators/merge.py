@@ -21,8 +21,21 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     remaining target rows are unchanged. Columns must match.
 
     The merged frame is returned (caller persists/writes it — at scale
-    you'd write partitioned and swap, like KVStore.compact)."""
-    assert set(target.columns) == set(source.columns), "column sets must match"
+    you'd write partitioned and swap, like KVStore.compact).
+
+    Source keys must be unique and non-null — a duplicate source key
+    would fan matched target rows out through the full-outer join
+    (silent row multiplication) and a NULL key never equi-joins, so the
+    precondition is enforced here: NULL-key source rows are dropped and
+    duplicate source keys collapse to a single (arbitrary) row via
+    dropDuplicates — pre-aggregate the source yourself if you need a
+    specific winner (put_df applies the same hygiene on ingest)."""
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"column sets must match: target={sorted(target.columns)} "
+            f"source={sorted(source.columns)}"
+        )
+    source = source.filter(F.col(key).isNotNull()).dropDuplicates([key])
     t = target.alias("t")
     s = source.alias("s")
     # Branch on KEY presence, not per-column coalesce: a matched source

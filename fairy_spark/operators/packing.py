@@ -42,6 +42,12 @@ def packed_running_sum(
     ``id_col`` must be a non-negative integral key (dense ids pack
     shards evenly; skewed id ranges degrade balance, not correctness).
     Returns the input columns plus ``cum``.
+
+    NULL-weight policy: NULL weights contribute 0 — a NULL-weight row
+    carries the running sum of the non-null weights before it (SQL SUM
+    semantics in both the per-shard window and the subtotals, with
+    all-NULL shards coalesced to 0 so the driver prefix sum never sees
+    None).
     """
     spark = df.sparkSession
 
@@ -62,7 +68,7 @@ def packed_running_sum(
     subtotals = {
         r["_shard"]: r["sub"]
         for r in sharded.groupBy("_shard")
-        .agg(F.sum(weight_col).alias("sub"))
+        .agg(F.coalesce(F.sum(weight_col), F.lit(0)).alias("sub"))
         .collect()
     }
     offsets, running = [], 0

@@ -238,6 +238,7 @@ def ivf_index(
         [(i, list(r["_v"])) for i, r in enumerate(seed_rows)],
         "_cid INT, _cvec ARRAY<DOUBLE>",
     )
+    prev = None
     for _ in range(lloyd_iters):
         assigned = _nearest_centroid(corpus, cent, "_v", n_probe=1)
         cent = (
@@ -252,6 +253,15 @@ def ivf_index(
                 ).alias("_cvec")
             )
         )
+        # Truncate lineage each round: the centroid frame is k×dim
+        # (index metadata), but without materialization each iteration
+        # re-derives every previous assign+mean from scratch —
+        # quadratic recompute once lloyd_iters grows.
+        cent = cent.persist()
+        cent.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cent
     assignments = _nearest_centroid(corpus, cent, "_v", n_probe=1).select(
         F.col("_id").alias(id_col), F.col("_v").alias(vec_col), F.col("_cid").alias("cluster")
     )

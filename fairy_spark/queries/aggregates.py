@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from fairy_spark.functions.exact import money_sum
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
 
@@ -94,7 +95,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 4) AS total
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -104,7 +105,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("o_totalprice"), unit=100).alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -121,7 +122,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
            COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
            COUNT(*) AS n_cust,
-           ROUND(SUM(c_acctbal), 4) AS total_bal
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     ORDER BY segment, nation
@@ -135,7 +136,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
                COALESCE(CAST(c_nationkey AS STRING), 'ALL') AS nation,
                COUNT(*) AS n_cust,
-               ROUND(SUM(c_acctbal), 4) AS total_bal
+               -- CAST: Spark SQL parses the bare 100.0 literal as
+               -- DECIMAL and bigint/decimal stays DECIMAL — the driver
+               -- hashes Decimal cells differently from the oracle's
+               -- double (DuckDB / is always float division).
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
+                 AS total_bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         ORDER BY segment, nation
@@ -234,7 +240,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_having_sum",
     oracle="""
-    SELECT l_suppkey, ROUND(SUM(l_extendedprice), 4) AS total_price
+    SELECT l_suppkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM lineitem
     GROUP BY l_suppkey
     HAVING SUM(l_quantity) > 100
@@ -246,7 +252,7 @@ def agg_having_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            money_sum(F.col("l_extendedprice"), unit=100).alias("total_price"),
             F.sum("l_quantity").alias("_qty"),
         )
         .filter(F.col("_qty") > 100)

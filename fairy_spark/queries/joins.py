@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from fairy_spark.functions.exact import money_sum
 from fairy_spark.operators.asof import asof_join_backward
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
@@ -20,7 +21,7 @@ from fairy_spark.sources.tables import load_table
     "join_3way_revenue",
     oracle="""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -42,7 +43,7 @@ def join_3way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # 25-row dim: broadcast
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -55,7 +56,7 @@ def join_3way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           COUNT(*) AS n_suppliers, ROUND(SUM(s.s_acctbal), 4) AS total_bal
+           COUNT(*) AS n_suppliers, SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -73,7 +74,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+            money_sum(F.col("s_acctbal"), unit=100).alias("total_bal"),
         )
         .orderBy("region", "nation")
     )

@@ -702,12 +702,16 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate-repetition quality signal in pretraining filters
     (1 - distinct/total over word 3-grams). Pure JVM HOF pipeline, no
     shuffle: the ratio is per-row."""
+    from fairy_spark.operators.text import word_ngrams
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
+    # word_ngrams clamps via slice(…, greatest(sz-k, 0)): a <=2-token
+    # doc yields an EMPTY gram array, matching the oracle's empty
+    # generate_series(1, 0). The previous hand-rolled
+    # sequence(1, size-2) built a DESCENDING [1, 0] for short docs
+    # (step defaults to -1 when start > stop) and slice(toks, 0, 3)
+    # crashed the whole query on any 1-2 token document.
+    grams = word_ngrams(tokenize(F.col("text")), 3)
     t = d.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
     return (
         t.select(

@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from fairy_spark.functions.exact import money_sum
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
 
@@ -179,7 +180,7 @@ def catalog_list_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice), 6) AS total,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total,
            CAST(SUM(l_quantity) AS DOUBLE) AS qty
     FROM lineitem
     GROUP BY l_returnflag
@@ -200,7 +201,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 6).alias("total"),
+            money_sum(F.col("l_extendedprice"), unit=100).alias("total"),
             F.sum("l_quantity").cast("double").alias("qty"),
         )
         .orderBy("l_returnflag")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from fairy_spark.functions.exact import money_sum as _money_sum, round6 as _round6
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
 
@@ -23,7 +24,7 @@ from fairy_spark.sources.tables import load_table
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
            o.o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -52,9 +53,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -66,7 +67,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -99,9 +100,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
@@ -110,7 +111,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -130,9 +131,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
-                "revenue"
-            )
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
         )
     )
 
@@ -141,7 +140,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -167,9 +166,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -297,7 +296,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -345,9 +344,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -358,7 +357,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vol AS (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS volume_u,
              n1.n_name AS supp_nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -374,8 +373,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AND TIMESTAMP '1996-12-31 00:00:00'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           CAST(FLOOR(
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_u ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume_u) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS mkt_share
     FROM vol
     GROUP BY o_year
     ORDER BY o_year
@@ -410,16 +411,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+            .cast("bigint")
+            .alias("volume_u"),
             "supp_nation",
         )
     )
+    # Integer-unit numerator/denominator are exact on both engines, so
+    # the quotient and its floor-rounding are the same IEEE ops.
     share = F.sum(
-        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
-    ) / F.sum("volume")
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume_u")).otherwise(F.lit(0))
+    ).cast("double") / F.sum("volume_u").cast("double")
     return (
         vol.groupBy("o_year")
-        .agg(F.round(share, 6).alias("mkt_share"))
+        .agg(_round6(share).alias("mkt_share"))
         .orderBy("o_year")
     )
 
@@ -464,7 +469,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+    SELECT CAST(FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#5'
@@ -492,14 +498,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brand_li.join(
         F.broadcast(lim), F.col("l_partkey") == F.col("lim_pk")
     ).filter(F.col("l_quantity") < F.col("qty_lim")).agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
+        _round6(_money_sum(F.col("l_extendedprice"), unit=100) / 7.0).alias(
+            "avg_yearly"
+        )
     )
 
 
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    SELECT SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -530,9 +538,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
     )
 
@@ -604,7 +612,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(c_custkey % 7 AS INTEGER) AS cntrycode,
            COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 6) AS totacctbal
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -636,7 +644,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         rich.groupBy((F.col("c_custkey") % 7).cast("int").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+            _money_sum(F.col("c_acctbal"), unit=100).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

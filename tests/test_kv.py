@@ -182,3 +182,25 @@ def test_evict_boundary_ties_deterministic(kv):
     assert evicted == 3
     # (seq ties broken by key ASC) -> k0..k2 kept
     assert sorted(r["key"] for r in kv.keys().collect()) == ["k0", "k1", "k2"]
+
+
+def test_compact_hard_crash_recovery(kv, spark):
+    """A process kill between compact()'s two renames leaves the live
+    name unbound with the data in _bak; creating a fresh handle must
+    rebind it (ADVICE r2: the in-process restore alone can't cover a
+    hard crash)."""
+    kv.put_batch([("a", b"1"), ("b", b"2")])
+    # Simulate the crash window: live renamed away, swap never finished.
+    spark.sql(f"ALTER TABLE {kv.table} RENAME TO {kv.table}_bak")
+    healed = KVStore(spark, name="test", num_buckets=8)
+    assert healed.get("a") == b"1" and healed.get("b") == b"2"
+    assert not spark.catalog.tableExists(f"{kv.table}_bak")
+    # Orphaned snapshot with no live and no bak: snapshot is rebound.
+    spark.sql(f"ALTER TABLE {kv.table} RENAME TO {kv.table}_compact")
+    healed2 = KVStore(spark, name="test", num_buckets=8)
+    assert healed2.get("b") == b"2"
+    # Stale snapshot NEXT TO a live table is dropped, live untouched.
+    healed2.scan().limit(0).write.mode("overwrite").saveAsTable(f"{kv.table}_compact")
+    healed3 = KVStore(spark, name="test", num_buckets=8)
+    assert healed3.get("a") == b"1"
+    assert not spark.catalog.tableExists(f"{kv.table}_compact")

@@ -4,6 +4,7 @@ and prefix-sum correctness across shard boundaries / empty input."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from fairy_spark.operators.merge import merge_upsert
@@ -25,11 +26,23 @@ def test_merge_matched_source_null_wins(spark):
 def test_merge_requires_matching_columns(spark):
     a = spark.createDataFrame([Row(k=1, v="x")], "k INT, v STRING")
     b = spark.createDataFrame([Row(k=1, w="y")], "k INT, w STRING")
-    try:
+    # ValueError, not assert: asserts vanish under python -O, and this
+    # is an API contract, not a debugging aid.
+    with pytest.raises(ValueError, match="column sets"):
         merge_upsert(a, b, "k")
-        raise AssertionError("expected column-mismatch assertion")
-    except AssertionError as e:
-        assert "column sets" in str(e)
+
+
+def test_merge_drops_null_keys_and_dedupes_source(spark):
+    """NULL source keys never equi-join (they'd emit all-NULL garbage
+    rows) and duplicate source keys would fan matched target rows out
+    through the full-outer join — both are filtered on entry."""
+    t = spark.createDataFrame([Row(k=1, v="old"), Row(k=2, v="keep")], "k INT, v STRING")
+    s = spark.createDataFrame(
+        [Row(k=1, v="new"), Row(k=1, v="new"), Row(k=None, v="junk")],
+        "k INT, v STRING",
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(t, s, "k").collect()}
+    assert out == {1: "new", 2: "keep"}  # no fan-out, no NULL-key row
 
 
 def test_prefix_sum_matches_serial_fold_across_shards(spark):
