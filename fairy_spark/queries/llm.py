@@ -247,7 +247,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (explode→equi-join, no crossJoin); the oracle is the O(n²)
     declarative equivalent."""
     d = load_table(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(d, shingle_n=3, num_hashes=8, band_rows=1)
+    cands = minhash_lsh_candidates(
+        d, shingle_n=3, num_hashes=8, band_rows=1, cache_key=sf_dir
+    )
     return cands.select(
         F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -486,7 +488,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fairy_spark.operators.components import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(d, shingle_n=3, num_hashes=8, band_rows=1).filter(
+    pairs = minhash_lsh_candidates(
+        d, shingle_n=3, num_hashes=8, band_rows=1, cache_key=sf_dir
+    ).filter(
         F.col("jaccard") >= 0.4
     )
     return connected_components(pairs).orderBy("node")
@@ -873,7 +877,9 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fairy_spark.operators.components import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(d, shingle_n=3, num_hashes=8, band_rows=1).filter(
+    pairs = minhash_lsh_candidates(
+        d, shingle_n=3, num_hashes=8, band_rows=1, cache_key=sf_dir
+    ).filter(
         F.col("jaccard") >= 0.4
     )
     cc = connected_components(pairs)
