@@ -897,3 +897,95 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comp")
     )
+
+
+@register(
+    "text_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, n_toks, CAST(cum AS BIGINT) AS cum_toks
+    FROM c
+    WHERE cum <= 12000
+    ORDER BY doc_id
+    """,
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: walk documents in doc_id order and
+    keep rows while the running token total stays under budget — the
+    'fill a training mixture to N tokens' op. The oracle's global
+    running window is the semantics; the Spark plan is the two-pass
+    sharded prefix sum (operators/packing.py), so no SinglePartition
+    window at any corpus size (gated in tests/test_plans.py)."""
+    from fairy_spark.operators.packing import packed_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_toks"),
+    )
+    with_cum = packed_running_sum(t, "doc_id", "n_toks", n_shards=32)
+    return (
+        with_cum.filter(F.col("cum") <= 12000)
+        .select("doc_id", "n_toks", F.col("cum").alias("cum_toks"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(toks)-7, 0)),
+                        i -> array_to_string(toks[i:i+7], ' '))) AS gram
+          FROM t),
+    probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    hits AS (SELECT DISTINCT g.doc_id FROM g JOIN probe USING (gram)
+             WHERE g.doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           t.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+    FROM t
+    WHERE t.doc_id % 97 <> 0
+    ORDER BY t.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag training documents sharing any
+    word 8-gram with the benchmark probe set (docs with doc_id % 97 == 0
+    stand in for the held-out benchmark). Probe gram tables are small by
+    nature (benchmarks are kilo-docs, corpora are tera-docs), so the
+    probe side broadcasts and the check is one map-side semi-join over
+    the corpus gram stream — never an all-pairs comparison; with a
+    giant probe set drop the broadcast hint and Catalyst shuffles the
+    equi-join on the gram key."""
+    from fairy_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_ngrams(tokenize(F.col("text")), 8)).alias("gram")
+    )
+    probe = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(probe), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+        .orderBy("doc_id")
+    )

@@ -206,3 +206,95 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scan_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    WHERE doc_id <= 64
+    ORDER BY doc_id
+    """,
+)
+def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest via the binaryFile source — the multimodal
+    on-ramp (SURVEY.md LLM surface): one file per object, read back as
+    (path, length, content binary) rows with typed metadata. Export
+    runs on the executors (foreachPartition, one blob per row — at
+    cluster scale the target is shared storage, here the local scratch
+    dir); the byte length and sha256 must survive the round-trip
+    exactly, proving the binary column is carried opaquely."""
+    import shutil
+
+    path = _scratch(spark, sf_dir, "docs_blobs")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 64)
+        .select("doc_id", "text")
+    )
+
+    def _export(rows) -> None:
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r['doc_id']:06d}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(_export)
+    back = spark.read.format("binaryFile").load(path)
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "scan_text_parse",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(SUM(l_orderkey + l_linenumber) AS BIGINT) AS key_sum
+    FROM lineitem
+    WHERE l_suppkey <= 20
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+)
+def scan_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-line ingest: a lineitem slice → one delimited line per row
+    through the text sink → spark.read.text → columns parsed out of
+    `value` — the classic log-file ingestion path. Split + cast stay
+    whole-stage-codegen; integer aggregates keep the compare exact."""
+    path = _scratch(spark, sf_dir, "lineitem_text")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    (
+        li.select(
+            F.concat_ws("|", "l_orderkey", "l_linenumber", "l_returnflag").alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    parts = F.split(F.col("value"), r"\|")
+    return (
+        spark.read.text(path)
+        .select(
+            parts.getItem(0).cast("bigint").alias("l_orderkey"),
+            parts.getItem(1).cast("bigint").alias("l_linenumber"),
+            parts.getItem(2).alias("flag"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum"),
+        )
+        .orderBy("flag")
+    )
