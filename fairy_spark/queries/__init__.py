@@ -107,11 +107,20 @@ def _driver_verified_counts() -> dict[str, int]:
     return counts
 
 
-# Never driver-checked rows whose local-only evidence is weakest (live
-# streaming engine runs, multi-op MERGE/BM25/survivor pipelines): pull
-# into the checked window ahead of their interleave slot until they
-# have one driver pass, then the count-based rotation takes over.
-_RECHECK_FIRST = {"merge_upsert", "text_bm25", "dedup_survivors", "stream_exec_stream_join"}
+# Rows pinned to the FRONT of the checked window regardless of past
+# driver passes: queries whose implementation changed since their last
+# driver pass (win_cume_pct: round-3 sharded-rank rewrite) or whose
+# local-only evidence is weakest (live streaming engine runs, multi-op
+# MERGE/BM25/survivor pipelines). Curate per round: prune entries once
+# the next CORRECTNESS file shows them green, or they permanently tax
+# the 50-slot window.
+_RECHECK_FIRST = {
+    "merge_upsert",
+    "text_bm25",
+    "dedup_survivors",
+    "stream_exec_stream_join",
+    "win_cume_pct",
+}
 
 
 def _interleave_families() -> None:
@@ -130,16 +139,22 @@ def _interleave_families() -> None:
     driver's entry() smoke check uses it.
     """
     verified = _driver_verified_counts()
-    keys_by_family: dict[str, list[str]] = {}
+
+    def tier_of(name: str) -> int:
+        return -1 if name in _RECHECK_FIRST else verified.get(name, 0)
+
+    # Interleave WITHIN each (tier, family) group: fractions restart
+    # per tier, so every family's least-verified members surface at the
+    # head of their tier — otherwise a family whose early members were
+    # verified in past rounds gets its remaining members pushed out of
+    # the checked window entirely.
+    keys_by_group: dict[tuple[int, str], list[str]] = {}
     for name in QUERIES:
-        keys_by_family.setdefault(FAMILY[name], []).append(name)
+        keys_by_group.setdefault((tier_of(name), FAMILY[name]), []).append(name)
     ranked: list[tuple[int, float, str]] = []
-    for fam_keys in keys_by_family.values():
+    for (tier, _fam), fam_keys in keys_by_group.items():
         n = len(fam_keys)
         for j, name in enumerate(fam_keys):
-            tier = verified.get(name, 0)
-            if tier == 0 and name in _RECHECK_FIRST:
-                tier = -1
             ranked.append((tier, (j + 0.5) / n, name))
     ranked.sort(key=lambda t: (t[0], t[1]))
     order = ["q1_pricing_summary"] + [

@@ -1,0 +1,66 @@
+"""Registry-ordering invariants: the external gate truncates the
+checked prefix at ~50 entries, so the ordering IS part of the
+verification strategy — every prefix must cover all families, and the
+checked window must rotate toward the least-driver-verified queries
+each round (VERDICT r2 #2)."""
+
+from __future__ import annotations
+
+import json
+
+from fairy_spark.queries import (
+    FAMILY,
+    QUERIES,
+    _RECHECK_FIRST,
+    _driver_verified_counts,
+)
+
+
+def test_prefix_covers_every_family_with_unverified_rows():
+    """Every family that still has a never-driver-verified query must
+    land at least one of them in the checked 50-prefix; fully-verified
+    families may legitimately rotate out."""
+    counts = _driver_verified_counts()
+    names = list(QUERIES)
+    unverified_fams = {FAMILY[n] for n in names if counts.get(n, 0) <= 0}
+    seen = {FAMILY[n] for n in names[:50] if counts.get(n, 0) <= 0}
+    assert seen == unverified_fams, (
+        f"prefix misses families with unverified rows: {unverified_fams - seen}"
+    )
+
+
+def test_least_verified_queries_sort_first():
+    """Outside the pinned flagship, no query with k driver passes may
+    precede one with fewer than k (recheck-pinned rows excepted)."""
+    counts = _driver_verified_counts()
+    names = [n for n in QUERIES if n != "q1_pricing_summary"]
+
+    def tier(n: str) -> int:
+        return -1 if n in _RECHECK_FIRST else counts.get(n, 0)
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "registry not ordered by verification tier"
+
+
+def test_verified_counts_shape(tmp_path):
+    """Counts parse pass/fail correctly: a pass increments, any failure
+    (error, row/hash mismatch) forces the query to the front tier."""
+    fixture = {
+        "good": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+        "bad_hash": {"err": None, "rows_match": True, "schema_match": True, "hash_match": False},
+        "errored": {"err": "boom", "rows_match": False, "schema_match": False, "hash_match": False},
+    }
+    p = tmp_path / "CORRECTNESS_r99.json"
+    p.write_text(json.dumps(fixture))
+    import glob as glob_mod
+
+    orig_glob = glob_mod.glob
+    try:
+        glob_mod.glob = (
+            lambda pat: [str(p)] if "CORRECTNESS" in pat else orig_glob(pat)
+        )
+        counts = _driver_verified_counts()
+    finally:
+        glob_mod.glob = orig_glob
+    assert counts["good"] == 1
+    assert counts["bad_hash"] < 0 and counts["errored"] < 0
