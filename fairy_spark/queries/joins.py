@@ -287,3 +287,37 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("value", 6).alias("value"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-hash-join strategy pin (the third join strategy next to
+    broadcast and sort-merge): for a build side too big to broadcast
+    but whose per-partition slice fits in memory, SHJ hashes the build
+    side per partition and skips the sort BOTH sides pay under SMJ —
+    the right call for fact⋈mid-table joins where sort time dominates.
+    The hint pins the strategy so the plan gate can assert it; without
+    the hint Catalyst may broadcast at test SF, which proves nothing
+    about the hash path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

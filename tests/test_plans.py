@@ -354,3 +354,11 @@ def test_no_single_partition_window_in_any_query(spark, sf_dir):
         if _single_partition_windows(spark, lambda f=fn: f(spark, str(sf_dir))):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_shuffle_hash_join_strategy_pinned(spark, sf_dir):
+    """join_shuffle_hash must plan a ShuffledHashJoin — neither a
+    broadcast (would hide the hash path at test SF) nor an SMJ (would
+    mean the hint regressed and both sides pay a sort)."""
+    plan = plan_of(QUERIES["join_shuffle_hash"](spark, str(sf_dir)))
+    assert "ShuffledHashJoin" in plan, plan
