@@ -989,3 +989,75 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_chunk_split",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE doc_id <= 200),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, GREATEST(len(toks), 1), 48)) AS start
+      FROM t)
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(LEN(toks[start:start+63]) AS BIGINT) AS chunk_len,
+           array_to_string(toks[start:start+63], ' ') AS chunk_text
+    FROM s
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 64-token chunks on a 48-token
+    stride (16-token overlap) — the standard long-document split for
+    context-bounded training and retrieval indexing. Pure per-row HOF
+    explode (sequence of chunk starts → slice), no shuffle until the
+    output sort; chunk boundaries depend only on the row, so the op is
+    embarrassingly parallel at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("toks")), F.lit(1)), F.lit(48)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), 64)
+    return (
+        d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select("doc_id", "toks", F.posexplode(starts).alias("pos", "start"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("chunk_len"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "text_pii_mask",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS masked,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_masked
+    FROM documents
+    WHERE doc_id <= 300
+    ORDER BY doc_id
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking transform: global regexp_replace of a pattern
+    class with a typed placeholder plus a per-doc hit count — the
+    redaction pass every training corpus runs (swap the digit-run
+    pattern for email/phone/ID classes in production; the synthetic
+    corpus contains only digit runs, which keeps the oracle signal
+    non-zero). Whole-stage-codegen expressions, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_replace("text", r"[0-9]+", "<NUM>").alias("masked"),
+            F.regexp_count("text", F.lit(r"[0-9]+")).cast("int").alias("n_masked"),
+        )
+        .orderBy("doc_id")
+    )

@@ -84,3 +84,32 @@ def test_pack_bins_never_splits_monotonically(spark):
     # bins are nondecreasing in id order and change at ~512-token marks
     assert bins == sorted(bins)
     assert bins[0] == 0 and bins[-1] == (50 * 39) // 512
+
+
+def test_sharded_rank_matches_serial_sort(spark):
+    """sharded_global_row_number == the serial sorted position, across
+    shard boundaries, duplicate leading keys, negatives, and a shard
+    count larger than the row count."""
+    from fairy_spark.operators.ranking import sharded_global_row_number
+
+    vals = [(-50.0, 1), (-50.0, 2), (0.0, 3), (0.25, 4), (0.25, 5),
+            (7.5, 6), (7.5, 7), (7.5, 8), (1000.0, 9), (1000.0, 10)]
+    df = spark.createDataFrame(vals, "v DOUBLE, id INT")
+    for shards in (1, 3, 64):
+        out, n = sharded_global_row_number(df, ["v", "id"], n_shards=shards)
+        assert n == len(vals)
+        got = {r["id"]: r["pos"] for r in out.collect()}
+        want = {id_: i + 1 for i, (_, id_) in enumerate(sorted(vals))}
+        assert got == want, (shards, got)
+
+
+def test_sharded_rank_single_distinct_key_and_empty(spark):
+    from fairy_spark.operators.ranking import sharded_global_row_number
+
+    same = spark.createDataFrame([(5.0, i) for i in range(20)], "v DOUBLE, id INT")
+    out, n = sharded_global_row_number(same, ["v", "id"], n_shards=8)
+    assert n == 20
+    assert [r["pos"] for r in out.orderBy("id").collect()] == list(range(1, 21))
+    empty = spark.createDataFrame([], "v DOUBLE, id INT")
+    out_e, n_e = sharded_global_row_number(empty, ["v", "id"], n_shards=8)
+    assert n_e == 0 and out_e.count() == 0
