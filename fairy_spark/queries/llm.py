@@ -1061,3 +1061,94 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_curriculum_decile",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents)
+    SELECT doc_id, n_chars, CAST(decile AS BIGINT) AS decile
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def text_curriculum_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: global NTILE(10) over a difficulty proxy
+    (doc length) WITHOUT the SinglePartition exchange a bare
+    ``NTILE() OVER (ORDER BY ...)`` plans. Positions come from the
+    two-pass sharded rank (operators/ranking.py); the SQL NTILE split
+    (first N%k buckets hold one extra row) is reproduced from the
+    driver-known total: q, r = divmod(N, k); pos <= r*(q+1) falls in
+    the wide buckets, the rest in the narrow ones."""
+    from fairy_spark.operators.ranking import sharded_global_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked, n = sharded_global_row_number(
+        d, ["n_chars", "doc_id"], n_shards=32
+    )
+    k = 10
+    q, r = divmod(n, k)
+    wide = F.floor((F.col("pos") - 1) / F.lit(q + 1)) + 1
+    narrow = (
+        F.lit(r)
+        + F.floor((F.col("pos") - 1 - F.lit(r * (q + 1))) / F.lit(max(q, 1)))
+        + 1
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("pos") <= r * (q + 1), wide)
+            .otherwise(narrow)
+            .cast("bigint")
+            .alias("decile"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    d AS (SELECT tok,
+                 list_sort(list(DISTINCT doc_id)) AS postings,
+                 COUNT(DISTINCT doc_id) AS df
+          FROM t GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tok,
+           CAST(df AS BIGINT) AS df,
+           array_to_string(postings[1:100], ',') AS postings_head
+    FROM d, n
+    WHERE df <= 0.77 * n_docs
+    ORDER BY tok
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (posting lists): term → sorted document list —
+    the retrieval-side structure BM25/TF-IDF probe. One explode + one
+    hash aggregate. Terms in >77% of documents are stoplisted by a
+    RELATIVE df cutoff (broadcast 1-row corpus count), so the band is
+    scale-factor-stable; the emitted posting list is capped to its
+    first 100 ids (the full list is index payload, not query output)
+    and flattened to a joined string — the driver's hash canonicalizer
+    rejects array cells (FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_set("doc_id")), 1, 100)
+            ).alias("postings_head"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= 0.77 * F.col("n_docs"))
+        .select("tok", F.col("df").cast("bigint").alias("df"), "postings_head")
+        .orderBy("tok")
+    )
