@@ -87,3 +87,15 @@ def sharded_global_row_number(
         .drop("_shard", "_local_rn", "_offset")
     )
     return out, running
+
+
+def ntile_from_pos(pos: Column, total: int, k: int) -> Column:
+    """SQL NTILE(k) reconstructed from a global 1-based position and
+    the driver-known row count: q, r = divmod(total, k); the first r
+    buckets hold q+1 rows, the rest q. Pairs with
+    sharded_global_row_number to give a global NTILE without the
+    SinglePartition exchange the bare window function plans."""
+    q, r = divmod(total, k)
+    wide = F.floor((pos - 1) / F.lit(q + 1)) + 1
+    narrow = F.lit(r) + F.floor((pos - 1 - F.lit(r * (q + 1))) / F.lit(max(q, 1))) + 1
+    return F.when(pos <= r * (q + 1), wide).otherwise(narrow)

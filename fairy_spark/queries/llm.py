@@ -1083,28 +1083,20 @@ def text_curriculum_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first N%k buckets hold one extra row) is reproduced from the
     driver-known total: q, r = divmod(N, k); pos <= r*(q+1) falls in
     the wide buckets, the rest in the narrow ones."""
-    from fairy_spark.operators.ranking import sharded_global_row_number
+    from fairy_spark.operators.ranking import (
+        ntile_from_pos,
+        sharded_global_row_number,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     ranked, n = sharded_global_row_number(
         d, ["n_chars", "doc_id"], n_shards=32
     )
-    k = 10
-    q, r = divmod(n, k)
-    wide = F.floor((F.col("pos") - 1) / F.lit(q + 1)) + 1
-    narrow = (
-        F.lit(r)
-        + F.floor((F.col("pos") - 1 - F.lit(r * (q + 1))) / F.lit(max(q, 1)))
-        + 1
-    )
     return (
         ranked.select(
             "doc_id",
             "n_chars",
-            F.when(F.col("pos") <= r * (q + 1), wide)
-            .otherwise(narrow)
-            .cast("bigint")
-            .alias("decile"),
+            ntile_from_pos(F.col("pos"), n, 10).cast("bigint").alias("decile"),
         )
         .orderBy("doc_id")
     )

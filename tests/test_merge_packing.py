@@ -113,3 +113,31 @@ def test_sharded_rank_single_distinct_key_and_empty(spark):
     empty = spark.createDataFrame([], "v DOUBLE, id INT")
     out_e, n_e = sharded_global_row_number(empty, ["v", "id"], n_shards=8)
     assert n_e == 0 and out_e.count() == 0
+
+
+def test_sharded_ntile_split_matches_sql_ntile(spark):
+    """The driver-side NTILE reconstruction used by
+    text_curriculum_decile (q, r = divmod(N, k); first r buckets wide)
+    must equal SQL NTILE for totals that do NOT divide evenly — both
+    oracle SFs have N % 10 == 0, so this branch never fires there."""
+    from pyspark.sql import Window
+
+    for n, k in [(23, 10), (7, 10), (40, 7), (10, 10)]:
+        df = spark.createDataFrame([(float(i), i) for i in range(n)], "v DOUBLE, id INT")
+        from fairy_spark.operators.ranking import sharded_global_row_number
+
+        ranked, total = sharded_global_row_number(df, ["v", "id"], n_shards=4)
+        from fairy_spark.operators.ranking import ntile_from_pos
+
+        mine = {
+            row["id"]: row["b"]
+            for row in ranked.select(
+                "id", ntile_from_pos(F.col("pos"), total, k).cast("int").alias("b")
+            ).collect()
+        }
+        w = Window.orderBy("v", "id")  # tiny n: global window is fine in a test
+        want = {
+            row["id"]: row["b"]
+            for row in df.select("id", F.ntile(k).over(w).alias("b")).collect()
+        }
+        assert mine == want, (n, k, mine, want)
