@@ -67,9 +67,16 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     band_rows: int = 1,
     cache_key: str | None = None,
+    with_estimate: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band,
     annotated with exact Jaccard over shingle sets.
+
+    ``with_estimate`` adds ``est_jaccard`` — the fraction of agreeing
+    minhash signature components, the estimator a production pipeline
+    would filter on INSTEAD of the exact verify once the corpus is too
+    large to re-shingle candidate pairs. Joining it next to the exact
+    value turns the query into an estimator-quality diagnostic.
 
     num_hashes/band_rows tune recall vs candidate volume: 8 hashes in
     1-row bands ≈ P(candidate) = 1-(1-j)^8 — high recall; at larger
@@ -174,15 +181,33 @@ def minhash_lsh_candidates(
     sh_b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    out = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+    cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    ]
+    if with_estimate:
+        # Signature agreement fraction: matches/num_hashes is an exact
+        # multiple of 1/num_hashes, so the quotient is bit-identical
+        # across engines. Null components (empty shingle sets) count as
+        # non-matching on both sides.
+        sg_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sg_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        out = out.join(sg_a, "id_a").join(sg_b, "id_b")
+        matches = F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
         )
-    )
+        cols.append(
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
+        )
+    return out.select(*cols)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -321,3 +321,115 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_nearby
+    FROM events p JOIN events e
+      ON e.ts >= p.ts - INTERVAL 30 MINUTE
+     AND e.ts <  p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND p.value > 90
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (no equi key): site-wide event count within
+    ±30 min of each high-value purchase. With no equi anchor Spark
+    plans a raw time-range join as BroadcastNestedLoop — O(|facts|·
+    |anchors|) comparisons, dead at 100 TB. Scale path: bin both sides
+    to the hour (a bin fully covers any ±30 min window's overlap with
+    it), explode each anchor onto the 1-2 bins its window touches, and
+    equi-join on the bin before the exact range filter. Each event
+    lives in exactly one bin, so a (purchase, event) pair matches at
+    most once — no post-join dedup. Comparisons drop from |e|·|p| to
+    sum-per-bin products; bin width tunes that trade like any
+    range-partitioned interval index."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("ts").alias("e_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("hbin"),
+    )
+    p = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select(F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withColumn(
+            "hbin",
+            F.explode(
+                F.expr(
+                    "sequence(date_trunc('hour', p_ts - interval 30 minutes),"
+                    " date_trunc('hour', p_ts + interval 30 minutes),"
+                    " interval 1 hour)"
+                )
+            ),
+        )
+    )
+    return (
+        p.join(e, "hbin")
+        .filter(
+            (F.col("e_ts") >= F.col("p_ts") - F.expr("interval 30 minutes"))
+            & (F.col("e_ts") < F.col("p_ts") + F.expr("interval 30 minutes"))
+        )
+        .groupBy("p_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nearby"))
+        .select(F.col("p_id").alias("event_id"), "n_nearby")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
+                THEN ROUND(p.purchase_value, 6) END AS purchase_value_1h
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    ORDER BY c.event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance: each click gets the
+    user's latest purchase value only if that purchase happened within
+    the preceding hour — the standard guard against joining against
+    arbitrarily stale state (market data, feature stores). Same
+    union+last-non-null single-shuffle encoding as join_asof; the
+    matched timestamp rides along as a second carried column and the
+    tolerance is a post-filter, so the scale shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("p_ts", F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value", "p_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("p_ts") >= F.col("ts") - F.expr("interval 1 hour"),
+            F.round("purchase_value", 6),
+        ).alias("purchase_value_1h"),
+    ).orderBy("event_id")

@@ -1144,3 +1144,215 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.col("df").cast("bigint").alias("df"), "postings_head")
         .orderBy("tok")
     )
+
+
+@register(
+    "dedup_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(0, CAST(len(toks) // 8 AS BIGINT) - 1),
+                 i -> array_to_string(toks[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' '))) AS block
+      FROM t WHERE len(toks) >= 8
+    ), c AS (
+      SELECT block, COUNT(DISTINCT doc_id) AS ndocs FROM b GROUP BY block
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           CAST(CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS BIGINT) AS dup_ratio
+    FROM b JOIN c ON b.block = c.block
+    GROUP BY b.doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level (paragraph-analog) cross-document dedup: split each
+    doc into consecutive 8-token blocks and flag blocks that appear in
+    MORE THAN ONE document — the line/paragraph-granularity dedup pass
+    (CCNet-style) that catches shared boilerplate exact-doc dedup
+    misses. Plan: per-row HOF blocking (no shuffle), one hash agg for
+    corpus block counts keyed on md5 (narrow shuffle key, not the block
+    text), one |blocks|-bound join back, one per-doc agg — every stage
+    is key-partitioned; nothing is corpus-quadratic. The partial tail
+    block (< 8 tokens) is dropped on both sides by construction."""
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .withColumn("nb", F.floor(F.size("toks") / k).cast("int"))
+        .filter(F.col("nb") >= 1)  # sequence(0,-1) descends: guard short docs
+    )
+    blocks = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("nb") - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * k + 1, F.lit(k)), " "),
+            )
+        ).alias("block"),
+    ).withColumn("bh", F.md5("block")).drop("block")
+    counts = blocks.groupBy("bh").agg(F.countDistinct("doc_id").alias("ndocs"))
+    dup = F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        blocks.join(counts, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            dup.alias("n_dup_blocks"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("n_dup_blocks").cast("double") / F.col("n_blocks")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MH_EST_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_filter([1,2,3,4,5,6,7,8],
+                                      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8, 6)
+             AS est_jaccard,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND ({" OR ".join(f"a.sig[{i + 1}] = b.sig[{i + 1}]" for i in range(8))})
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_est", oracle=_MH_EST_ORACLE)
+def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality diagnostic for minhash dedup: each LSH
+    candidate pair with BOTH the signature-agreement estimate
+    (matches/num_hashes — what a 100 TB pipeline thresholds on, since
+    re-shingling every candidate pair is the expensive part) and the
+    exact shingle Jaccard. Reuses the warm persisted signature index
+    from dedup_minhash_lsh (same cache_key), so the incremental cost is
+    one extra |pairs|-bound join."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, shingle_n=3, num_hashes=8, band_rows=1, cache_key=sf_dir,
+        with_estimate=True,
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "text_zipf_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    ), c AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE term <> '' GROUP BY term
+    ), r AS (
+      SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+      FROM c
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, term, cnt
+    FROM r WHERE rnk <= 50
+    ORDER BY rnk
+    """,
+)
+def text_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency head: the top-50 corpus terms with their
+    global frequency rank — the vocabulary curve every corpus audit
+    plots. Scale path: term counts are one hash agg; the top-50 cut is
+    orderBy+limit, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort); ranks over the surviving 50
+    rows come from the sharded two-pass ranking module, so no stage —
+    not even the final rank — funnels the vocabulary through a
+    SinglePartition window."""
+    from fairy_spark.operators.ranking import sharded_global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(50)
+        # limit() leaves ONE partition, which satisfies every
+        # distribution — the sharded-rank window would silently inherit
+        # SinglePartition and trip the registry-wide plan gate.
+        # Re-spread the (bounded, ≤50-row) head so the rank runs
+        # hash-partitioned by shard like every other global rank.
+        .repartition(8)
+        .withColumn("neg_cnt", -F.col("cnt"))
+    )
+    ranked, _n = sharded_global_row_number(
+        top, ["neg_cnt", "term"], n_shards=8, pos_col="rnk"
+    )
+    return ranked.select(
+        F.col("rnk").cast("bigint").alias("rnk"), "term", "cnt"
+    ).orderBy("rnk")
+
+
+@register(
+    "ml_embed_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), f AS (
+      SELECT label, CAST(pos AS INTEGER) AS pos,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi
+      FROM ex
+    )
+    SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(SUM(vi) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) * 1000000 AS BIGINT) AS centroid
+    FROM f GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def ml_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes / IVF-style
+    coarse codebook built from labels): posexplode to (label, dim)
+    cells, one hash agg, centroid = exact fixed-point sum / (n·1e6) so
+    the mean is ONE IEEE division of exactly-represented integers on
+    both engines — no accumulation-order drift (FIXTURES.md exactness
+    conventions). Long (label, pos) output keeps cells scalar for the
+    driver's value hash instead of stringifying arrays. Scales: the
+    shuffle carries dim·|labels| partial sums, not vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    fixed = F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5)).cast("bigint")
+    agg = (
+        ex.withColumn("vi", fixed)
+        .groupBy("label", "pos0")
+        .agg(F.sum("vi").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return agg.select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("n").cast("bigint").alias("n_vecs"),
+        (F.col("s").cast("double") / (F.col("n") * 1000000).cast("double")).alias(
+            "centroid"
+        ),
+    ).orderBy("label", "pos")
