@@ -178,3 +178,30 @@ def stream_exec_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_join(left, right, key="user_id", within="2 hours")
     sink = run_to_table(joined, mode="append")
     return sink.orderBy("user_id", "l_event", "r_event")
+
+
+@register("stream_exec_stateful_ema", oracle=ORACLE["stream_stateful_ema_batch"])
+def stream_exec_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom stateful operator
+    (streaming/stateful.py) through the LIVE engine: per-user
+    count/sum/EMA state evolved across real micro-batches, update-mode
+    emissions into a memory sink. A user touched by k micro-batches
+    emits k progressively-updated rows; the FINAL state is the row
+    with the largest n — per-user event count is strictly monotone
+    across updates, so max_by(·, n) selects the last emission without
+    depending on sink insertion order. Same oracle as the batch twin:
+    a green row hash-checks the Python state fold, the state store,
+    and the replay ordering at once."""
+    from fairy_spark.streaming.stateful import user_running_stats
+
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir))
+    sink = run_to_table(user_running_stats(stream), mode="update")
+    final = sink.groupBy("user_id").agg(
+        F.max_by(F.struct("n", "total", "ema"), F.col("n")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n").alias("n"),
+        F.round(F.col("s.total"), 6).alias("total"),
+        F.round(F.col("s.ema"), 6).alias("ema"),
+    ).orderBy("user_id")
