@@ -453,3 +453,42 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT c_nationkey,
+           ARG_MAX(c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 1000000 + c_custkey)
+             AS richest_cust,
+           ARG_MIN(c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 1000000 + c_custkey)
+             AS poorest_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extremum aggregates (max_by/min_by — DuckDB arg_max/arg_min):
+    per nation, the customer holding the highest / lowest balance. The
+    ordering value is a tie-free fixed-point composite
+    (cents·1e6 + custkey): doubles as ordering keys invite cross-engine
+    tie ambiguity, integers don't. max_by is a hash aggregate with
+    mergeable (value, key) partial state — one shuffle of one pair per
+    group per partition, the shape that replaces the rank-window-
+    then-filter idiom wherever only the extremum row is wanted."""
+    c = load_table(spark, sf_dir, "customer")
+    ordv = (
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") * 1000000
+        + F.col("c_custkey")
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", ordv).alias("richest_cust"),
+            F.min_by("c_custkey", ordv).alias("poorest_cust"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        )
+        .orderBy("c_nationkey")
+    )

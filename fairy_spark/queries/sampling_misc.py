@@ -112,3 +112,40 @@ def fn_id_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count_distinct("mid") == F.count(F.lit(1))).alias("ids_unique"),
         F.min(F.length("fname") > 0).alias("files_tagged"),
     )
+
+
+@register(
+    "sample_hash_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             MD5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS h
+      FROM lineitem
+      ORDER BY h
+      LIMIT 200
+    )
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-size uniform sample without replacement:
+    the k rows with the smallest content hash. Complements
+    sample_hash_mod (whose size is only proportional): hash-order
+    top-k gives precisely k rows, reproducibly, engine-independently —
+    the standard trick for fixed-size eval/holdout draws. Plans as
+    TakeOrderedAndProject (per-partition heaps of k, no global sort),
+    so the cost at 100 TB is one scan + k-row merges. The md5 key is
+    unique per row identity, so the selected SET has no tie
+    ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity", F.md5(key).alias("h")
+        )
+        .orderBy("h")
+        .limit(200)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
