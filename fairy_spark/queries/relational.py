@@ -296,3 +296,33 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "kv_prefix_scan",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE CAST(doc_id AS VARCHAR) LIKE '12%'
+    ORDER BY key
+    """,
+)
+def kv_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV prefix scan — the FUSE readdir analog (SURVEY §2.A A17,
+    fuse/src/uring_fuse/uring_fs/mod.rs:116-166): list every key under
+    a prefix with its payload size. ``startswith`` compiles to a
+    StringStartsWith filter pushed into the parquet scan, so on a real
+    bucketed store the listing is served from column min/max stats and
+    dictionary pages, not a full key sweep — the same reason the
+    reference's readdir reads one directory, not the whole tree."""
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+    return (
+        kv.filter(F.col("key").startswith("12"))
+        .select("key", F.length("value").cast("bigint").alias("n_bytes"))
+        .orderBy("key")
+    )
