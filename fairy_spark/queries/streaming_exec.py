@@ -205,3 +205,53 @@ def stream_exec_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.total"), 6).alias("total"),
         F.round(F.col("s.ema"), 6).alias("ema"),
     ).orderBy("user_id")
+
+
+@register(
+    "stream_exec_foreach_ingest",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_units
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_exec_foreach_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The programmable ingest path through the LIVE engine — the
+    reference's put loop generalized (h2_service.rs:89-109: arbitrary
+    code runs per arriving chunk): every replay micro-batch is handed
+    to a foreachBatch sink that appends it to a durable parquet table,
+    then the TABLE (not the stream) is aggregated and hash-checked
+    against the full events oracle. Green means no batch was dropped,
+    duplicated, or truncated on the way through the engine + sink —
+    the multi-chunk-body truncation bug noted in SURVEY §3.1 is
+    exactly what this row would catch. Value sums are fixed-point
+    integer units so the check is accumulation-order-exact."""
+    import uuid
+
+    from fairy_spark.streaming.pipeline import run_foreach_batch
+
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "fairy_spark_stream",
+        spark.sparkContext.applicationId,
+        f"ingest_{uuid.uuid4().hex[:8]}",
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_foreach_batch(stream, ingest)
+    units = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(units).cast("bigint").alias("value_units"),
+        )
+        .orderBy("event_type")
+    )
