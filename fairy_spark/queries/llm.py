@@ -1356,3 +1356,68 @@ def ml_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid"
         ),
     ).orderBy("label", "pos")
+
+
+@register(
+    "ml_knn_vote",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS n_label,
+             ROUND({_COS_SQL}, 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id <= 30
+    ), ranked AS (
+      SELECT query_id, n_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ), votes AS (
+      SELECT query_id, n_label, COUNT(*) AS cnt
+      FROM ranked WHERE rn <= 5 GROUP BY query_id, n_label
+    ), pick AS (
+      SELECT query_id,
+             ARG_MAX(n_label, cnt*1000 + (999 - n_label)) AS pred_label,
+             ARG_MAX(cnt,     cnt*1000 + (999 - n_label)) AS votes
+      FROM votes GROUP BY query_id
+    )
+    SELECT p.query_id, a.label AS true_label, p.pred_label,
+           CAST(p.votes AS BIGINT) AS votes,
+           p.pred_label = a.label AS hit
+    FROM pick p JOIN embeddings a ON a.vec_id = p.query_id
+    ORDER BY p.query_id
+    """,
+)
+def ml_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote — the standard embedding-quality probe: each
+    query vector's label predicted by majority vote of its 5 exact
+    nearest neighbors (self excluded), with the hit flag against the
+    true label. Composes the broadcast-query brute-force top-k (one
+    corpus scan) with a vote hash-agg; the winner is chosen by an
+    integer composite (cnt·1000 + (999−label)) so count ties break to
+    the smaller label identically on both engines — majority votes
+    must never depend on float order or hash order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 30)
+    nb = brute_force_topk(e, q, k=5)
+    lab = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    votes = (
+        nb.join(lab, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ordv = F.col("cnt") * 1000 + (999 - F.col("n_label"))
+    pick = votes.groupBy("query_id").agg(
+        F.max_by("n_label", ordv).alias("pred_label"),
+        F.max_by("cnt", ordv).alias("votes"),
+    )
+    truth = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        pick.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            F.col("votes").cast("bigint").alias("votes"),
+            (F.col("pred_label") == F.col("true_label")).alias("hit"),
+        )
+        .orderBy("query_id")
+    )
