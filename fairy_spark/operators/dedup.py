@@ -143,7 +143,15 @@ def minhash_lsh_candidates(
     # shuffles a few dozen bytes per row instead of the shingle arrays;
     # shingles are joined back just for the surviving candidate pairs.
     n_bands = num_hashes // band_rows
-    bands = sig.select(
+    # Docs with an EMPTY shingle set (fewer than n tokens) carry an
+    # all-null signature. concat_ws silently renders null components as
+    # equal empty strings, so without this filter every shingle-less
+    # doc lands in one giant band bucket and pairs with every other —
+    # pairs a null-comparing SQL oracle (sig[i] = sig[i] is NULL, not
+    # true) correctly rejects, and whose Jaccard is 0/0. Shingle-less
+    # docs cannot be shingle-near-dups by definition; exclude them
+    # before banding on both engines' semantics.
+    bands = sig.filter(F.size("shingles") > 0).select(
         "id",
         F.posexplode(
             F.array(

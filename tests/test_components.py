@@ -43,3 +43,24 @@ def test_survivors_partition_the_corpus(spark, sf_dir, pairs):
     # survivors are unique and every survivor is a real doc id
     assert surv.distinct().count() == surv.count()
     assert surv.join(d, "doc_id", "left_anti").count() == 0
+
+
+def test_minhash_excludes_shingle_less_docs(spark):
+    """Docs too short to shingle (< n tokens → empty shingle set, all-
+    null signature) must NOT pair with each other: concat_ws renders
+    null band components as equal empty strings, so without the
+    pre-band filter every short doc lands in one bucket (and the SQL
+    oracle, where NULL = NULL is not true, disagrees). Real near-dups
+    must still surface."""
+    rows = [
+        (1, "aa bb"),                                # 2 tokens: no 3-shingles
+        (2, "aa bb"),                                # identical short doc
+        (3, "cc"),                                   # 1 token
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six eight"),    # near-dup of 4
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = minhash_lsh_candidates(d, shingle_n=3).collect()
+    ids_in_pairs = {r["id_a"] for r in cands} | {r["id_b"] for r in cands}
+    assert not ids_in_pairs & {1, 2, 3}, cands
+    assert any({r["id_a"], r["id_b"]} == {4, 5} for r in cands), cands
