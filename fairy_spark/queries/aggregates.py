@@ -492,3 +492,52 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "agg_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, MEDIAN(value) AS med FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.event_id, e.user_id, e.value, ABS(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (user_id)
+    ), mad AS (
+      SELECT user_id, MEDIAN(dev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id,
+           ROUND(d.value, 6) AS value,
+           d.dev > 3 * m.mad AS is_outlier
+    FROM dev d JOIN mad m USING (user_id)
+    ORDER BY d.event_id
+    """,
+)
+def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key outlier flag via median absolute deviation:
+    |value − median| > 3·MAD — the standard quality pass that survives
+    the outliers it is hunting (mean/stddev do not). Two grouped
+    percentile aggs + two key joins, all hash-partitioned on user_id;
+    the per-key stats tables are |keys|-sized, so the plan scales like
+    any two-pass grouped aggregate. Cross-engine exactness rides on the
+    bit-identical linear-interpolation percentile both engines
+    implement (the agg_percentiles precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
+        )
+        .orderBy("event_id")
+    )
