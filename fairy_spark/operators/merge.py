@@ -27,15 +27,29 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     would fan matched target rows out through the full-outer join
     (silent row multiplication) and a NULL key never equi-joins, so the
     precondition is enforced here: NULL-key source rows are dropped and
-    duplicate source keys collapse to a single (arbitrary) row via
-    dropDuplicates — pre-aggregate the source yourself if you need a
-    specific winner (put_df applies the same hygiene on ingest)."""
+    duplicate source keys collapse to ONE deterministic winner — the
+    greatest row under the name-sorted non-key column tuple (max_by
+    over a struct), the same total-order idiom put_df uses on ingest.
+    Plan-order nondeterminism can't pick the row; requires orderable
+    non-key column types (no maps) — pre-aggregate yourself otherwise.
+    The winner agg shuffles on the key, the same partitioning the
+    full-outer join needs, so the exchange is reused, not added."""
     if set(target.columns) != set(source.columns):
         raise ValueError(
             f"column sets must match: target={sorted(target.columns)} "
             f"source={sorted(source.columns)}"
         )
-    source = source.filter(F.col(key).isNotNull()).dropDuplicates([key])
+    nonkey = [c for c in target.columns if c != key]
+    source = source.filter(F.col(key).isNotNull())
+    if nonkey:
+        ordk = F.struct(*[F.col(c) for c in sorted(nonkey)])
+        source = (
+            source.groupBy(key)
+            .agg(F.max_by(F.struct(*[F.col(c) for c in nonkey]), ordk).alias("_row"))
+            .select(key, *[F.col(f"_row.{c}").alias(c) for c in nonkey])
+        )
+    else:
+        source = source.dropDuplicates([key])
     t = target.alias("t")
     s = source.alias("s")
     # Branch on KEY presence, not per-column coalesce: a matched source

@@ -45,6 +45,28 @@ def test_merge_drops_null_keys_and_dedupes_source(spark):
     assert out == {1: "new", 2: "keep"}  # no fan-out, no NULL-key row
 
 
+def test_merge_duplicate_source_keys_pick_deterministic_winner(spark):
+    """Duplicate source keys collapse to the GREATEST row under the
+    name-sorted non-key tuple — a total order, so the winner cannot
+    depend on partition/plan order (the round-3 version took an
+    arbitrary dropDuplicates row)."""
+    t = spark.createDataFrame([Row(k=1, a="z", b=0)], "k INT, a STRING, b INT")
+    # ordering key is struct(a, b): ("x", 99) > ("w", 5) > (None, 7)
+    s = spark.createDataFrame(
+        [Row(k=1, a="w", b=5), Row(k=1, a="x", b=99), Row(k=1, a=None, b=7),
+         Row(k=2, a="m", b=1), Row(k=2, a="m", b=2)],
+        "k INT, a STRING, b INT",
+    )
+    out = {r["k"]: (r["a"], r["b"]) for r in merge_upsert(t, s, "k").collect()}
+    assert out == {1: ("x", 99), 2: ("m", 2)}
+    # and the choice is stable under a different input order
+    out2 = {
+        r["k"]: (r["a"], r["b"])
+        for r in merge_upsert(t, s.orderBy(F.desc("b")).repartition(7), "k").collect()
+    }
+    assert out2 == out
+
+
 def test_prefix_sum_matches_serial_fold_across_shards(spark):
     rows = [Row(id=i, w=(i * 7) % 13 + 1) for i in range(200)]
     df = spark.createDataFrame(rows, "id BIGINT, w BIGINT")
