@@ -13,8 +13,15 @@ Two standard encodings:
 
 Tie rule matches DuckDB ASOF (`right.ts <= left.ts`): a right row at
 exactly the left timestamp wins, encoded by sorting right (side=0)
-before left (side=1) at equal ts. Right rows must be unique per
-(keys, ts) for determinism — pre-aggregate if not.
+before left (side=1) at equal ts. DUPLICATE right rows per (keys, ts)
+resolve deterministically: the greatest row under the value-column
+tuple (ascending nulls-first sort → last wins), a total order, so the
+winner can't depend on partition/plan order. The extra sort keys ride
+the window's existing (keys)-partitioned sort — no new shuffle.
+Caveat: value columns must be orderable, and a duplicate-ts right row
+holding NULL in some value column can mix per-column with its
+neighbor (last-non-null is per column) — keep duplicate-ts rows fully
+populated or pre-aggregate.
 """
 
 from __future__ import annotations
@@ -56,7 +63,13 @@ def asof_join_backward(
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            # deterministic tie-break among duplicate-(keys, ts) right
+            # rows: greatest value tuple sorts last → wins last-non-null
+            *[F.col(f"__v_{v}").asc_nulls_first() for v in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
