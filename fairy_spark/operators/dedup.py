@@ -68,9 +68,17 @@ def minhash_lsh_candidates(
     band_rows: int = 1,
     cache_key: str | None = None,
     with_estimate: bool = False,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band,
     annotated with exact Jaccard over shingle sets.
+
+    ``block_cols``: optional extra blocking columns of ``docs`` (e.g.
+    (source, length-bucket)). When given, candidates must ALSO agree on
+    every block column — the band self-join is keyed by
+    (*block_cols, band_id, band_hash), so a blocked caller gets the
+    band bound INSIDE each block instead of an all-pairs join whose
+    cost grows quadratically with block population.
 
     ``with_estimate`` adds ``est_jaccard`` — the fraction of agreeing
     minhash signature components, the estimator a production pipeline
@@ -90,10 +98,11 @@ def minhash_lsh_candidates(
     the corpus between calls must change the key (or pass None).
     """
     assert num_hashes % band_rows == 0
+    block = list(block_cols or [])
     par = docs.sparkSession.sparkContext.defaultParallelism
     app_id = docs.sparkSession.sparkContext.applicationId
     fp = (
-        (cache_key, id_col, text_col, shingle_n, num_hashes)
+        (cache_key, id_col, text_col, shingle_n, num_hashes, tuple(block))
         if cache_key is not None
         else None
     )
@@ -114,9 +123,15 @@ def minhash_lsh_candidates(
         # tokenize+ngram work runs on all cores, not on the input
         # file's few partitions.
         shingled = (
-            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+            docs.select(
+                F.col(id_col).alias("id"),
+                *[F.col(c) for c in block],
+                F.col(text_col).alias("_text"),
+            )
             .repartition(par)
-            .select("id", shingle_set(F.col("_text"), shingle_n).alias("shingles"))
+            .select(
+                "id", *block, shingle_set(F.col("_text"), shingle_n).alias("shingles")
+            )
         )
         if cached is not None:
             for prev in cached[1]:
@@ -153,6 +168,7 @@ def minhash_lsh_candidates(
     # before banding on both engines' semantics.
     bands = sig.filter(F.size("shingles") > 0).select(
         "id",
+        *block,
         F.posexplode(
             F.array(
                 *[
@@ -172,10 +188,11 @@ def minhash_lsh_candidates(
     # single-threaded. Input-size-based planning misjudges explode-joins.
     # The self-join uses aliases over the SAME plan so the shuffle
     # exchange is planned once and reused for both sides.
-    bands = bands.repartition(par, "band_id", "band_hash")
+    join_keys = [*block, "band_id", "band_hash"]
+    bands = bands.repartition(par, *join_keys)
     pairs = (
         bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .join(bands.alias("b"), join_keys)
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -23,12 +23,10 @@ from fairy_spark.operators.dedup import (
 from fairy_spark.operators.similarity import brute_force_topk, cosine
 from fairy_spark.operators.text import (
     EN_STOPWORDS,
-    jaccard,
     mean_token_len,
     minhash_sql,
     portable_hash_sql,
     rolling_fingerprint,
-    shingle_set,
     stopword_ratio,
     tokenize,
 )
@@ -288,44 +286,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, n_chars // 50 AS len_bucket, {_TOKS_SQL} AS toks FROM documents
     ), s AS (
       SELECT doc_id, source, len_bucket, {_SHINGLES_SQL} AS sh FROM t
+    ), sig AS (
+      SELECT doc_id, source, len_bucket, sh,
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM s
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-    FROM s a JOIN s b ON a.source = b.source
-                     AND a.len_bucket = b.len_bucket
-                     AND a.doc_id < b.doc_id
+    FROM sig a JOIN sig b
+      ON a.source = b.source
+     AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+     AND ({" OR ".join(f"a.sig[{i + 1}] = b.sig[{i + 1}]" for i in range(8))})
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(a.sh || b.sh)) >= 0.005
     ORDER BY id_a, id_b
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard — the classic pre-LSH blocking strategy.
-    Block key = (source, n_chars div 50): near-dup docs have near-equal
-    lengths, so the length bucket keeps recall while cutting the pair
-    count ~10× (622k → 61k at sf0.1; measured 154s → seconds). The
-    exact-Jaccard verify is computed ONCE into a column and the
-    threshold filters that column (no double evaluation)."""
-    d = load_table(spark, sf_dir, "documents")
-    s = d.select(
+    """Blocked n-gram Jaccard, band-bounded (VERDICT r3 item 2).
+
+    Block key = (source, n_chars div 50) — near-dup docs have
+    near-equal lengths — but a block alone is only a constant-factor
+    pair reduction: block population grows linearly with the corpus, so
+    in-block all-pairs grows quadratically (the r3 plan's 100 TB
+    scale-killer). Candidates now ALSO require a minhash band collision
+    inside the block: the pair join is keyed by
+    (source, len_bucket, band_id, band_hash), so bucket population is
+    bounded by per-band hash agreement (≈ near-dup cluster size), not
+    by block size. The oracle mirrors the bands with the identical
+    md5-window signatures — banding is part of the checked semantics,
+    exactly as dedup_embedding_cosine mirrors its hyperplanes."""
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.expr("n_chars div 50").alias("len_bucket"),
-        shingle_set(F.col("text"), 3).alias("sh"),
+        "text",
     )
-    a = s.select(
-        F.col("doc_id").alias("id_a"), "source", "len_bucket", F.col("sh").alias("sh_a")
-    )
-    b = s.select(
-        F.col("doc_id").alias("id_b"), "source", "len_bucket", F.col("sh").alias("sh_b")
+    cands = minhash_lsh_candidates(
+        d,
+        shingle_n=3,
+        num_hashes=8,
+        band_rows=1,
+        block_cols=["source", "len_bucket"],
     )
     return (
-        a.join(b, ["source", "len_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard_raw", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard_raw") >= 0.005)
-        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        cands.filter(F.col("jaccard") >= 0.005)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
