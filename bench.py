@@ -32,6 +32,7 @@ HEADLINE = [
     "win_topk_per_group",      # ranking window
     "set_union_distinct",      # set op + distinct
     "fn_string",               # scalar-function pipeline
+    "kv_prefix_scan",          # KV readdir analog: pushed prefix filter
     "stream_tumbling_batch",   # event-time window aggregation
     "dedup_minhash_lsh",       # minhash banding + jaccard verify
     "sim_cosine_topk",         # vector similarity top-k
@@ -62,25 +63,22 @@ def main() -> None:
         warm_dir = sf_dir
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).count()
+    # One untimed pass at the TARGET SF too (BASELINE.md protocol:
+    # "median of 5, first run discarded as JVM warm-up"): the sf0.001
+    # pass compiles the plans but doesn't touch the sf0.1 files, so
+    # without this the first timed rep alone pays the OS page-cache
+    # fill + large-stage codegen and the spread reads as plan noise.
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).count()
 
-    # Build the minhash signature INDEX at the target SF once, untimed,
-    # and report its cost as a separate field. The cross-rep index
-    # cache is deliberate (operators/dedup.py: the signature table is
-    # an index — built once, probed many times in a real pipeline), so
-    # without this the first timed rep alone pays the build and the
-    # spread reads as plan noise. Timed reps then measure the query's
-    # steady-state cost; the one-time build cost stays visible in the
-    # output instead of vanishing into a discarded warm-up.
-    t0 = time.perf_counter()
-    QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
-    minhash_index_build = round(time.perf_counter() - t0, 3)
-
-    # Three timed repetitions per query; report the MEDIAN plus the
-    # min-max spread so run-to-run noise (±0.1-0.2 s on sub-second
-    # queries) can't be mistaken for a plan regression.
+    # Timed repetitions per query; report the MEDIAN plus the min-max
+    # spread so run-to-run noise (±0.1-0.2 s on sub-second queries)
+    # can't be mistaken for a plan regression.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     import gc
+
+    from fairy_spark.operators.dedup import clear_signature_cache
 
     # Interleaved reps (full suite per rep, median per query): the box
     # shows occasional multi-second stalls unrelated to the plans
@@ -95,9 +93,25 @@ def main() -> None:
             # ~2 s query. Deterministic collection here keeps the timings
             # about the plan, not the driver's garbage history.
             gc.collect()
+            if name == "dedup_minhash_lsh":
+                # COLD per rep: clear the warm signature index so every
+                # timed rep pays the full build+query cost — the same
+                # metric as BASELINE.md's frozen 2.27 s full-call
+                # number. (r3 primed the index untimed, which changed
+                # what the headline measured; VERDICT flagged it.) The
+                # warm steady-state cost is reported separately below.
+                clear_signature_cache(spark)
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
+
+    # Informational: the warm-index steady-state cost (the number a
+    # real pipeline pays per probe once the signature index exists —
+    # the cache is still a deliberate design, just not the headline
+    # metric). The index is warm here: the last timed rep rebuilt it.
+    t0 = time.perf_counter()
+    QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+    minhash_warm = round(time.perf_counter() - t0, 3)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -119,7 +133,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "spread": spread,
-                "minhash_index_build_sec": minhash_index_build,
+                "minhash_warm_query_sec": minhash_warm,
                 "reps": reps,
                 "sf": sf,
                 "cpus": int(cpus),
