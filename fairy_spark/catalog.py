@@ -70,6 +70,37 @@ class Catalog:
         else:
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
 
+    # table properties (A24 chmod/chown/xattr family,
+    # passthrough_fs.rs:137-789): POSIX per-file metadata generalizes
+    # to per-table key→value properties — set/read/remove through the
+    # metastore, like setxattr/getxattr/removexattr on an inode.
+    # Spark reserves some keys (owner, provider, location, ...) the
+    # way the kernel reserves xattr namespaces; setting one raises
+    # ParseException from the engine.
+    def set_properties(self, name: str, props: dict[str, str]) -> None:
+        if not self.exists(name):
+            raise TableNotFound(name)
+        kv = ", ".join(
+            f"'{k}'='{v}'" for k, v in sorted(props.items())
+        )
+        self.spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
+
+    def get_properties(self, name: str) -> dict[str, str]:
+        if not self.exists(name):
+            raise TableNotFound(name)
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+        # Spark surfaces engine-internal entries (e.g. parquet stats)
+        # alongside user keys; expose them all — getxattr semantics,
+        # the caller filters by namespace.
+        return {r["key"]: r["value"] for r in rows}
+
+    def unset_property(self, name: str, key: str) -> None:
+        if not self.exists(name):
+            raise TableNotFound(name)
+        self.spark.sql(
+            f"ALTER TABLE {name} UNSET TBLPROPERTIES IF EXISTS ('{key}')"
+        )
+
     def row_count(self, name: str) -> int:
         return self.spark.table(name).count()
 

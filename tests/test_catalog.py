@@ -50,3 +50,33 @@ def test_listing_pagination(catalog, spark):
     assert page == all_tables[1:3]
     for i in range(5):
         catalog.drop(f"cat_page_{i}")
+
+
+def test_table_properties_xattr_lifecycle(catalog, spark):
+    """A24 xattr family analog (passthrough_fs.rs setxattr/getxattr/
+    listxattr/removexattr): set → read back → overwrite → remove."""
+    catalog.create_table("cat_props_tbl", spark.range(3))
+    try:
+        catalog.set_properties("cat_props_tbl", {"created_by": "alice", "tier": "hot"})
+        props = catalog.get_properties("cat_props_tbl")
+        assert props["created_by"] == "alice" and props["tier"] == "hot"
+        # overwrite one key, keep the other (setxattr replace semantics)
+        catalog.set_properties("cat_props_tbl", {"tier": "cold"})
+        props = catalog.get_properties("cat_props_tbl")
+        assert props["created_by"] == "alice" and props["tier"] == "cold"
+        # remove (removexattr); missing-key removal is a no-op
+        catalog.unset_property("cat_props_tbl", "tier")
+        catalog.unset_property("cat_props_tbl", "never_set")
+        assert "tier" not in catalog.get_properties("cat_props_tbl")
+    finally:
+        catalog.drop("cat_props_tbl")
+
+
+def test_table_properties_missing_table_raises(catalog):
+    import pytest
+    from fairy_spark.catalog import TableNotFound
+
+    with pytest.raises(TableNotFound):
+        catalog.set_properties("no_such_tbl_xyz", {"a": "b"})
+    with pytest.raises(TableNotFound):
+        catalog.get_properties("no_such_tbl_xyz")
