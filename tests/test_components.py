@@ -64,3 +64,37 @@ def test_minhash_excludes_shingle_less_docs(spark):
     ids_in_pairs = {r["id_a"] for r in cands} | {r["id_b"] for r in cands}
     assert not ids_in_pairs & {1, 2, 3}, cands
     assert any({r["id_a"], r["id_b"]} == {4, 5} for r in cands), cands
+
+
+def test_identical_docs_always_candidates(spark):
+    """Recall floor of the banded plan: identical texts have identical
+    signatures, so every band collides — a j=1.0 pair can never be
+    missed, whatever the banding parameters."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "entirely different vocabulary in this document"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_candidates(d, shingle_n=3).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0, pairs
+
+
+def test_block_cols_partition_candidates(spark):
+    """block_cols joins candidates WITHIN a block only: the same text
+    in different blocks must not pair (dedup_ngram_jaccard relies on
+    this to bound bucket size by in-block cluster size)."""
+    rows = [
+        (1, "a", "one two three four five six"),
+        (2, "a", "one two three four five six"),
+        (3, "b", "one two three four five six"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(d, block_cols=["src"]).collect()
+    }
+    assert got == {(1, 2)}, got
