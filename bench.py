@@ -70,6 +70,15 @@ def main() -> None:
     # fill + large-stage codegen and the spread reads as plan noise.
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
+    # One discarded COLD minhash cycle: the first rebuild after an
+    # eviction runs ~2× slower than every later one (JIT/GC of the
+    # unpersist-affected paths — measured 4.3 s then 1.7-2.3 s steady),
+    # so without this the first timed rep carries a one-time JVM
+    # effect, not the plan's cold cost.
+    from fairy_spark.operators.dedup import clear_signature_cache
+
+    clear_signature_cache(spark)
+    QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
 
     # Timed repetitions per query; report the MEDIAN plus the min-max
     # spread so run-to-run noise (±0.1-0.2 s on sub-second queries)
@@ -77,8 +86,6 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     import gc
-
-    from fairy_spark.operators.dedup import clear_signature_cache
 
     # Interleaved reps (full suite per rep, median per query): the box
     # shows occasional multi-second stalls unrelated to the plans
