@@ -24,16 +24,23 @@ from fairy_spark.operators.text import (
     tokenize,
 )
 
-# applicationId → (fingerprint, [shingle, signature]) of the last
-# call's persisted tables (see minhash_lsh_candidates). Keyed on
-# applicationId, not id(session): Python can reuse an id() after GC,
-# which would unpersist another context's frames or skip cleanup
-# entirely. The fingerprint ((cache_key, params) when the caller
-# supplies one) lets REPEATED identical calls reuse the warm signature
-# index instead of re-materializing it — the signature table IS an
-# index, and an engine that rebuilds its index per query measures
-# rebuild churn, not query cost.
-_SHINGLE_CACHE: dict[str, tuple[object, list[DataFrame]]] = {}
+# applicationId → ordered {fingerprint: [signature frame]} of persisted
+# index tables (see minhash_lsh_candidates). Keyed on applicationId,
+# not id(session): Python can reuse an id() after GC, which would
+# unpersist another context's frames or skip cleanup entirely. The
+# fingerprint ((cache_key, params) when the caller supplies one) lets
+# REPEATED identical calls reuse the warm signature index instead of
+# re-materializing it — the signature table IS an index, and an engine
+# that rebuilds its index per query measures rebuild churn, not query
+# cost. Up to _CACHE_CAP DISTINCT indexes stay warm per app (LRU): a
+# pipeline that alternates the plain minhash dedup with the
+# block-keyed n-gram variant holds two different indexes over the same
+# corpus, and a 1-entry cache made them evict each other every call.
+# Each entry is |docs| rows of shingle arrays at MEMORY_AND_DISK —
+# spillable, so the cap bounds executor-memory pressure, not
+# correctness.
+_SHINGLE_CACHE: dict[str, dict[object, list[DataFrame]]] = {}
+_CACHE_CAP = 2
 
 
 def clear_signature_cache(spark) -> None:
@@ -44,9 +51,9 @@ def clear_signature_cache(spark) -> None:
     separate build figure) measured a different thing than BASELINE.md
     and was flagged for it (VERDICT r3, What's-wrong 2)."""
     app_id = spark.sparkContext.applicationId
-    cached = _SHINGLE_CACHE.pop(app_id, None)
-    if cached is not None:
-        for df in cached[1]:
+    cache = _SHINGLE_CACHE.pop(app_id, None)
+    for frames in (cache or {}).values():
+        for df in frames:
             df.unpersist(blocking=True)
 
 
@@ -120,23 +127,26 @@ def minhash_lsh_candidates(
         if cache_key is not None
         else None
     )
-    cached = _SHINGLE_CACHE.get(app_id)
-    if cached is not None and fp is not None and cached[0] == fp:
-        (sig,) = cached[1]
+    cache = _SHINGLE_CACHE.setdefault(app_id, {})
+    if fp is not None and fp in cache:
+        (sig,) = cache[fp]
+        # refresh LRU position (dicts iterate in insertion order)
+        cache[fp] = cache.pop(fp)
     else:
         # ONE persisted table — (id, shingles, sig) — feeds all four
         # downstream subtrees (two band-join sides, two verify sides):
         # without it the md5 pipeline runs 4x inside one action; with
         # TWO separate persists (shingles, then sig on top — the r1-r3
         # shape) the cold build paid an extra cache write+read pass for
-        # no reader that needs shingles without sig. The PREVIOUS
-        # call's cache is dropped first: a per-call persist with no
-        # unpersist accumulates one copy per invocation (measured: e2e
-        # degraded 6s → 16s over three calls at sf0.1 from cache+GC
-        # pressure). Project to (id, text) BEFORE the repartition — the
-        # shuffle carries only what shingling needs — but compute the
-        # shingles AFTER it, so the expensive tokenize+ngram work runs
-        # on all cores, not on the input file's few partitions.
+        # no reader that needs shingles without sig. Same-key and
+        # over-cap entries are dropped first: a per-call persist with
+        # no unpersist accumulates one copy per invocation (measured:
+        # e2e degraded 6s → 16s over three calls at sf0.1 from
+        # cache+GC pressure). Project to (id, text) BEFORE the
+        # repartition — the shuffle carries only what shingling needs —
+        # but compute the shingles AFTER it, so the expensive
+        # tokenize+ngram work runs on all cores, not on the input
+        # file's few partitions.
         shingled = (
             docs.select(
                 F.col(id_col).alias("id"),
@@ -148,14 +158,19 @@ def minhash_lsh_candidates(
                 "id", *block, shingle_set(F.col("_text"), shingle_n).alias("shingles")
             )
         )
-        if cached is not None:
-            for prev in cached[1]:
-                prev.unpersist(blocking=False)
-            _SHINGLE_CACHE.pop(app_id, None)
         sig = shingled.withColumn(
             "sig", minhash_signature(F.col("shingles"), num_hashes)
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _SHINGLE_CACHE[app_id] = (fp, [sig])
+        # fp=None (uncacheable caller) still occupies a slot under the
+        # None key so the NEXT call unpersists it — nothing leaks.
+        if fp in cache:
+            for prev in cache.pop(fp):
+                prev.unpersist(blocking=False)
+        cache[fp] = [sig]
+        while len(cache) > _CACHE_CAP:
+            oldest = next(iter(cache))
+            for prev in cache.pop(oldest):
+                prev.unpersist(blocking=False)
         # Materialize eagerly: the four subtrees race and recompute on a
         # cold cache otherwise (measured 7s vs 2s at sf0.1). One tiny
         # job up front makes the big join read warm cache

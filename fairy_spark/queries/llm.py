@@ -329,6 +329,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         num_hashes=8,
         band_rows=1,
+        cache_key=sf_dir,
         block_cols=["source", "len_bucket"],
     )
     return (

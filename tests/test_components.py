@@ -98,3 +98,26 @@ def test_block_cols_partition_candidates(spark):
         for r in minhash_lsh_candidates(d, block_cols=["src"]).collect()
     }
     assert got == {(1, 2)}, got
+
+
+def test_signature_cache_holds_two_indexes_lru(spark):
+    """The warm-index cache keeps up to two DISTINCT indexes (plain +
+    block-keyed over the same corpus) and reuses, not rebuilds, on a
+    repeat call; a third distinct index evicts the least-recent."""
+    from fairy_spark.operators import dedup
+
+    rows = [(i, "s", f"tok{i} alpha beta gamma delta tok{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    dedup.clear_signature_cache(spark)
+    dedup.minhash_lsh_candidates(docs, cache_key="k1").count()
+    dedup.minhash_lsh_candidates(docs, cache_key="k1", block_cols=["src"]).count()
+    app = spark.sparkContext.applicationId
+    assert len(dedup._SHINGLE_CACHE[app]) == 2
+    before = {k: id(v[0]) for k, v in dedup._SHINGLE_CACHE[app].items()}
+    dedup.minhash_lsh_candidates(docs, cache_key="k1").count()
+    after = {k: id(v[0]) for k, v in dedup._SHINGLE_CACHE[app].items()}
+    assert before == after  # repeat call reused both warm entries
+    dedup.minhash_lsh_candidates(docs, cache_key="k2").count()
+    assert len(dedup._SHINGLE_CACHE[app]) == 2  # LRU evicted, cap held
+    dedup.clear_signature_cache(spark)
+    assert app not in dedup._SHINGLE_CACHE
