@@ -64,3 +64,79 @@ def test_verified_counts_shape(tmp_path):
         glob_mod.glob = orig_glob
     assert counts["good"] == 1
     assert counts["bad_hash"] < 0 and counts["errored"] < 0
+
+
+def test_no_oracle_rows_check_counts_as_verified(tmp_path):
+    """Declared rows-only checks (err='no_oracle' + a row count) are
+    the designed verification for the ANN queries — they must count as
+    passes, not camp in the re-check tier every round (r4 fix)."""
+    fixture = {
+        "ann": {
+            "err": "no_oracle", "rows_match": None, "schema_match": None,
+            "hash_match": None, "spark_rows": 23, "oracle_rows": None,
+        },
+    }
+    p = tmp_path / "CORRECTNESS_r99.json"
+    p.write_text(json.dumps(fixture))
+    import glob as glob_mod
+
+    orig_glob = glob_mod.glob
+    try:
+        glob_mod.glob = (
+            lambda pat: [str(p)] if "CORRECTNESS" in pat else orig_glob(pat)
+        )
+        counts = _driver_verified_counts()
+    finally:
+        glob_mod.glob = orig_glob
+    assert counts["ann"] == 1
+
+
+def test_later_pass_clears_earlier_failure(tmp_path):
+    """A query that failed once and was then fixed + driver-reverified
+    must not stay pinned at the front forever (r4 fix): only a LATEST-
+    round failure forces the re-check tier."""
+    r1 = {"q": {"err": None, "rows_match": True, "schema_match": True, "hash_match": False}}
+    r2 = {"q": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}}
+    p1 = tmp_path / "CORRECTNESS_r01.json"
+    p2 = tmp_path / "CORRECTNESS_r02.json"
+    p1.write_text(json.dumps(r1))
+    p2.write_text(json.dumps(r2))
+    import glob as glob_mod
+
+    orig_glob = glob_mod.glob
+    try:
+        glob_mod.glob = (
+            lambda pat: [str(p1), str(p2)] if "CORRECTNESS" in pat else orig_glob(pat)
+        )
+        counts = _driver_verified_counts()
+    finally:
+        glob_mod.glob = orig_glob
+    assert counts["q"] > 0  # green again → normal tier
+    # and the reverse (a LATER round fails after the pass) stays
+    # pinned — files iterate in sorted round order, so add an r03 fail
+    p3 = tmp_path / "CORRECTNESS_r03.json"
+    p3.write_text(json.dumps(r1))
+    try:
+        glob_mod.glob = (
+            lambda pat: [str(p1), str(p2), str(p3)]
+            if "CORRECTNESS" in pat
+            else orig_glob(pat)
+        )
+        counts = _driver_verified_counts()
+    finally:
+        glob_mod.glob = orig_glob
+    assert counts["q"] < 0
+
+
+def test_never_checked_queries_fill_prefix():
+    """Every query no CORRECTNESS file has ever seen must land in the
+    checked 50-prefix (up to the slots the flagship + recheck pins
+    take), so the external gate converges on full coverage."""
+    counts = _driver_verified_counts()
+    names = list(QUERIES)
+    never = [n for n in names if n not in counts]
+    in_prefix = [n for n in never if n in names[:50]]
+    budget = 50 - 1 - len(_RECHECK_FIRST)  # flagship + pinned rows
+    assert len(in_prefix) >= min(len(never), budget), (
+        f"{len(never)} never-checked, only {len(in_prefix)} in prefix"
+    )
