@@ -382,3 +382,34 @@ def test_shuffle_hash_join_strategy_pinned(spark, sf_dir):
     mean the hint regressed and both sides pay a sort)."""
     plan = plan_of(QUERIES["join_shuffle_hash"](spark, str(sf_dir)))
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_no_cartesian_product_in_any_query(spark, sf_dir):
+    """Registry-wide scale gate: no query may plan a CartesianProduct —
+    a nested loop over two NON-broadcast sides is corpus-quadratic work
+    on corpus-sized inputs, fatal at 100 TB. BroadcastNestedLoopJoin is
+    tolerated only for the known bounded cases (single-row global-stat
+    frames, bounded query/probe sets) pinned in the allowlist below, so
+    a new unbounded nested loop can't land silently either."""
+    bnlj_bounded = {
+        # 1-row global-stat crossJoins (count/avgdl/min-max frames)
+        "text_tfidf", "text_bm25", "ml_minmax_scale", "text_inverted_index",
+        # bounded query/probe sets (broadcast side is k rows by design)
+        "sim_cosine_topk", "ml_knn_vote", "ml_ann_ivf_topk",
+        # deliberate theta/cross shape over capped inputs
+        "join_theta_cross",
+        # scalar-subquery decorrelation over a 1-row aggregate
+        "q22_idle_customers",
+    }
+    cartesian, rogue_bnlj = [], []
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, str(sf_dir)), "simple")
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_bounded:
+            rogue_bnlj.append(name)
+    assert not cartesian, f"CartesianProduct planned by: {cartesian}"
+    assert not rogue_bnlj, (
+        f"unreviewed BroadcastNestedLoopJoin in: {rogue_bnlj} — verify the "
+        "broadcast side is bounded, then extend the allowlist"
+    )
