@@ -204,3 +204,42 @@ def test_compact_hard_crash_recovery(kv, spark):
     healed3 = KVStore(spark, name="test", num_buckets=8)
     assert healed3.get("a") == b"1"
     assert not spark.catalog.tableExists(f"{kv.table}_compact")
+
+
+def test_random_op_sequences_match_dict_model(kv, spark):
+    """Model-based check: a random put/delete/compact/evict sequence
+    must leave the store observationally equal to a plain dict applying
+    the same ops (get/exists/scan). Deterministic LCG 'randomness' so a
+    failure replays exactly (SURVEY.md §7.5 forbids builtin hash();
+    same spirit: no seed-dependent flakes). Covers the interleavings
+    the single-idiom lifecycle tests above can't: delete-then-compact,
+    overwrite-after-evict, compact-then-more-puts."""
+    state = 0xC0FFEE
+
+    def rng(n):
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return state % n
+
+    model: dict[str, bytes] = {}
+    keys = [f"k{i}" for i in range(6)]
+    for step in range(40):
+        op = rng(10)
+        k = keys[rng(len(keys))]
+        if op < 6:  # put (incl. overwrite)
+            v = bytes([rng(256), step % 256])
+            kv.put(k, v)
+            model[k] = v
+        elif op < 8:  # delete (missing-key delete is a no-op tombstone)
+            kv.delete(k)
+            model.pop(k, None)
+        elif op == 8:
+            kv.compact()
+        else:
+            kv.evict(keep_latest=len(model) or 1)
+            # evict(keep_latest=len(model)) keeps every LIVE key (it
+            # drops oldest beyond the count); model unchanged
+    live = {r["key"]: bytes(r["value"]) for r in kv.scan().collect()}
+    assert live == model
+    for k in keys:
+        assert kv.exists(k) == (k in model)
