@@ -236,3 +236,31 @@ def test_stream_stream_join_matches_batch(spark, replay_dir):
     # must cover the overwhelming majority
     assert got_set <= batch_set
     assert len(got_set) >= 0.7 * len(batch_set), (len(got_set), len(batch_set))
+
+
+def test_chunking_invariance_complete_mode(spark):
+    """Micro-batch boundaries are an execution detail: the SAME query
+    replayed with coarse (2-chunk) and fine (8-chunk) chunkings must
+    converge to the identical full window set in complete mode — the
+    reference's put path must not care how a payload was framed
+    (h2_service.rs chunked ingest; its first-frame-only truncation bug
+    is exactly a chunking-DEPENDENT result)."""
+    import tempfile
+
+    results = []
+    for n_chunks in (2, 8):
+        d = tempfile.mkdtemp(prefix=f"fairy_chunkinv_{n_chunks}_")
+        try:
+            replay_dir_from_events(spark, SF, d, n_chunks=n_chunks)
+            stream = read_event_stream(spark, d)
+            got = run_to_completion(tumbling_counts(stream), mode="complete")
+            results.append(
+                {
+                    (r["w_start"], r["event_type"]): (r["n"], r["total_value"])
+                    for r in got
+                }
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    assert results[0], "complete-mode stream emitted nothing"
+    assert results[0] == results[1]
