@@ -81,10 +81,19 @@ def _driver_verified_counts() -> dict[str, int]:
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     counts: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def round_no(path: str) -> int:
+        # "Latest result wins" below requires true round order, not
+        # lexicographic path order — an unpadded r5 or a 3-digit r100
+        # would misorder under a plain sort and resurrect stale states.
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=round_no):
         try:
             with open(path) as f:
                 results = json.load(f)
@@ -125,12 +134,10 @@ def _driver_verified_counts() -> dict[str, int]:
 # driver pass. Curate per round: prune entries once the next
 # CORRECTNESS file shows them green, or they permanently tax the
 # 50-slot window. (r3's five pins all came back green in
-# CORRECTNESS_r03 — pruned. r4 pins: merge_upsert grew a deterministic
-# duplicate-key winner, dedup_ngram_jaccard was rebuilt band-bounded.)
-_RECHECK_FIRST = {
-    "merge_upsert",
-    "dedup_ngram_jaccard",
-}
+# CORRECTNESS_r03 — pruned. r4's pins — merge_upsert,
+# dedup_ngram_jaccard — both came back green in CORRECTNESS_r04 —
+# pruned, so r5's window goes to the least-verified tier.)
+_RECHECK_FIRST: set[str] = set()
 
 
 def _interleave_families() -> None:

@@ -128,6 +128,32 @@ def test_later_pass_clears_earlier_failure(tmp_path):
     assert counts["q"] < 0
 
 
+def test_round_files_iterate_in_numeric_round_order(tmp_path):
+    """ADVICE r4: 'latest result wins' must use the parsed round
+    number, not lexicographic path order — under a plain sort an
+    unpadded CORRECTNESS_r9 would be read AFTER r10 and a stale r9
+    failure would shadow the r10 pass."""
+    fail = {"q": {"err": None, "rows_match": True, "schema_match": True, "hash_match": False}}
+    ok = {"q": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}}
+    p9 = tmp_path / "CORRECTNESS_r9.json"
+    p10 = tmp_path / "CORRECTNESS_r10.json"
+    p9.write_text(json.dumps(fail))
+    p10.write_text(json.dumps(ok))
+    import glob as glob_mod
+
+    orig_glob = glob_mod.glob
+    try:
+        glob_mod.glob = (
+            # Hand the paths over lexicographically sorted (r10 < r9) to
+            # prove the function re-sorts by round number itself.
+            lambda pat: [str(p10), str(p9)] if "CORRECTNESS" in pat else orig_glob(pat)
+        )
+        counts = _driver_verified_counts()
+    finally:
+        glob_mod.glob = orig_glob
+    assert counts["q"] > 0, "r10 pass must win over the earlier r9 failure"
+
+
 def test_never_checked_queries_fill_prefix():
     """Every query no CORRECTNESS file has ever seen must land in the
     checked 50-prefix (up to the slots the flagship + recheck pins
