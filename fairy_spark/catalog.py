@@ -77,11 +77,21 @@ class Catalog:
     # Spark reserves some keys (owner, provider, location, ...) the
     # way the kernel reserves xattr namespaces; setting one raises
     # ParseException from the engine.
+    @staticmethod
+    def _quote(s: str) -> str:
+        # Keys/values are interpolated into DDL text; an embedded quote
+        # must be doubled (SQL string-literal escaping) or a hostile/
+        # accidental value turns into a ParseException or a mangled
+        # statement.
+        return "'" + str(s).replace("'", "''") + "'"
+
     def set_properties(self, name: str, props: dict[str, str]) -> None:
         if not self.exists(name):
             raise TableNotFound(name)
+        if not props:
+            raise ValueError("set_properties requires at least one key")
         kv = ", ".join(
-            f"'{k}'='{v}'" for k, v in sorted(props.items())
+            f"{self._quote(k)}={self._quote(v)}" for k, v in sorted(props.items())
         )
         self.spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
 
@@ -98,7 +108,7 @@ class Catalog:
         if not self.exists(name):
             raise TableNotFound(name)
         self.spark.sql(
-            f"ALTER TABLE {name} UNSET TBLPROPERTIES IF EXISTS ('{key}')"
+            f"ALTER TABLE {name} UNSET TBLPROPERTIES IF EXISTS ({self._quote(key)})"
         )
 
     def row_count(self, name: str) -> int:

@@ -18,15 +18,21 @@ resolve deterministically: the greatest row under the value-column
 tuple (ascending nulls-first sort → last wins), a total order, so the
 winner can't depend on partition/plan order. The extra sort keys ride
 the window's existing (keys)-partitioned sort — no new shuffle.
-Caveat: value columns must be orderable, and a duplicate-ts right row
-holding NULL in some value column can mix per-column with its
-neighbor (last-non-null is per column) — keep duplicate-ts rows fully
-populated or pre-aggregate.
+
+The winner is ROW-ATOMIC: all value columns are packed into ONE struct
+and a single last(struct, ignorenulls=True) carries it forward, so the
+result always comes from one right row — a duplicate-ts row holding a
+NULL value column can never mix per-column with its neighbor (that was
+the pre-r5 per-column-last caveat; ADVICE r4). This also matches
+DuckDB ASOF exactly for the non-duplicate case: if the latest at-or-
+before right row holds NULL in a value column, the left row gets that
+NULL (no silent fallback to an older row). Value columns must still be
+orderable (the tie-break sorts the struct).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def asof_join_backward(
@@ -41,25 +47,28 @@ def asof_join_backward(
     from the latest right row with ``right_ts <= left_ts`` (per keys).
     Left rows keep all their columns; unmatched rows get nulls."""
     lcols = left.columns
+    vtype = T.StructType([T.StructField(v, right.schema[v].dataType) for v in value_cols])
     l = (
         left.withColumn("__ts", F.col(left_ts))
         .withColumn("__side", F.lit(1))
+        # NULL struct, not struct-of-NULLs: last(ignorenulls) must skip
+        # left rows entirely, while a right row whose fields are all
+        # NULL still counts as a (non-null) candidate row.
+        .withColumn("__v", F.lit(None).cast(vtype))
     )
-    for v in value_cols:
-        l = l.withColumn(f"__v_{v}", F.lit(None).cast(right.schema[v].dataType))
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("__v"),
     )
     for c in lcols:
         if c not in keys:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    unioned = l.select(
-        *lcols, "__ts", "__side", *[f"__v_{v}" for v in value_cols]
-    ).unionByName(r.select(*lcols, "__ts", "__side", *[f"__v_{v}" for v in value_cols]))
+    unioned = l.select(*lcols, "__ts", "__side", "__v").unionByName(
+        r.select(*lcols, "__ts", "__side", "__v")
+    )
 
     w = (
         Window.partitionBy(*keys)
@@ -67,14 +76,16 @@ def asof_join_backward(
             F.col("__ts").asc(),
             F.col("__side").asc(),
             # deterministic tie-break among duplicate-(keys, ts) right
-            # rows: greatest value tuple sorts last → wins last-non-null
-            *[F.col(f"__v_{v}").asc_nulls_first() for v in value_cols],
+            # rows: greatest value struct sorts last → wins the last()
+            F.col("__v").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *lcols,
         "__side",
-        *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols],
+        F.last("__v", ignorenulls=True).over(w).alias("__v"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__v.{v}").alias(v) for v in value_cols]
+    )

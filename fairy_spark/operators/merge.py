@@ -12,7 +12,19 @@ bucketed on the key (the KV layout) the join is exchange-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Can Catalyst sort this type? Maps (and anything containing one)
+    have no ordering, so they can't participate in the max_by key."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
@@ -28,10 +40,14 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     (silent row multiplication) and a NULL key never equi-joins, so the
     precondition is enforced here: NULL-key source rows are dropped and
     duplicate source keys collapse to ONE deterministic winner — the
-    greatest row under the name-sorted non-key column tuple (max_by
-    over a struct), the same total-order idiom put_df uses on ingest.
-    Plan-order nondeterminism can't pick the row; requires orderable
-    non-key column types (no maps) — pre-aggregate yourself otherwise.
+    greatest row under the name-sorted ORDERABLE non-key column tuple
+    (max_by over a struct), the same total-order idiom put_df uses on
+    ingest. Unorderable-typed columns (maps, nested maps) are excluded
+    from the ordering key but still ride along in the winning row; if
+    NO non-key column is orderable the collapse degrades to
+    dropDuplicates (arbitrary but stable-per-run winner) rather than
+    failing at analysis time (ADVICE r4). Plan-order nondeterminism
+    can't pick the row whenever at least one orderable column exists.
     The winner agg shuffles on the key, the same partitioning the
     full-outer join needs, so the exchange is reused, not added."""
     if set(target.columns) != set(source.columns):
@@ -41,14 +57,17 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
         )
     nonkey = [c for c in target.columns if c != key]
     source = source.filter(F.col(key).isNotNull())
-    if nonkey:
-        ordk = F.struct(*[F.col(c) for c in sorted(nonkey)])
+    ord_cols = [c for c in sorted(nonkey) if _orderable(source.schema[c].dataType)]
+    if nonkey and ord_cols:
+        ordk = F.struct(*[F.col(c) for c in ord_cols])
         source = (
             source.groupBy(key)
             .agg(F.max_by(F.struct(*[F.col(c) for c in nonkey]), ordk).alias("_row"))
             .select(key, *[F.col(f"_row.{c}").alias(c) for c in nonkey])
         )
     else:
+        # No non-key columns, or none orderable: no ordering key exists,
+        # so any winner is acceptable — keep the old behavior.
         source = source.dropDuplicates([key])
     t = target.alias("t")
     s = source.alias("s")

@@ -136,8 +136,14 @@ def _driver_verified_counts() -> dict[str, int]:
 # 50-slot window. (r3's five pins all came back green in
 # CORRECTNESS_r03 — pruned. r4's pins — merge_upsert,
 # dedup_ngram_jaccard — both came back green in CORRECTNESS_r04 —
-# pruned, so r5's window goes to the least-verified tier.)
-_RECHECK_FIRST: set[str] = set()
+# pruned. r5 pins: the as-of winner became row-atomic (struct-packed
+# last, ADVICE r4) and merge grew the unorderable-column fallback, so
+# the three queries riding those operators re-verify first.)
+_RECHECK_FIRST = {
+    "join_asof",
+    "join_asof_tolerance",
+    "merge_upsert",
+}
 
 
 def _interleave_families() -> None:

@@ -105,3 +105,34 @@ def test_asof_matches_duckdb_asof_on_unique_right(spark, left, right):
     )
     con.close()
     assert got == want
+
+
+def test_asof_duplicate_ts_null_value_winner_is_row_atomic(spark):
+    """ADVICE r4: the duplicate-(key, ts) winner must be ROW-atomic.
+    Two right rows at ts=5 — (a=2, b=NULL) and (a=1, b=7) — the
+    greatest struct is (2, NULL); per-column last-non-null would emit
+    the mixed row (2, 7), which exists in neither input row."""
+    ldf = spark.createDataFrame([Row(k="x", lts=9)], "k STRING, lts INT")
+    rdf = spark.createDataFrame(
+        [Row(k="x", rts=5, a=2, b=None), Row(k="x", rts=5, a=1, b=7)],
+        "k STRING, rts INT, a INT, b INT",
+    )
+    out = asof_join_backward(
+        ldf, rdf, keys=["k"], left_ts="lts", right_ts="rts", value_cols=["a", "b"]
+    ).collect()
+    assert [(r["a"], r["b"]) for r in out] == [(2, None)]
+
+
+def test_asof_latest_row_null_value_not_backfilled(spark):
+    """DuckDB-ASOF row semantics: if the latest at-or-before right row
+    holds NULL in a value column, the left row gets that NULL — no
+    silent per-column fallback to an older row."""
+    ldf = spark.createDataFrame([Row(k="x", lts=9)], "k STRING, lts INT")
+    rdf = spark.createDataFrame(
+        [Row(k="x", rts=1, a=10, b=20), Row(k="x", rts=5, a=2, b=None)],
+        "k STRING, rts INT, a INT, b INT",
+    )
+    out = asof_join_backward(
+        ldf, rdf, keys=["k"], left_ts="lts", right_ts="rts", value_cols=["a", "b"]
+    ).collect()
+    assert [(r["a"], r["b"]) for r in out] == [(2, None)]

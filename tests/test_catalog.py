@@ -80,3 +80,23 @@ def test_table_properties_missing_table_raises(catalog):
         catalog.set_properties("no_such_tbl_xyz", {"a": "b"})
     with pytest.raises(TableNotFound):
         catalog.get_properties("no_such_tbl_xyz")
+
+
+def test_table_properties_quote_escaping_and_empty_props(catalog, spark):
+    """ADVICE r4: keys/values containing quotes are DDL-interpolated —
+    they must be escaped (doubled), not turned into a ParseException or
+    a mangled statement; an empty props dict raises instead of emitting
+    SET TBLPROPERTIES ()."""
+    import pytest
+
+    catalog.create_table("cat_quote_tbl", spark.range(2))
+    try:
+        catalog.set_properties("cat_quote_tbl", {"it's": "O'Brien's 'value'"})
+        props = catalog.get_properties("cat_quote_tbl")
+        assert props["it's"] == "O'Brien's 'value'"
+        catalog.unset_property("cat_quote_tbl", "it's")
+        assert "it's" not in catalog.get_properties("cat_quote_tbl")
+        with pytest.raises(ValueError, match="at least one"):
+            catalog.set_properties("cat_quote_tbl", {})
+    finally:
+        catalog.drop("cat_quote_tbl")

@@ -163,3 +163,32 @@ def test_sharded_ntile_split_matches_sql_ntile(spark):
             for row in df.select("id", F.ntile(k).over(w).alias("b")).collect()
         }
         assert mine == want, (n, k, mine, want)
+
+
+def test_merge_map_typed_column_excluded_from_ordering(spark):
+    """ADVICE r4: a map-typed non-key column must not break the winner
+    agg at analysis time — it is excluded from the ordering struct but
+    still rides along with the winning row (picked by the orderable
+    columns)."""
+    t = spark.createDataFrame(
+        [Row(k=1, v=0, m={"old": 1})], "k INT, v INT, m MAP<STRING, INT>"
+    )
+    s = spark.createDataFrame(
+        [Row(k=1, v=5, m={"lo": 5}), Row(k=1, v=9, m={"hi": 9})],
+        "k INT, v INT, m MAP<STRING, INT>",
+    )
+    out = {r["k"]: (r["v"], dict(r["m"])) for r in merge_upsert(t, s, "k").collect()}
+    # winner is the greatest ORDERABLE tuple (v=9) and its own map
+    assert out == {1: (9, {"hi": 9})}
+
+
+def test_merge_all_nonkey_columns_unorderable_falls_back(spark):
+    """With NO orderable non-key column there is no ordering key;
+    the collapse degrades to dropDuplicates instead of failing."""
+    t = spark.createDataFrame([Row(k=1, m={"old": 0})], "k INT, m MAP<STRING, INT>")
+    s = spark.createDataFrame(
+        [Row(k=1, m={"a": 1}), Row(k=1, m={"a": 1}), Row(k=2, m={"b": 2})],
+        "k INT, m MAP<STRING, INT>",
+    )
+    out = {r["k"]: dict(r["m"]) for r in merge_upsert(t, s, "k").collect()}
+    assert set(out) == {1, 2} and out[2] == {"b": 2} and out[1] == {"a": 1}
