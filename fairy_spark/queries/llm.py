@@ -440,6 +440,43 @@ def ml_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=5).orderBy("query_id", "rn")
 
 
+_ANN_EXACT_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_hp_sql(4)} AS bucket
+      FROM embeddings WHERE vec_id < 64
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_COS_SQL}, 6) AS cos
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 8
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """
+
+
+@register("ml_ann_lsh_exact16", oracle=_ANN_EXACT_ORACLE)
+def ml_ann_lsh_exact16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of ml_ann_lsh_topk (VERDICT r4 #4): the SAME
+    lsh_topk code path — hyperplane signature, bucket equi-join,
+    per-query top-k window — over a bounded 64-vector corpus with 4
+    planes (16 buckets, so buckets genuinely collide), where the
+    oracle mirrors the identical bucket bits and fold order in SQL.
+    This hash-checks the LSH bucket machinery end-to-end; only the
+    recall-vs-brute-force question (inherently approximate) stays with
+    the property tests in tests/test_similarity.py."""
+    from fairy_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    q = e.filter(F.col("vec_id") < 8)
+    return lsh_topk(e, q, k=3, planes=4).orderBy("query_id", "rn")
+
+
 @register("ml_ann_ivf_topk")  # no SQL oracle: ANN is approximate by design;
 def ml_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-clustered approximate top-k (rows-only driver check; recall,
