@@ -87,6 +87,21 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     import gc
 
+    def jvm_gc_ms() -> int:
+        # Cumulative stop-the-world collection time across all JVM GC
+        # beans. The per-rep DELTA of this separates "driver JVM spent
+        # the stall collecting" (a fixable engine problem) from "the
+        # host stalled under us" (the documented box noise) — VERDICT
+        # r4 #7 asked for exactly this attribution on the minhash
+        # spread [2.06, 6.84].
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(max(b.getCollectionTime(), 0) for b in beans)
+
+    minhash_reps: list[dict] = []
+
     # Interleaved reps (full suite per rep, median per query): the box
     # shows occasional multi-second stalls unrelated to the plans
     # (host-level noise); interleaving decorrelates a stall from any one
@@ -108,9 +123,15 @@ def main() -> None:
                 # what the headline measured; VERDICT flagged it.) The
                 # warm steady-state cost is reported separately below.
                 clear_signature_cache(spark)
+            gc0 = jvm_gc_ms() if name == "dedup_minhash_lsh" else 0
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            samples[name].append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            if name == "dedup_minhash_lsh":
+                minhash_reps.append(
+                    {"sec": round(dt, 3), "jvm_gc_ms": jvm_gc_ms() - gc0}
+                )
 
     # Informational: the warm-index steady-state cost (the number a
     # real pipeline pays per probe once the signature index exists —
@@ -141,6 +162,9 @@ def main() -> None:
                 "queries": per_query,
                 "spread": spread,
                 "minhash_warm_query_sec": minhash_warm,
+                # per-rep stall attribution: a slow rep with flat
+                # jvm_gc_ms is host noise, not driver GC
+                "minhash_reps": minhash_reps,
                 "reps": reps,
                 "sf": sf,
                 "cpus": int(cpus),
