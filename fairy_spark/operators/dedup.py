@@ -132,6 +132,11 @@ def minhash_lsh_candidates(
     num_hashes/band_rows tune recall vs candidate volume: 8 hashes in
     1-row bands ≈ P(candidate) = 1-(1-j)^8 — high recall; at larger
     scale use band_rows=2+ to suppress low-similarity collisions.
+    MEASURED (SCALE.md "Measured pair-count growth", scale_bench.py):
+    random collisions grow as n²/2·n_bands·E[J_random^band_rows], so
+    1-row bands are a small-corpus setting — at 80k synthetic docs
+    rows=2 cut the candidate set 27× at 80% recall; band_rows must
+    grow ~log(n) with the corpus.
 
     ``cache_key``: stable identity of the input corpus (e.g. its
     path). When provided, a repeat call with the same key and params
