@@ -22,6 +22,7 @@ from fairy_spark.operators.text import (
     portable_hash64,
     shingle_set,
     tokenize,
+    word_ngrams,
 )
 
 # applicationId → ordered {fingerprint: [signature frame]} of persisted
@@ -294,6 +295,58 @@ def minhash_lsh_candidates(
             (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
         )
     return out.select(*cols)
+
+
+def substring_dedup_pairs(
+    docs: DataFrame,
+    gram_n: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_docs: int = 16,
+) -> DataFrame:
+    """Exact-substring dedup: doc pairs sharing >= 1 exact run of
+    ``gram_n`` consecutive tokens, with the count of shared runs —
+    the fixed-granularity approximation of suffix-array substring
+    dedup from Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), the standard
+    training-data pass minhash doesn't replace (minhash scores whole-
+    doc similarity; this catches a long verbatim quote inside two
+    otherwise-different docs).
+
+    Plan shape (100 TB story): one gram per token position (explode is
+    corpus-LINEAR, ~|tokens| rows), grams carried as md5 digests so the
+    shuffle moves 32 bytes not 15-token strings, ONE hash partition on
+    the digest feeds both the frequency window and the pair self-join
+    (exchange reused). Grams appearing in more than ``max_gram_docs``
+    docs are dropped as boilerplate — exactly what production pipelines
+    do (license headers, templates), and simultaneously the quadratic
+    bound: pair cost is Sum_grams |docs_g|^2 <= max_gram_docs * |grams|,
+    corpus-linear by construction. The cap is part of the semantics and
+    must be mirrored by any oracle."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(word_ngrams(tokenize(F.col(text_col)), gram_n))
+            ).alias("gram"),
+        )
+        .select("id", F.md5(F.col("gram")).alias("g"))
+        .repartition(par, "g")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g")
+    kept = grams.withColumn("nd", F.count(F.lit(1)).over(w)).filter(
+        (F.col("nd") >= 2) & (F.col("nd") <= max_gram_docs)
+    )
+    return (
+        kept.alias("a")
+        .join(kept.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -253,6 +253,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_MH_B2_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND ({" OR ".join(f"(a.sig[{2 * b + 1}] = b.sig[{2 * b + 1}] AND a.sig[{2 * b + 2}] = b.sig[{2 * b + 2}])" for b in range(4))})
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_band2", oracle=_MH_B2_ORACLE)
+def dedup_minhash_band2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE setting of minhash-LSH, hash-checked: 2-row bands
+    (collision prob J^2 per band) — scale_bench.py measured this
+    cutting the 80k-doc candidate set 27x vs 1-row bands (SCALE.md
+    "Measured pair-count growth"). Same warm signature index as
+    dedup_minhash_lsh (banding happens after the cached sig table), so
+    the pair of queries also exercises index reuse across band
+    geometries. The oracle mirrors the 4 two-component band
+    conjunctions literally."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, shingle_n=3, num_hashes=8, band_rows=2, cache_key=sf_dir
+    )
+    return cands.select(
+        F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_SUBSTR_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 14, 0)),
+               i -> array_to_string(toks[i:i+14], ' ')))) AS gram
+      FROM t
+    ), cnt AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 16
+    ), k AS (
+      SELECT doc_id, gram FROM g JOIN cnt USING (gram)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@register("dedup_substring_exact", oracle=_SUBSTR_ORACLE)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. arXiv:2107.06499 style): doc
+    pairs sharing >= 1 verbatim 15-token run, counted. Catches the long
+    quote embedded in two otherwise-different docs that whole-doc
+    minhash scores below threshold. Corpus-linear gram explode, 32-byte
+    digest shuffle, boilerplate cap (> 16 docs per gram dropped) which
+    is also the quadratic bound — cap mirrored in the oracle."""
+    from fairy_spark.operators.dedup import substring_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dedup_pairs(d, gram_n=15, max_gram_docs=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     h = portable_hash_sql("tok", "simhash")
     bit_sums = ", ".join(
