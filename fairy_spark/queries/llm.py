@@ -1481,6 +1481,88 @@ def ml_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      FROM v
+    ), q AS (
+      SELECT vec_id, v, sc,
+             CASE WHEN sc = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(greatest(-127.0,
+                         least(127.0, floor(x / sc + 0.5))) AS BIGINT))
+             END AS q
+      FROM s
+    )
+    SELECT vec_id, ROUND(sc, 6) AS scale,
+           ROUND(list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 64),
+                 i -> abs(v[i] - CAST(q[i] AS DOUBLE) * sc))), (a, b) -> a + b)
+             / 64.0, 6) AS l1_err,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 64), i -> q[i] * i)),
+               (a, b) -> a + b) AS BIGINT) AS q_checksum
+    FROM q ORDER BY vec_id
+    """,
+)
+def ml_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4x memory cut a
+    100 TB embedding store takes before anything else: scale =
+    max|x|/127, q = clamp(floor(x/scale + 0.5), ±127) (explicit
+    half-up floor, deterministic on both engines — bare round() has
+    midpoint drift). Pure per-row HOF work: zero shuffle, whole
+    corpus one codegen'd scan. Output keeps scalars for the driver
+    hash: the quantized array is exercised via its position-weighted
+    checksum plus the reconstruction L1 error in fixed fold order."""
+    from fairy_spark.operators.similarity import _dvec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _dvec(F.col("embedding"))
+    d = e.select("vec_id", v.alias("v")).withColumn(
+        "sc", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    qi = lambda x: F.greatest(
+        F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / F.col("sc") + F.lit(0.5)))
+    ).cast("bigint")
+    d = d.withColumn(
+        "q",
+        F.when(
+            F.col("sc") == 0, F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint"))
+        ).otherwise(F.transform(F.col("v"), qi)),
+    )
+    l1 = (
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("q"),
+                lambda x, qv: F.abs(x - qv.cast("double") * F.col("sc")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(64.0)
+    )
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda qv, i: qv * i.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "vec_id",
+        F.round("sc", 6).alias("scale"),
+        F.round(l1, 6).alias("l1_err"),
+        checksum.alias("q_checksum"),
+    ).orderBy("vec_id")
+
+
+@register(
     "ml_knn_vote",
     oracle=f"""
     WITH scored AS (
