@@ -62,9 +62,12 @@ def main() -> None:
         docs = spark.read.parquet(path)
 
         variants = {
-            "minhash_b1": dict(band_rows=1, block_cols=None),
-            "minhash_b2": dict(band_rows=2, block_cols=None),
-            "ngram_blocked": dict(band_rows=1, block_cols=["source", "len_bucket"]),
+            "minhash_b1": dict(num_hashes=8, band_rows=1, block_cols=None),
+            "minhash_b2": dict(num_hashes=8, band_rows=2, block_cols=None),
+            # recall-recovery check for the tuning rule: more bands at
+            # the same 2-row geometry (8 bands of 2 vs 4 of 2)
+            "minhash_b2_h16": dict(num_hashes=16, band_rows=2, block_cols=None),
+            "ngram_blocked": dict(num_hashes=8, band_rows=1, block_cols=["source", "len_bucket"]),
         }
         for vname, v in variants.items():
             d = docs
@@ -76,7 +79,7 @@ def main() -> None:
                 return minhash_lsh_candidates(
                     d,
                     shingle_n=3,
-                    num_hashes=8,
+                    num_hashes=v["num_hashes"],
                     band_rows=v["band_rows"],
                     cache_key=key,
                     block_cols=v["block_cols"],
