@@ -340,9 +340,14 @@ def substring_dedup_pairs(
     kept = grams.withColumn("nd", F.count(F.lit(1)).over(w)).filter(
         (F.col("nd") >= 2) & (F.col("nd") <= max_gram_docs)
     )
+    # Shuffle-hash pin, NOT the planner's choice: kept is O(corpus) and
+    # explode-derived, so size estimation undershoots and AQE happily
+    # broadcasts it (observed at sf0.01) — a plan that dies at scale.
+    # Pinned, both aliases of the SAME plan land on the repartition
+    # exchange above and the join is exchange-free (ReusedExchange).
     return (
         kept.alias("a")
-        .join(kept.alias("b"), "g")
+        .join(kept.hint("shuffle_hash").alias("b"), "g")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))

@@ -384,6 +384,17 @@ def test_shuffle_hash_join_strategy_pinned(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan
 
 
+def test_substring_dedup_pair_join_never_broadcasts(spark, sf_dir):
+    """dedup_substring_exact's pair self-join is over a corpus-sized,
+    explode-derived gram table whose size the planner undershoots —
+    left to AQE it broadcasts one whole side (observed), a plan that
+    caps at driver memory long before 100 TB. The shuffle-hash pin
+    must hold: ShuffledHashJoin, and no broadcast anywhere."""
+    plan = plan_of(QUERIES["dedup_substring_exact"](spark, str(sf_dir)))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan, plan
+
+
 def test_no_cartesian_product_in_any_query(spark, sf_dir):
     """Registry-wide scale gate: no query may plan a CartesianProduct —
     a nested loop over two NON-broadcast sides is corpus-quadratic work
