@@ -36,6 +36,7 @@ HEADLINE = [
     "stream_tumbling_batch",   # event-time window aggregation
     "dedup_minhash_lsh",       # minhash banding + jaccard verify
     "sim_cosine_topk",         # vector similarity top-k
+    "dedup_substring_exact",   # linear gram explode + pinned SHJ pair join
 ]
 
 
