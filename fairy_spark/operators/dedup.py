@@ -297,12 +297,66 @@ def minhash_lsh_candidates(
     return out.select(*cols)
 
 
+def _gram_digests_hof(docs: DataFrame, gram_n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, md5(gram)) via JVM higher-order functions — the reference
+    construction the Arrow path is cross-checked against
+    (tests/test_substring_engines.py)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(F.col(text_col)), gram_n))
+        ).alias("gram"),
+    ).select("id", F.md5(F.col("gram")).alias("g"))
+
+
+def _gram_digests_arrow(docs: DataFrame, gram_n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, md5(gram)) via mapInPandas. Profiled (BASELINE.md §3 r5
+    note): the HOF form spends its time materializing ~100-byte gram
+    STRINGS per token position in the interpreted HOF layer — 4.1-4.6 s
+    at sf0.1 for the explode+count alone — while this path tokenizes,
+    windows, and hashes at C speed inside Arrow batches. Semantics are
+    identical by construction and gated by an equality test: Python
+    re.split(r'\\s+') + str.lower() matches tokenize()'s
+    split(lower(x), '\\s+') on the corpus charset, ' '.join matches
+    concat_ws, hashlib.md5 IS md5()."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids: list = []
+            gs: list = []
+            for i, t in zip(pdf["id"], pdf["_text"]):
+                toks = ws.split(t.lower()) if t else [t if t is not None else ""]
+                seen = set()
+                for p in range(len(toks) - gram_n + 1):
+                    g = " ".join(toks[p : p + gram_n])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(i)
+                        gs.append(hashlib.md5(g.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"id": ids, "g": gs})
+
+    from fairy_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).repartition(par)
+    return src.mapInPandas(gen, schema="id long, g string")
+
+
 def substring_dedup_pairs(
     docs: DataFrame,
     gram_n: int = 15,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_gram_docs: int = 16,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact-substring dedup: doc pairs sharing >= 1 exact run of
     ``gram_n`` consecutive tokens, with the count of shared runs —
@@ -322,18 +376,16 @@ def substring_dedup_pairs(
     do (license headers, templates), and simultaneously the quadratic
     bound: pair cost is Sum_grams |docs_g|^2 <= max_gram_docs * |grams|,
     corpus-linear by construction. The cap is part of the semantics and
-    must be mirrored by any oracle."""
+    must be mirrored by any oracle.
+
+    ``engine``: 'arrow' (default — Arrow-batched gram hashing, ~2x the
+    HOF form at sf0.1, see _gram_digests_arrow) or 'hof' (pure JVM
+    reference path). Equality of the two is a gated test."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    grams = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(word_ngrams(tokenize(F.col(text_col)), gram_n))
-            ).alias("gram"),
-        )
-        .select("id", F.md5(F.col("gram")).alias("g"))
-        .repartition(par, "g")
+    digests = (_gram_digests_arrow if engine == "arrow" else _gram_digests_hof)(
+        docs, gram_n, id_col, text_col
     )
+    grams = digests.repartition(par, "g")
     from pyspark.sql import Window
 
     w = Window.partitionBy("g")
