@@ -103,6 +103,106 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _shingled_sig_hof(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    block: list[str],
+) -> DataFrame:
+    """(id, *block, shingles, sig) via JVM higher-order functions — the
+    r1-r4 construction, kept as the reference the Arrow path is gated
+    against (tests/test_substring_engines.py pattern). Project to
+    (id, text) BEFORE the repartition — the shuffle carries only what
+    shingling needs — but compute shingles AFTER it, so the expensive
+    tokenize+ngram work runs on all cores, not the input file's few
+    partitions."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block],
+            F.col(text_col).alias("_text"),
+        )
+        .repartition(par)
+        .select("id", *block, shingle_set(F.col("_text"), shingle_n).alias("shingles"))
+    )
+    return shingled.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+
+def _shingled_sig_arrow(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    block: list[str],
+) -> DataFrame:
+    """(id, *block, shingles, sig) via mapInPandas — the shipped build.
+    Same profile result as the substring pass (BASELINE r5 note): the
+    HOF layer's per-shingle string assembly + md5 dominates the cold
+    index build, while this path tokenizes, windows, and hashes at C
+    speed inside Arrow batches. Value-identical by construction —
+    Python ``int(md5(s).hexdigest()[i:i+15], 16)`` IS
+    ``conv(substr(md5(s), 1+i, 15), 16, 10)`` (60-bit window, fits
+    signed BIGINT), empty/short docs yield [] shingles and all-null
+    signatures exactly like array_min over nothing — and gated by an
+    equality test against the HOF form."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in ["id", *block, "shingles", "sig"]}
+            # zip over raw columns, not itertuples: pandas renames
+            # underscore-prefixed fields to positional _1 style there
+            cols = [pdf["id"], *[pdf[c] for c in block], pdf["_text"]]
+            for rid, *rest in zip(*cols):
+                t = rest[-1]
+                toks = ws.split(t.lower()) if t else ([""] if t == "" else [])
+                seen: set = set()
+                shingles: list[str] = []
+                for p in range(len(toks) - shingle_n + 1):
+                    g = " ".join(toks[p : p + shingle_n])
+                    if g not in seen:
+                        seen.add(g)
+                        shingles.append(g)
+                if shingles:
+                    digs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in shingles]
+                    sig = [
+                        min(int(d[i : i + 15], 16) for d in digs)
+                        for i in range(num_hashes)
+                    ]
+                else:
+                    sig = [None] * num_hashes
+                out["id"].append(rid)
+                for c, v in zip(block, rest[:-1]):
+                    out[c].append(v)
+                out["shingles"].append(shingles)
+                out["sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    from fairy_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block],
+        F.col(text_col).alias("_text"),
+    ).repartition(par)
+    block_schema = "".join(
+        f", {c} {src.schema[c].dataType.simpleString()}" for c in block
+    )
+    return src.mapInPandas(
+        gen, schema=f"id long{block_schema}, shingles array<string>, sig array<bigint>"
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -183,19 +283,8 @@ def minhash_lsh_candidates(
         # but compute the shingles AFTER it, so the expensive
         # tokenize+ngram work runs on all cores, not on the input
         # file's few partitions.
-        shingled = (
-            docs.select(
-                F.col(id_col).alias("id"),
-                *[F.col(c) for c in block],
-                F.col(text_col).alias("_text"),
-            )
-            .repartition(par)
-            .select(
-                "id", *block, shingle_set(F.col("_text"), shingle_n).alias("shingles")
-            )
-        )
-        sig = shingled.withColumn(
-            "sig", minhash_signature(F.col("shingles"), num_hashes)
+        sig = _shingled_sig_arrow(
+            docs, id_col, text_col, shingle_n, num_hashes, block
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # fp=None (uncacheable caller) still occupies a slot under the
         # None key so the NEXT call unpersists it — nothing leaks.

@@ -143,6 +143,13 @@ _RECHECK_FIRST = {
     "join_asof",
     "join_asof_tolerance",
     "merge_upsert",
+    # minhash signature index build switched to the Arrow engine
+    # (value-identical by gate, but the driver should ratify it):
+    "dedup_minhash_lsh",
+    "dedup_minhash_est",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_survivors",
 }
 
 

@@ -1,0 +1,60 @@
+"""Arrow-vs-HOF equality gate for the minhash signature index build.
+
+minhash_lsh_candidates ships the Arrow builder (_shingled_sig_arrow:
+C-speed tokenize + shingle + md5-window minhash inside mapInPandas
+batches) with the pure-JVM HOF construction retained as the reference
+(_shingled_sig_hof). The two must agree exactly — same shingle sets in
+first-occurrence order, same 60-bit md5-window signature values, same
+all-null signature for shingle-less docs — on testdata, synthetic
+corpora, and edge rows, and the end-to-end candidate output must be
+unchanged from the r1-r4 HOF era (the DuckDB oracle pins that too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from fairy_spark.operators.dedup import _shingled_sig_arrow, _shingled_sig_hof
+from fairy_spark.testing.synth import synth_documents
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _rows(df):
+    return {
+        (r["id"], tuple(r["shingles"]), tuple(r["sig"]))
+        for r in df.select("id", "shingles", "sig").collect()
+    }
+
+
+def test_sig_builders_equal_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = _rows(_shingled_sig_arrow(docs, "doc_id", "text", 3, 8, []))
+    h = _rows(_shingled_sig_hof(docs, "doc_id", "text", 3, 8, []))
+    assert a == h and len(a) > 0
+
+
+def test_sig_builders_equal_with_blocks_and_edges(spark):
+    docs = synth_documents(spark, 300).unionByName(
+        spark.createDataFrame(
+            [
+                Row(doc_id=9001, text="one two", lang="en", source="s", n_chars=7),
+                Row(doc_id=9002, text="", lang="en", source="s", n_chars=0),
+                Row(doc_id=9003, text="  pad  ded  ", lang="en", source="s", n_chars=12),
+            ]
+        )
+    ).withColumn("len_bucket", F.expr("n_chars div 50"))
+    kw = dict(shingle_n=3, num_hashes=8, block=["source", "len_bucket"])
+    a = _shingled_sig_arrow(docs, "doc_id", "text", **kw)
+    h = _shingled_sig_hof(docs, "doc_id", "text", **kw)
+
+    def keyed(df):
+        return {
+            (r["id"], r["source"], r["len_bucket"], tuple(r["shingles"]), tuple(r["sig"]))
+            for r in df.collect()
+        }
+
+    assert keyed(a) == keyed(h)
+    # shingle-less docs carry ALL-NULL signatures (banding filter relies on it)
+    empties = {r["id"]: tuple(r["sig"]) for r in a.filter(F.size("shingles") == 0).collect()}
+    assert empties.get(9001) == (None,) * 8 and empties.get(9002) == (None,) * 8
