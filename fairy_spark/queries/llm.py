@@ -807,6 +807,71 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), t2 AS (
+      SELECT doc_id, tok FROM toks WHERE tok != ''
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM t2 GROUP BY tok
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM t2
+    ), lp AS (
+      SELECT tok,
+             CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT) AS lpf
+      FROM freq, tot
+    )
+    SELECT t2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(CAST(SUM(lp.lpf) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) * 1000000 AS BIGINT) AS mean_logprob
+    FROM t2 JOIN lp USING (tok)
+    GROUP BY t2.doc_id
+    ORDER BY t2.doc_id
+    """,
+)
+def text_quality_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style signal,
+    with the corpus itself as the LM): per-doc mean log p(token) under
+    corpus unigram frequencies — low scores flag gibberish/outlier
+    docs for filtering or curriculum buckets. Determinism: ln is
+    computed ONCE per vocabulary entry and fixed-pointed (floor(x*1e6
+    + 0.5) as BIGINT), so per-doc totals are exact integer sums — no
+    accumulation-order drift — and the mean is one IEEE division
+    (ml_embed_centroid pattern). Scale: vocab hash agg + a 1-row total
+    broadcast + a shuffle join on token + per-doc hash agg — all
+    corpus-linear, no windows, no collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("n")) * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lpf"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("lpf").alias("s"), F.count(F.lit(1)).alias("n_toks"))
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            (
+                F.col("s").cast("double")
+                / (F.col("n_toks") * 1000000).cast("double")
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_repetition",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

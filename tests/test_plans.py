@@ -405,6 +405,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
     bnlj_bounded = {
         # 1-row global-stat crossJoins (count/avgdl/min-max frames)
         "text_tfidf", "text_bm25", "ml_minmax_scale", "text_inverted_index",
+        "text_quality_logprob",  # 1-row corpus-total frame
         # bounded query/probe sets (broadcast side is k rows by design)
         "sim_cosine_topk", "ml_knn_vote", "ml_ann_ivf_topk",
         # deliberate theta/cross shape over capped inputs
