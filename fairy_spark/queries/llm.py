@@ -25,6 +25,7 @@ from fairy_spark.operators.text import (
     EN_STOPWORDS,
     mean_token_len,
     minhash_sql,
+    portable_hash64,
     portable_hash_sql,
     rolling_fingerprint,
     stopword_ratio,
@@ -1689,4 +1690,232 @@ def ml_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_label") == F.col("true_label")).alias("hit"),
         )
         .orderBy("query_id")
+    )
+
+
+@register(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             LEN(toks) AS n_words,
+             list_reduce(list_prepend(0.0, list_transform(toks, x -> CAST(LENGTH(x) AS DOUBLE))), (a,b) -> a+b)
+               / LEN(toks) AS mwl,
+             CAST(LEN(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+               / LEN(toks) AS ar,
+             LEN(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND(ar, 6) AS alpha_ratio,
+           CAST(stop_hits AS INTEGER) AS stop_hits,
+           (n_words BETWEEN 30 AND 10000
+            AND mwl BETWEEN 3 AND 10
+            AND ar >= 0.8
+            AND stop_hits >= 2) AS keep
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule filter (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean-word-length band, alphabetic-word ratio
+    floor, stopword-hit floor — the rule pack every web-scale corpus
+    pass applies before dedup. One scan, all signals from one
+    tokenize; pure JVM higher-order functions (no Python), so the
+    whole row fits in one WholeStageCodegen span and scales as a
+    narrow map over document splits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        mean_token_len(toks).alias("mwl"),
+        (
+            F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+            / F.size(toks)
+        ).alias("ar"),
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(30, 10000)
+        & F.col("mwl").between(3, 10)
+        & (F.col("ar") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("ar", 6).alias("alpha_ratio"),
+        "stop_hits",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_domain_balance",
+    oracle=f"""
+    WITH cap AS (
+      SELECT MIN(cnt) AS cap
+      FROM (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source)
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {portable_hash_sql("CAST(doc_id AS VARCHAR)", "mix")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM r, cap WHERE rk <= cap ORDER BY doc_id
+    """,
+)
+def sample_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: downsample every source to the smallest
+    source's row count, picking survivors by portable-hash order so the
+    sample is deterministic and engine-independent. The training-mix
+    op behind 'equal parts web/books/code'. Plan: tiny per-source count
+    agg -> broadcast scalar cap -> one hash-partitioned window per
+    source. At 100 TB the exact row_number sort becomes the bottleneck;
+    the scale path swaps it for a hash-threshold filter
+    (keep iff hash < cap/cnt * 2^60 — no sort, same determinism,
+    approximate counts) which this query's exact form oracle-anchors."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    cap = counts.agg(F.min("cnt").alias("cap"))
+    w = Window.partitionBy("source").orderBy(
+        portable_hash64(F.col("doc_id").cast("string"), seed="mix"), "doc_id"
+    )
+    ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("cap"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_train_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             {portable_hash_sql("CAST(doc_id AS VARCHAR)", "split")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hash
+    bucket — the split must be a pure function of the stable id (never
+    rand()) so it is reproducible across engines, re-runs, and
+    incremental ingest (new rows land in a split without reshuffling
+    old ones). Narrow map, no shuffle; the sort is presentation-only."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string"), seed="split") % 100
+    split = (
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", bucket.alias("bucket"))
+        .select("doc_id", "bucket", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), t2 AS (
+      SELECT doc_id, lang, tok FROM toks WHERE tok != ''
+    ), raw AS (
+      SELECT tok, COUNT(*) AS cr FROM t2 GROUP BY tok
+    ), tgt AS (
+      SELECT tok, COUNT(*) AS ct FROM t2 WHERE lang = 'en' GROUP BY tok
+    ), tot AS (
+      SELECT (SELECT SUM(cr) FROM raw) AS nr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt,
+             (SELECT COUNT(*) FROM raw) AS v
+    ), lr AS (
+      SELECT raw.tok,
+             CAST(floor(ln((COALESCE(tgt.ct, 0) + 1.0) / (tot.nt + tot.v)) * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor(ln((raw.cr + 1.0) / (tot.nr + tot.v)) * 1000000 + 0.5) AS BIGINT) AS diff_f
+      FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok CROSS JOIN tot
+    )
+    SELECT t2.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(lr.diff_f) AS DOUBLE) / 1000000.0 AS weight
+    FROM t2 JOIN lr ON t2.tok = lr.tok
+    GROUP BY t2.doc_id
+    ORDER BY t2.doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public): score
+    each document by the summed unigram log-likelihood ratio between a
+    target domain (here lang='en') and the raw corpus, with add-one
+    smoothing over the shared vocabulary — the data-selection signal
+    used to resample web crawl toward a target distribution. Each ln
+    is fixed-pointed independently (floor(ln·1e6+0.5), the
+    text_quality_logprob convention) so the per-token ratio is an
+    exact integer and per-doc sums are order-independent and
+    engine-portable. Plan: two vocab-sized hash aggs, a 1-row totals
+    broadcast, a vocab-sized broadcast join back onto the exploded
+    token table — corpus-sized data is touched exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = raw.join(tgt, "tok", "left").agg(
+        F.sum("cr").alias("nr"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+
+    def _fp_ln(x):
+        return F.floor(F.log(x) * 1000000 + 0.5).cast("bigint")
+
+    lr = (
+        raw.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            (
+                _fp_ln(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + F.col("v"))
+                )
+                - _fp_ln((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
+            ).alias("diff_f"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (F.sum("diff_f").cast("double") / 1000000.0).alias("weight"),
+        )
+        .orderBy("doc_id")
     )
