@@ -1835,6 +1835,11 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Previous call's persisted vocab-stats frame (unpersisted on the next
+# call — same leak discipline as operators/dedup.py's signature index).
+_DSIR_PERSISTED: list = []
+
+
 @register(
     "text_dsir_weights",
     oracle=f"""
@@ -1873,23 +1878,41 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fixed-pointed independently (floor(ln·1e6+0.5), the
     text_quality_logprob convention) so the per-token ratio is an
     exact integer and per-doc sums are order-independent and
-    engine-portable. Plan: two vocab-sized hash aggs, a 1-row totals
-    broadcast, a vocab-sized broadcast join back onto the exploded
-    token table — corpus-sized data is touched exactly once."""
+    engine-portable. Plan: ONE corpus scan builds the vocab table
+    (cr = raw count, ct = conditional target count in the same hash
+    agg); it is persisted (vocab-sized, unpersisted on the next call
+    per the dedup.py convention) so the totals row and the per-token
+    ratios both derive from it without re-scanning; then one broadcast
+    join back onto the exploded token stream — the corpus is read
+    exactly twice (stats pass + scoring pass), never five times (the
+    naive raw/tgt/tot formulation Catalyst can't CSE)."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # Unpersist the PREVIOUS call's frame before persisting the new one:
+    # the two plans are identical, so persist-then-unpersist in the other
+    # order silently drops the shared CacheManager entry and every
+    # downstream branch recompiles back to a corpus scan (observed).
+    while _DSIR_PERSISTED:
+        _DSIR_PERSISTED.pop().unpersist(blocking=False)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tot = raw.join(tgt, "tok", "left").agg(
+    vocab.count()  # eager: tot and lr below must not re-derive the corpus agg
+    _DSIR_PERSISTED.append(vocab)
+
+    tot = vocab.agg(
         F.sum("cr").alias("nr"),
-        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
+        F.sum("ct").alias("nt"),
         F.count(F.lit(1)).alias("v"),
     )
 
@@ -1897,15 +1920,11 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.floor(F.log(x) * 1000000 + 0.5).cast("bigint")
 
     lr = (
-        raw.join(tgt, "tok", "left")
-        .crossJoin(F.broadcast(tot))
+        vocab.crossJoin(F.broadcast(tot))
         .select(
             "tok",
             (
-                _fp_ln(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("nt") + F.col("v"))
-                )
+                _fp_ln((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
                 - _fp_ln((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
             ).alias("diff_f"),
         )

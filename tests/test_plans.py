@@ -406,6 +406,8 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         # 1-row global-stat crossJoins (count/avgdl/min-max frames)
         "text_tfidf", "text_bm25", "ml_minmax_scale", "text_inverted_index",
         "text_quality_logprob",  # 1-row corpus-total frame
+        "text_dsir_weights",  # 1-row totals frame over the cached vocab
+        "sample_domain_balance",  # 1-row min-source-count cap frame
         # bounded query/probe sets (broadcast side is k rows by design)
         "sim_cosine_topk", "ml_knn_vote", "ml_ann_ivf_topk",
         # deliberate theta/cross shape over capped inputs
@@ -425,3 +427,45 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         f"unreviewed BroadcastNestedLoopJoin in: {rogue_bnlj} — verify the "
         "broadcast side is bounded, then extend the allowlist"
     )
+
+
+def test_gopher_and_split_are_shuffle_free_narrow_maps(spark, sf_dir):
+    """text_gopher_filters and sample_train_split are per-row rule
+    packs: every signal comes from one tokenize of one scan, so the
+    only exchange allowed is the presentation orderBy's range
+    partitioning. A hashpartitioning exchange here would mean a stray
+    groupBy/join snuck into what must stay a narrow map at 100 TB."""
+    for name in ("text_gopher_filters", "sample_train_split"):
+        plan = plan_of(QUERIES[name](spark, str(sf_dir)), "simple")
+        assert "hashpartitioning" not in plan, (name, plan)
+        assert "SinglePartition" not in plan, (name, plan)
+        read = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read and "n_chars" not in read[0], (name, read)
+
+
+def test_domain_balance_windows_per_source_cap_broadcast(spark, sf_dir):
+    """sample_domain_balance's only corpus-sized shuffles key on
+    `source` (the per-source window + the count agg); the 1-row cap
+    frame must ride a broadcast, never a shuffle join."""
+    import re
+
+    plan = plan_of(QUERIES["sample_domain_balance"](spark, str(sf_dir)), "simple")
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) == {"source"}, keys
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_dsir_scores_off_cached_vocab_via_broadcast(spark, sf_dir):
+    """text_dsir_weights must (a) join the per-token ratio table onto
+    the corpus token stream as a BROADCAST hash join (the vocab side is
+    df-bounded, the stream corpus-sized — a shuffle join would move the
+    corpus), and (b) derive both the totals row and the ratios from the
+    persisted vocab agg (InMemoryTableScan), not re-scan the corpus
+    per branch — the cache-drop regression re-planned every branch back
+    to a FileScan until the unpersist-before-persist fix."""
+    plan = plan_of(QUERIES["text_dsir_weights"](spark, str(sf_dir)), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    body = plan.split("InMemoryTableScan")[0]
+    assert body.count("FileScan parquet") == 1, body
