@@ -1938,3 +1938,164 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CMS_POS_SQL = (
+    "CAST(concat('0x', substr(md5('cms' || CAST(i AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 256"
+)
+
+
+@register(
+    "sketch_countmin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), t2 AS (
+      SELECT tok FROM toks WHERE tok != ''
+    ), seeds AS (SELECT unnest([0,1,2,3]) AS i),
+    pos AS (
+      SELECT tok, i, {_CMS_POS_SQL} AS bucket FROM t2 CROSS JOIN seeds
+    ), cms AS (
+      SELECT i, bucket, COUNT(*) AS c FROM pos GROUP BY i, bucket
+    ), exact AS (
+      SELECT tok, COUNT(*) AS exact_cnt FROM t2 GROUP BY tok
+    ), ppos AS (
+      SELECT e.tok, e.exact_cnt, s.i, {_CMS_POS_SQL.replace('tok', 'e.tok')} AS bucket
+      FROM exact e CROSS JOIN seeds s
+    )
+    SELECT p.tok,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(cms.c) AS BIGINT) AS est_cnt,
+           (MIN(cms.c) >= p.exact_cnt) AS never_undercounts
+    FROM ppos p JOIN cms ON p.i = cms.i AND p.bucket = cms.bucket
+    GROUP BY p.tok, p.exact_cnt
+    ORDER BY p.tok
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public)
+    frequency estimation over the corpus token stream: d=4 hash rows ×
+    w=256 buckets, estimate = min over rows of the bucket count. The
+    sketch is the scale structure itself — partial bucket counts merge
+    by ADDITION, so the groupBy's map-side partial agg IS the
+    distributed sketch-merge, and the finished sketch is d·w = 1024
+    rows (broadcastable) no matter the corpus size. Every probe is
+    checked against its exact count with the CMS guarantee column
+    (never undercounts) materialized for the oracle to verify."""
+    d = load_table(spark, sf_dir, "documents")
+    W, D = 256, 4
+    toks = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+    def positions(tok_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (portable_hash64(tok_col, seed=f"cms{i}") % W).alias("bucket"),
+                )
+                for i in range(D)
+            ]
+        )
+
+    cms = (
+        toks.select(F.explode(positions(F.col("tok"))).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    ppos = exact.select(
+        "tok", "exact_cnt", F.explode(positions(F.col("tok"))).alias("rb")
+    ).select("tok", "exact_cnt", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        ppos.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+        .orderBy("tok")
+    )
+
+
+_BLOOM_POS_SQL = (
+    "CAST(concat('0x', substr(md5('bf' || CAST(k AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 4096"
+)
+
+
+@register(
+    "sketch_bloom",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), t2 AS (
+      SELECT lang, tok FROM toks WHERE tok != ''
+    ), vocab AS (
+      SELECT tok, MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) = 1 AS in_ref
+      FROM t2 GROUP BY tok
+    ), seeds AS (SELECT unnest([0,1,2]) AS k),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL} AS pos
+      FROM (SELECT tok FROM vocab WHERE in_ref) CROSS JOIN seeds
+    ), ppos AS (
+      SELECT v.tok, v.in_ref, {_BLOOM_POS_SQL.replace('tok', 'v.tok')} AS pos
+      FROM vocab v CROSS JOIN seeds
+    ), probe AS (
+      SELECT tok, in_ref,
+             (COUNT(*) = COUNT(bits.pos)) AS member
+      FROM ppos LEFT JOIN bits ON ppos.pos = bits.pos
+      GROUP BY tok, in_ref
+    )
+    SELECT tok, in_ref, member,
+           (member OR NOT in_ref) AS no_false_negative
+    FROM probe
+    ORDER BY tok
+    """,
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (Bloom 1970, public): k=3 portable
+    hashes into an m=4096-bit array built from the lang='en' token
+    set; a probe is a member iff all k bit positions are set. Partial
+    filters merge by OR (the DISTINCT over set positions), the
+    finished filter is ≤ m rows (broadcastable) regardless of corpus
+    size — the structure Spark itself uses for runtime row-level
+    filtering in join pushdown. The no-false-negative guarantee is
+    materialized per probe and oracle-verified; false POSITIVES are
+    allowed by design and visible as member=true, in_ref=false."""
+    d = load_table(spark, sf_dir, "documents")
+    M, K = 4096, 3
+    toks = (
+        d.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(
+        (F.max(F.when(F.col("lang") == "en", 1).otherwise(0)) == 1).alias("in_ref")
+    )
+
+    def positions(tok_col):
+        return F.array(
+            *[(portable_hash64(tok_col, seed=f"bf{k}") % M) for k in range(K)]
+        )
+
+    bits = (
+        vocab.filter(F.col("in_ref"))
+        .select(F.explode(positions(F.col("tok"))).alias("pos"))
+        .distinct()
+    )
+    ppos = vocab.select("tok", "in_ref", F.explode(positions(F.col("tok"))).alias("pos"))
+    probe = (
+        ppos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("tok", "in_ref")
+        .agg((F.count(F.lit(1)) == F.count("hit")).alias("member"))
+    )
+    return probe.select(
+        "tok",
+        "in_ref",
+        "member",
+        (F.col("member") | ~F.col("in_ref")).alias("no_false_negative"),
+    ).orderBy("tok")
