@@ -54,3 +54,42 @@ def resample_ffill(
     return joined.withColumn(
         "ffill_value", F.last("avg_value", ignorenulls=True).over(w)
     )
+
+
+def resample_interp(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key grid with LINEAR interpolation across interior gaps
+    (leading/trailing gaps stay null — there is no second anchor to
+    interpolate toward). The interpolation fraction uses the integer
+    grid index, not epoch arithmetic, so the math is timezone-free and
+    the fraction is a ratio of exact integers on both engines.
+
+    Same scale shape as resample_ffill: one shuffle on the key; the
+    two anchor scans are windows over the already-key-partitioned grid
+    (no extra exchange — same partitioning, Spark reuses it)."""
+    base = resample_ffill(events, key_col, ts_col, val_col, step).drop("ffill_value")
+    w_ord = Window.partitionBy("key").orderBy("bucket")
+    idx = F.row_number().over(w_ord)
+    base = base.withColumn("idx", idx)
+    obs_idx = F.when(F.col("avg_value").isNotNull(), F.col("idx"))
+    w_back = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_back)
+    prev_i = F.last(obs_idx, ignorenulls=True).over(w_back)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_fwd)
+    next_i = F.first(obs_idx, ignorenulls=True).over(w_fwd)
+    frac = (F.col("idx") - prev_i).cast("double") / (next_i - prev_i).cast("double")
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return base.withColumn("interp_value", interp).drop("idx")

@@ -541,3 +541,117 @@ def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "sketch_quantile_hist",
+    oracle="""
+    WITH stats AS (
+      SELECT COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax FROM events
+    ), b AS (
+      SELECT CASE WHEN s.vmax > s.vmin
+                  THEN LEAST(255, CAST(floor((e.value - s.vmin) / (s.vmax - s.vmin) * 256) AS BIGINT))
+                  ELSE 0 END AS bin
+      FROM events e CROSS JOIN stats s
+    ), hist AS (
+      SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin
+    ), cum AS (
+      SELECT bin, SUM(cnt) OVER (ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist
+    ), qs AS (
+      SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q
+    ), tgt AS (
+      SELECT qs.q, CAST(ceil(qs.q * s.n) AS BIGINT) AS target FROM qs CROSS JOIN stats s
+    ), pick AS (
+      SELECT t.q, MIN(c.bin) AS b FROM tgt t JOIN cum c ON c.cum >= t.target GROUP BY t.q
+    ), ex AS (
+      SELECT 0.5::DOUBLE AS q, QUANTILE_CONT(value, 0.5) AS exact FROM events
+      UNION ALL
+      SELECT 0.9::DOUBLE, QUANTILE_CONT(value, 0.9) FROM events
+      UNION ALL
+      SELECT 0.99::DOUBLE, QUANTILE_CONT(value, 0.99) FROM events
+    )
+    SELECT p.q,
+           ROUND(s.vmin + p.b * (s.vmax - s.vmin) / 256, 6) AS est_value,
+           ROUND(ex.exact, 6) AS exact_value,
+           ROUND(ABS((s.vmin + p.b * (s.vmax - s.vmin) / 256) - ex.exact), 6) AS abs_err,
+           (ABS((s.vmin + p.b * (s.vmax - s.vmin) / 256) - ex.exact)
+              <= 2 * (s.vmax - s.vmin) / 256) AS within_two_bins
+    FROM pick p JOIN ex ON p.q = ex.q CROSS JOIN stats s
+    ORDER BY p.q
+    """,
+)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch: the fixed-memory quantile structure
+    (256 equi-width bins) next to the exact answer. At 100 TB exact
+    percentiles need a full sort or a per-group memory blowup; the
+    histogram is 256 counter cells that merge by addition across
+    partitions, estimate error bounded by the bin width — both the
+    estimate and its error-vs-exact are materialized and
+    oracle-checked. The cumulative bin count uses the sharded two-pass
+    prefix sum (operators/packing.py), never a SinglePartition window
+    (registry gate)."""
+    from fairy_spark.operators.packing import packed_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * 256
+                ).cast("bigint"),
+            ),
+        )
+        .otherwise(0)
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = packed_running_sum(hist, "bin", "cnt", n_shards=8)
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    tgt = qs.crossJoin(F.broadcast(stats)).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("target")
+    )
+    pick = (
+        cum.join(F.broadcast(tgt), F.col("cum") >= F.col("target"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("b"))
+    )
+    ex = ev.agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
+        F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.5).alias("q"), F.col("p50").alias("exact")),
+                F.struct(F.lit(0.9).alias("q"), F.col("p90").alias("exact")),
+                F.struct(F.lit(0.99).alias("q"), F.col("p99").alias("exact")),
+            )
+        ).alias("s")
+    ).select(F.col("s.q").alias("q"), F.col("s.exact").alias("exact"))
+    est = F.col("vmin") + F.col("b") * (F.col("vmax") - F.col("vmin")) / 256
+    return (
+        pick.join(F.broadcast(ex), "q")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q",
+            F.round(est, 6).alias("est_value"),
+            F.round("exact", 6).alias("exact_value"),
+            F.round(F.abs(est - F.col("exact")), 6).alias("abs_err"),
+            (
+                F.abs(est - F.col("exact"))
+                <= 2 * (F.col("vmax") - F.col("vmin")) / 256
+            ).alias("within_two_bins"),
+        )
+        .orderBy("q")
+    )

@@ -279,3 +279,129 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "l_event", "r_event", "l_ts", "r_ts")
         .orderBy("user_id", "l_event", "r_event")
     )
+
+
+@register(
+    "ts_resample_interp",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n, AVG(value) AS avg_value
+      FROM events WHERE user_id <= 10
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT key, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY key
+    ), grid AS (
+      SELECT s.key, unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS bucket
+      FROM span s
+    ), j AS (
+      SELECT g.key, g.bucket, COALESCE(a.n, 0) AS n, a.avg_value
+      FROM grid g LEFT JOIN agg a ON g.key = a.key AND g.bucket = a.bucket
+    ), g2 AS (
+      SELECT key, bucket, n, avg_value,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY bucket) AS idx
+      FROM j
+    ), g3 AS (
+      SELECT key, bucket, n, avg_value, idx,
+        LAST_VALUE(avg_value IGNORE NULLS) OVER (
+          PARTITION BY key ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN idx END IGNORE NULLS) OVER (
+          PARTITION BY key ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        FIRST_VALUE(avg_value IGNORE NULLS) OVER (
+          PARTITION BY key ORDER BY idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN idx END IGNORE NULLS) OVER (
+          PARTITION BY key ORDER BY idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM g2
+    )
+    SELECT key, bucket, CAST(n AS BIGINT) AS n,
+           ROUND(avg_value, 6) AS avg_value,
+           ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   THEN pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+                 ELSE NULL END, 6) AS interp_value
+    FROM g3
+    ORDER BY key, bucket
+    """,
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with LINEAR interpolation across
+    interior gaps (operators/timeseries.py::resample_interp) — the
+    gap-fill variant metrics pipelines want for continuous signals,
+    next to ffill's step semantics. The interpolation fraction is a
+    ratio of integer grid indexes (timezone-free, engine-exact); only
+    the anchors are floats, and both engines evaluate the identical
+    IEEE expression."""
+    from fairy_spark.operators.timeseries import resample_interp
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    out = resample_interp(ev)
+    return out.select(
+        "key",
+        "bucket",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("interp_value", 6).alias("interp_value"),
+    ).orderBy("key", "bucket")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT s.user_id, MIN(e.ts) AS purchase_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+       AND e.ts <= s.signup_ts + INTERVAL 24 HOUR
+      GROUP BY s.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.purchase_ts,
+           (p.purchase_ts IS NOT NULL) AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: first signup per user, then the first
+    purchase within 24h of it. The classic product-analytics sequence
+    query. Plan: tiny per-user min-agg (signups) joins the purchase
+    stream as an EQUI join on user_id with the time range riding
+    inside the join condition — shuffle keys stay user_id, state is
+    per-user scalars, the same shape the streaming stream-stream join
+    uses so it scales to unbounded event history."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "purchase_ts",
+            F.col("purchase_ts").isNotNull().alias("converted"),
+        )
+        .orderBy("user_id")
+    )
