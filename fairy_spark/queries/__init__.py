@@ -67,6 +67,7 @@ def _load_all() -> None:
         llm,
         streaming_batch,
         udfs_mm,
+        graph,
     )
     # streaming_exec reuses streaming_batch's oracle strings, so it
     # must import after streaming_batch has registered them.

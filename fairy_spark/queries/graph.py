@@ -1,0 +1,118 @@
+"""Graph queries over DataFrames (Pregel-style iteration, no GraphX):
+PageRank over the event-type transition graph. Companion to the
+iterative min-label propagation in operators/components.py — together
+they cover the two classic message-passing shapes (min-aggregation
+and weighted-sum power iteration).
+
+Determinism rule: ALL PageRank arithmetic is exact integer micro-units
+(bigint DIV, order-independent bigint sums) — float power iteration
+would depend on per-partition accumulation order and could never be
+hash-compared across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+_ITERS = 3
+
+
+def _pagerank_oracle(iters: int = _ITERS) -> str:
+    """Unrolled power-iteration CTE chain (the _simhash_oracle
+    pattern): DuckDB replays the identical integer arithmetic."""
+    prev = "pr0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"""it{i} AS (
+      SELECT n2.node, (150000 // nn.n) + COALESCE(s.c, 0) AS pr
+      FROM nodes n2 CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, SUM((85 * p.pr * e.w) // (100 * o.ow)) AS c
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN outw o ON e.src = o.src
+        GROUP BY e.dst
+      ) s ON n2.node = s.node
+    )"""
+        )
+        prev = f"it{i}"
+    return f"""
+    WITH ordered AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM events
+    ), edges AS (
+      SELECT src, event_type AS dst, COUNT(*) AS w
+      FROM ordered WHERE src IS NOT NULL GROUP BY src, dst
+    ), nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    pr0 AS (SELECT node, (1000000 // nn.n) AS pr FROM nodes CROSS JOIN nn),
+    {", ".join(its)}
+    SELECT node, CAST(pr AS BIGINT) AS pr_micros,
+           ROUND(CAST(pr AS DOUBLE) / 1000000, 6) AS pr
+    FROM {prev} ORDER BY node
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Page et al. 1999, public; d=0.85, 3 iterations) over
+    the event-type transition graph (edge src→dst weighted by how
+    often dst follows src in a user's event-time order). Iteration is
+    a driver-side loop of joins — Pregel-in-DataFrames like
+    dedup_components — but every frame in the loop is NODE-sized
+    (|event types|), so iterations are broadcast joins; only the edge
+    extraction touches the corpus (one per-user window + one hash
+    agg). Scores are exact integer micro-units: contribution =
+    (85·pr·w) DIV (100·out_w), teleport = 150000 DIV n — bigint sums
+    are accumulation-order-independent, which is what makes a
+    distributed power iteration hash-checkable at all. Dangling-node
+    mass is dropped (standard simplification), identically on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w_ord).alias("src"),
+    )
+    edges = (
+        ordered.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("1000000 DIV n").alias("pr")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(outw), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * pr * w) DIV (100 * ow)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(F.broadcast(contrib), "node", "left")
+            .select(
+                "node",
+                (F.expr("150000 DIV n") + F.coalesce(F.col("c"), F.lit(0))).alias("pr"),
+            )
+        )
+    return pr.select(
+        "node",
+        F.col("pr").cast("bigint").alias("pr_micros"),
+        F.round(F.col("pr").cast("double") / 1000000, 6).alias("pr"),
+    ).orderBy("node")

@@ -149,3 +149,48 @@ def sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "sample_weighted_topk",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(concat('wsample', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+      FROM documents
+    ), k AS (
+      SELECT doc_id, n_chars,
+             CAST(floor(ln((CAST(hv AS DOUBLE) + 1.0) / 1152921504606846977.0)
+                        / n_chars * 1000000000) AS BIGINT) AS kf
+      FROM h
+    )
+    SELECT doc_id, n_chars, kf
+    FROM k
+    ORDER BY kf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, A-Res style (Efraimidis &
+    Spirakis 2006, public): each row draws u = hash-uniform in (0,1]
+    and competes on key u^(1/weight); the top-k keys are the sample —
+    heavier rows (weight = n_chars) win proportionally more often, and
+    the draw is a pure function of the stable id (reproducible across
+    engines, re-runs, and partitionings, unlike rand()). The sort key
+    is fixed-pointed as floor(ln(u)/w · 1e9) — monotone in u^(1/w), so
+    ranking by it is ranking by the real key, but it is an exact
+    bigint on both engines. Top-k plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort) — the 100 TB shape."""
+    from fairy_spark.operators.text import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        portable_hash64(F.col("doc_id").cast("string"), seed="wsample").cast("double")
+        + 1.0
+    ) / 1152921504606846977.0  # 2^60 + 1: open-zero uniform from the 60-bit hash
+    kf = F.floor(F.log(u) / F.col("n_chars") * 1000000000).cast("bigint")
+    return (
+        d.select("doc_id", "n_chars", kf.alias("kf"))
+        .orderBy(F.col("kf").desc(), "doc_id")
+        .limit(20)
+    )

@@ -409,6 +409,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "text_dsir_weights",  # 1-row totals frame over the cached vocab
         "sample_domain_balance",  # 1-row min-source-count cap frame
         "sketch_quantile_hist",  # 1-row stats frame + <=256-bin vs 3-target rank probe
+        "graph_pagerank",  # 1-row node-count frame in every node-sized iteration
         # bounded query/probe sets (broadcast side is k rows by design)
         "sim_cosine_topk", "ml_knn_vote", "ml_ann_ivf_topk",
         # deliberate theta/cross shape over capped inputs
