@@ -84,3 +84,68 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     return t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer").select(
         *merged_cols
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    eff_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 maintenance: apply an update
+    batch to the CURRENT rows of a versioned dimension.
+
+    ``current`` columns: key, attrs, valid_from (its open version);
+    ``updates`` columns: key, attrs, eff_col (effective timestamp).
+
+    Semantics per key:
+    - attrs changed  -> close the old version at eff (valid_to = eff,
+      is_current = false) AND open a new one (valid_from = eff).
+    - attrs unchanged -> old version passes through untouched (no
+      churn versions — the comparison is null-safe so NULL attrs
+      compare equal, not 'changed').
+    - new key        -> open its first version at eff.
+    - key absent from the batch -> passes through.
+
+    Updates must be one row per key (pre-collapse with merge_upsert's
+    winner rule if not). Plan: ONE left join of current×updates on the
+    key + one anti-ish branch for brand-new keys — both shuffle on the
+    key only, so with dimension and batch bucketed on the key the whole
+    maintenance pass is exchange-free. Output: key, attrs, valid_from,
+    valid_to (null = open), is_current.
+    """
+    t = current.alias("t")
+    s = updates.alias("s")
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+    j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
+
+    # Existing versions: close if changed, else pass through open.
+    existing = j.select(
+        F.col(f"t.{key}").alias(key),
+        *[F.col(f"t.{c}").alias(c) for c in attr_cols],
+        F.col("t.valid_from").alias("valid_from"),
+        F.when(F.col(f"s.{key}").isNotNull() & changed, F.col(f"s.{eff_col}"))
+        .otherwise(F.lit(None).cast(current.schema["valid_from"].dataType))
+        .alias("valid_to"),
+        (~(F.col(f"s.{key}").isNotNull() & changed)).alias("is_current"),
+    )
+    # New versions for changed keys.
+    reopened = j.filter(F.col(f"s.{key}").isNotNull() & changed).select(
+        F.col(f"t.{key}").alias(key),
+        *[F.col(f"s.{c}").alias(c) for c in attr_cols],
+        F.col(f"s.{eff_col}").alias("valid_from"),
+        F.lit(None).cast(current.schema["valid_from"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    # First versions for brand-new keys.
+    fresh = s.join(t, F.col(f"s.{key}") == F.col(f"t.{key}"), "left_anti").select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col(eff_col).alias("valid_from"),
+        F.lit(None).cast(current.schema["valid_from"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return existing.unionByName(reopened).unionByName(fresh)

@@ -655,3 +655,104 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@register(
+    "sketch_hll",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(concat('hll', ':', CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+      FROM orders
+    ), rb AS (
+      SELECT hv % 64 AS bucket,
+             CASE WHEN hv // 64 > 0 THEN 55 - LENGTH(bin(hv // 64)) ELSE 55 END AS rho
+      FROM h
+    ), reg AS (
+      SELECT bucket, MAX(rho) AS m FROM rb GROUP BY bucket
+    ), s AS (
+      SELECT CAST(SUM(CAST(2 AS BIGINT) ** (55 - m)) AS BIGINT) AS s_present,
+             COUNT(*) AS n_buckets
+      FROM reg
+    ), est0 AS (
+      SELECT (64 - n_buckets) AS v,
+             s_present + (64 - n_buckets) * (CAST(2 AS BIGINT) ** 55) AS s_all
+      FROM s
+    ), est AS (
+      SELECT v,
+             0.709 * 64 * 64 * (CAST(2 AS BIGINT) ** 55) / CAST(s_all AS DOUBLE) AS e_raw
+      FROM est0
+    ), fin AS (
+      SELECT CASE WHEN e_raw <= 160.0 AND v > 0
+                  THEN 64.0 * ln(64.0 / v) ELSE e_raw END AS e
+      FROM est
+    ), ex AS (
+      SELECT COUNT(DISTINCT o_custkey) AS exact_nd FROM orders
+    )
+    SELECT 64 AS m,
+           CAST(ex.exact_nd AS BIGINT) AS exact_nd,
+           ROUND(fin.e, 6) AS est_nd,
+           ROUND(ABS(fin.e - ex.exact_nd) / ex.exact_nd, 6) AS rel_err,
+           (ABS(fin.e - ex.exact_nd) / ex.exact_nd <= 0.26) AS within_2sigma
+    FROM fin CROSS JOIN ex
+    """,
+)
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles (Flajolet et al. 2007,
+    public) so the estimate is ENGINE-EXACT and hash-checkable, unlike
+    approx_count_distinct's opaque implementation: m=64 registers,
+    register = max leading-zero rank of the portable hash within its
+    bucket. The registers are the scale structure — max-mergeable
+    (groupBy MAX is the distributed merge), 64 rows total regardless
+    of input size. The harmonic sum is fixed-pointed as exact powers
+    of two scaled by 2^55 (bigint, order-independent); the only float
+    ops are one division and the documented small-range ln branch.
+    Exact distinct count, relative error, and the 2-sigma bound
+    (1.04/sqrt(64) ~ 13%) ride along, oracle-verified."""
+    o = load_table(spark, sf_dir, "orders")
+    from fairy_spark.operators.text import portable_hash64
+
+    hv = portable_hash64(F.col("o_custkey").cast("string"), seed="hll")
+    h2 = F.expr("hv DIV 64")
+    rb = o.select(hv.alias("hv")).select(
+        (F.col("hv") % 64).alias("bucket"),
+        F.when(h2 > 0, F.lit(55) - F.length(F.bin(h2))).otherwise(55).alias("rho"),
+    )
+    reg = rb.groupBy("bucket").agg(F.max("rho").alias("m"))
+    s = reg.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    est0 = s.select(
+        (F.lit(64) - F.col("n_buckets")).alias("v"),
+        (
+            F.col("s_present")
+            + (F.lit(64) - F.col("n_buckets")) * F.shiftleft(F.lit(1).cast("bigint"), 55)
+        ).alias("s_all"),
+    )
+    e_raw = (
+        F.lit(0.709)
+        * 64
+        * 64
+        * F.shiftleft(F.lit(1).cast("bigint"), 55).cast("double")
+        / F.col("s_all").cast("double")
+    )
+    fin = est0.select(
+        F.when(
+            (e_raw <= 160.0) & (F.col("v") > 0),
+            F.lit(64.0) * F.log(F.lit(64.0) / F.col("v")),
+        )
+        .otherwise(e_raw)
+        .alias("e")
+    )
+    ex = o.agg(F.countDistinct("o_custkey").alias("exact_nd"))
+    return fin.crossJoin(F.broadcast(ex)).select(
+        F.lit(64).alias("m"),
+        F.col("exact_nd").cast("bigint").alias("exact_nd"),
+        F.round("e", 6).alias("est_nd"),
+        F.round(F.abs(F.col("e") - F.col("exact_nd")) / F.col("exact_nd"), 6).alias(
+            "rel_err"
+        ),
+        (
+            F.abs(F.col("e") - F.col("exact_nd")) / F.col("exact_nd") <= 0.26
+        ).alias("within_2sigma"),
+    )

@@ -326,3 +326,104 @@ def kv_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", F.length("value").cast("bigint").alias("n_bytes"))
         .orderBy("key")
     )
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, c_mktsegment || '-v2' AS c_mktsegment, c_nationkey,
+             TIMESTAMP '2024-06-01 00:00:00' AS eff
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_nationkey, TIMESTAMP '2024-06-01 00:00:00'
+      FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 9000000, 'new-seg', 0, TIMESTAMP '2024-06-01 00:00:00'
+      FROM customer WHERE c_custkey % 11 = 0
+    ), j AS (
+      SELECT t.c_custkey, t.c_mktsegment, t.c_nationkey, t.valid_from,
+             s.c_custkey AS s_key, s.c_mktsegment AS s_addr,
+             s.c_nationkey AS s_nat, s.eff,
+             (s.c_custkey IS NOT NULL AND (
+               NOT (t.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment)
+               OR NOT (t.c_nationkey IS NOT DISTINCT FROM s.c_nationkey))) AS chg
+      FROM cur t LEFT JOIN upd s ON t.c_custkey = s.c_custkey
+    ), existing AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey, valid_from,
+             CASE WHEN chg THEN eff ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+             NOT chg AS is_current
+      FROM j
+    ), reopened AS (
+      SELECT c_custkey, s_addr AS c_mktsegment, s_nat AS c_nationkey,
+             eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM j WHERE chg
+    ), fresh AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.c_nationkey,
+             u.eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM upd u LEFT JOIN cur t ON u.c_custkey = t.c_custkey
+      WHERE t.c_custkey IS NULL
+    )
+    SELECT * FROM (
+      SELECT * FROM existing
+      UNION ALL SELECT * FROM reopened
+      UNION ALL SELECT * FROM fresh
+    )
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance
+    (operators/merge.py::scd2_apply): changed attributes close the old
+    version and open a new one at the effective timestamp, unchanged
+    update rows cause NO churn version (null-safe comparison), new
+    keys open their first version, untouched keys pass through. The
+    update batch is carved deterministically from customer: a changed-
+    segment slice (%7), a no-op slice (%5, same attrs), and a
+    brand-new-key slice (%11). Both maintenance joins shuffle on the
+    key only — bucket the dimension on it and the pass is
+    exchange-free."""
+    from fairy_spark.operators.merge import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    eff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    changed = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("-v2")).alias("c_mktsegment"),
+            "c_nationkey",
+            eff.alias("eff"),
+        )
+    )
+    noop = (
+        c.filter((F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 7 != 0))
+        .select("c_custkey", "c_mktsegment", "c_nationkey", eff.alias("eff"))
+    )
+    fresh = (
+        c.filter(F.col("c_custkey") % 11 == 0)
+        .select(
+            (F.col("c_custkey") + 9000000).alias("c_custkey"),
+            F.lit("new-seg").alias("c_mktsegment"),
+            F.lit(0).alias("c_nationkey"),
+            eff.alias("eff"),
+        )
+    )
+    upd = changed.unionByName(noop).unionByName(fresh)
+    out = scd2_apply(
+        cur, upd, key="c_custkey", eff_col="eff",
+        attr_cols=["c_mktsegment", "c_nationkey"],
+    )
+    return out.orderBy("c_custkey", "valid_from")

@@ -410,6 +410,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "sample_domain_balance",  # 1-row min-source-count cap frame
         "sketch_quantile_hist",  # 1-row stats frame + <=256-bin vs 3-target rank probe
         "graph_pagerank",  # 1-row node-count frame in every node-sized iteration
+        "sketch_hll",  # 1-row estimate frame x 1-row exact-count frame
         # bounded query/probe sets (broadcast side is k rows by design)
         "sim_cosine_topk", "ml_knn_vote", "ml_ann_ivf_topk",
         # deliberate theta/cross shape over capped inputs
