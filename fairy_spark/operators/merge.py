@@ -108,13 +108,31 @@ def scd2_apply(
     - new key        -> open its first version at eff.
     - key absent from the batch -> passes through.
 
-    Updates must be one row per key (pre-collapse with merge_upsert's
-    winner rule if not). Plan: ONE left join of current×updates on the
+    The one-row-per-key precondition is ENFORCED here, not assumed
+    (the merge_upsert discipline): NULL-key update rows are dropped (a
+    NULL key never equi-joins — it would silently become a phantom
+    'new key' row), and duplicate update keys collapse to one
+    deterministic winner — the greatest (eff, orderable-attrs) tuple,
+    i.e. the latest effective change wins, ties broken by the
+    name-sorted attribute values. Without the collapse a duplicated
+    key would fan the matched dimension row out through the join and
+    emit several 'current' versions at once.
+
+    Plan: ONE left join of current×updates on the
     key + one anti-ish branch for brand-new keys — both shuffle on the
     key only, so with dimension and batch bucketed on the key the whole
     maintenance pass is exchange-free. Output: key, attrs, valid_from,
     valid_to (null = open), is_current.
     """
+    updates = updates.filter(F.col(key).isNotNull())
+    ord_attrs = [c for c in sorted(attr_cols) if _orderable(updates.schema[c].dataType)]
+    ordk = F.struct(F.col(eff_col), *[F.col(c) for c in ord_attrs])
+    row_cols = [eff_col, *attr_cols]
+    updates = (
+        updates.groupBy(key)
+        .agg(F.max_by(F.struct(*[F.col(c) for c in row_cols]), ordk).alias("_row"))
+        .select(key, *[F.col(f"_row.{c}").alias(c) for c in row_cols])
+    )
     t = current.alias("t")
     s = updates.alias("s")
     changed = F.lit(False)

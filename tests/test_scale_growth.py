@@ -84,3 +84,19 @@ def test_synth_corpus_is_deterministic(spark):
     b = synth_documents(spark, 300).orderBy("doc_id").collect()
     assert a == b
     assert len(a) == 300 and all(r["n_chars"] == len(r["text"]) for r in a[:20])
+
+
+def test_substring_pair_growth_is_near_linear(spark):
+    """The boilerplate cap (grams shared by > max_share docs dropped)
+    is dedup_substring_exact's quadratic bound: on the same 1x/4x/16x
+    corpora, capped gram pairs per doc must stay within a constant
+    factor as the corpus grows 16x (SCALE.md's corpus-linear claim for
+    the gram self-join, measured)."""
+    from fairy_spark.operators.dedup import substring_dedup_pairs
+
+    counts = {}
+    for n in SIZES:
+        docs = synth_documents(spark, n)
+        counts[n] = substring_dedup_pairs(docs).count()
+    per_doc = {n: counts[n] / n for n in SIZES}
+    assert per_doc[SIZES[-1]] <= 4 * max(per_doc[SIZES[0]], 0.05), (counts, per_doc)

@@ -147,3 +147,24 @@ def test_hll_partial_registers_merge_by_max(spark):
     for k, v in b.items():
         merged[k] = max(merged.get(k, 0), v)
     assert merged == whole
+
+
+def test_scd2_duplicate_and_null_update_keys_enforced(spark):
+    """Duplicate update keys collapse to the latest-effective winner
+    (no fan-out, no double 'current' rows); NULL-key update rows are
+    dropped rather than becoming phantom inserts."""
+    cur = _dim(spark, [(1, "A", T0)])
+    b = _upd(
+        spark,
+        [(1, "A2", T1), (1, "A3", T2), (None, "ghost", T1)],
+    )
+    out = scd2_apply(cur, b, "k", "eff", ["seg"])
+    rows = sorted(
+        (r["k"], r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    )
+    # winner is the T2 update; no ghost row for the NULL key
+    assert rows == [
+        (1, "A", T0, T2, False),
+        (1, "A3", T2, None, True),
+    ]
