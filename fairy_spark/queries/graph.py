@@ -73,7 +73,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     are accumulation-order-independent, which is what makes a
     distributed power iteration hash-checkable at all. Dangling-node
     mass is dropped (standard simplification), identically on both
-    engines."""
+    engines.
+
+    Overflow bound: the widest intermediate is 85·pr·w with pr ≤ 1e6
+    micros, so bigint (9.2e18) holds for edge weights up to ~1e11
+    transitions; past that (conceivable at 100 TB for a hot event-type
+    pair) pre-scale the edge weights by their GCD or switch the
+    contribution expression to DECIMAL(38,0) — same semantics, wider
+    lattice."""
     ev = load_table(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
