@@ -28,6 +28,7 @@ from fairy_spark.operators.text import (
     portable_hash64,
     portable_hash_sql,
     rolling_fingerprint,
+    shingle_set,
     stopword_ratio,
     tokenize,
 )
@@ -2099,3 +2100,59 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "member",
         (F.col("member") | ~F.col("in_ref")).alias("no_false_negative"),
     ).orderBy("tok")
+
+
+@register(
+    "text_containment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), s2 AS (
+      SELECT doc_id, sh FROM s WHERE LEN(sh) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(LEN(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+             LEN(a.sh) AS n_a
+      FROM s2 a JOIN s2 b ON a.doc_id != b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / n_a >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment C(a→b) = |S(a)∩S(b)| / |S(a)| —
+    the near-dup signal Jaccard misses when a short document is
+    embedded in a long one (broder containment; the dedup policy for
+    quote-heavy corpora). Scale shape: NOT the oracle's all-pairs
+    cross join — shingles explode once and intersections come from a
+    shingle EQUI-join (cost ∝ matching shingle pairs), with per-doc
+    set sizes broadcast back; the same plan runs unbounded with a
+    band-bucket prefilter; the oracle runs the transparent quadratic
+    all-pairs formulation over the sf corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingle_set(F.col("text"))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = inter.join(
+        F.broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a")),
+        "id_a",
+    )
+    c = F.col("n_inter").cast("double") / F.col("n_a")
+    return (
+        out.filter(c >= 0.5)
+        .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )

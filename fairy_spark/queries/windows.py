@@ -242,3 +242,60 @@ def win_value_fns_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+@register(
+    "events_error_bursts",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             (event_type = 'error') AS is_err,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, (event_type = 'error')
+                                ORDER BY ts, event_id) AS rn_f
+      FROM events
+    ), runs AS (
+      SELECT user_id, MIN(ts) AS burst_start, MAX(ts) AS burst_end,
+             CAST(COUNT(*) AS BIGINT) AS burst_len
+      FROM o WHERE is_err
+      GROUP BY user_id, rn - rn_f
+    )
+    SELECT user_id, burst_start, burst_end, burst_len
+    FROM runs WHERE burst_len >= 3
+    ORDER BY user_id, burst_start
+    """,
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE territory) as
+    gaps-and-islands: runs of >= 3 CONSECUTIVE 'error' events per
+    user, found by the rn - rn_within_flag island key — two ranking
+    windows over the SAME (user_id) partitioning (one exchange, Spark
+    plans both in one Window node chain) plus one hash agg. The
+    alerting primitive for 'N failures in a row'; per-user windows
+    keep state bounded so the same shape runs under
+    applyInPandasWithState on the live stream."""
+    ev = load_table(spark, sf_dir, "events")
+    is_err = (F.col("event_type") == "error").alias("is_err")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_flag = Window.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "ts", "event_id", is_err
+    ).select(
+        "*",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_flag).alias("rn_f"),
+    )
+    runs = (
+        o.filter("is_err")
+        .groupBy("user_id", (F.col("rn") - F.col("rn_f")).alias("island"))
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count(F.lit(1)).alias("burst_len"),
+        )
+    )
+    return (
+        runs.filter(F.col("burst_len") >= 3)
+        .select("user_id", "burst_start", "burst_end", "burst_len")
+        .orderBy("user_id", "burst_start")
+    )
