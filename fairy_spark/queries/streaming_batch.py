@@ -405,3 +405,46 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day,
+    counted distinct on each later day offset — the growth-analytics
+    staple next to the funnel. Plan: the cohort frame is a user-sized
+    min-agg; joining it back to events is an equi join on user_id
+    (same shuffle key as the agg that built it, so the exchange is
+    reusable), then one distinct-agg on (cohort_day, day_offset).
+    DATE arithmetic here is calendar-day truncation on both engines —
+    no boundary ambiguity like the second-granularity session gap.
+    At 100 TB the user dim is large, so the cohort side is a shuffle
+    join (NOT broadcast); distinct-count state is bounded per
+    (cohort, offset) cell, ~days² cells total."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

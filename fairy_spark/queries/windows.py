@@ -299,3 +299,78 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "burst_start", "burst_end", "burst_len")
         .orderBy("user_id", "burst_start")
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the 30-min-inactivity-gap kind every
+    clickstream pipeline runs): lag + running-sum-of-boundaries
+    assigns session numbers, then one hash agg per session. Both
+    windows and the agg share the user_id partitioning, so the whole
+    query is ONE exchange — per-user state, never a global window.
+    This is the batch twin of Structured Streaming's session_window
+    (stream_exec_session); identical gap rule, so a backfill and the
+    live stream agree. At 100 TB user_id partitioning holds: sessions
+    never span users, and skewed bot users are bounded by the
+    inactivity rule splitting their history into many groups."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr(
+                    "timestampdiff(MICROSECOND, lag(ts) over "
+                    "(partition by user_id order by ts, event_id), ts)"
+                )
+                > 1800 * 1000000
+            ),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts", "event_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_no"
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts)) div 1000000")
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+        .orderBy("user_id", "session_no")
+    )
