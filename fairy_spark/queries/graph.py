@@ -123,3 +123,89 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").cast("bigint").alias("pr_micros"),
         F.round(F.col("pr").cast("double") / 1000000, 6).alias("pr"),
     ).orderBy("node")
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM oriented e1
+            JOIN oriented e2 ON e1.dst = e2.src
+            JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts
+    appearing in the same order), via DEGREE-ORDERED edge orientation
+    (Schank & Wagner 2005, public): each undirected edge points from
+    its (degree, id)-smaller endpoint, turning the graph into a DAG
+    where every triangle appears exactly once as e1(a,b), e2(b,c),
+    e3(a,c) — three hash equi-joins, no DISTINCT-after-count or /6
+    fixups. Orientation is WHY this scales: the wedge join fans out
+    from each node's OUT-degree, and orientation caps out-degree at
+    O(sqrt(m)) for any graph, so wedge count is O(m^1.5) instead of
+    Σ deg² — on a power-law co-purchase graph the hub nodes (degree
+    10⁵+ at 100 TB) would otherwise dominate quadratically. Edge
+    extraction is a self-join on l_orderkey (order-local fan-out,
+    corpus-linear for bounded basket size) followed by a distinct on
+    the pair key. Everything downstream of `pairs` is edge-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    summary = (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return summary.select("n_nodes", "n_edges", "n_triangles")
