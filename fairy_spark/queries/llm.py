@@ -2156,3 +2156,87 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
         .orderBy("id_a", "id_b")
     )
+
+
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 4
+_SIMHASH_MAXHAM = 3
+
+
+def _simhash_hamming_oracle() -> str:
+    """Candidate pairs share >= 1 of 4 4-bit bands (pigeonhole: any
+    pair at hamming <= 3 differs in at most 3 bands), verified by
+    exact bit_count(xor)."""
+    return f"""
+    WITH sig AS (
+      {_simhash_oracle().strip()}
+    ), banded AS (
+      SELECT sh.id, sh.simhash, b.band_id,
+             (sh.simhash >> (b.band_id * {_SIMHASH_BAND_BITS}))
+               & {(1 << _SIMHASH_BAND_BITS) - 1} AS band_val
+      FROM sig sh CROSS JOIN (
+        SELECT unnest(range({_SIMHASH_BANDS})) AS band_id
+      ) b
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id
+     AND a.band_val = b.band_val
+     AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXHAM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup JOIN (Manku et al., WWW'07, public): find all
+    doc pairs within hamming distance 3 of each other's 16-bit
+    fingerprint, without an all-pairs comparison. Band blocking makes
+    it an equi-join: split the fingerprint into 4 bands; a pair at
+    hamming <= 3 has all 3 differing bits in at most 3 bands, so by
+    pigeonhole it AGREES exactly on at least one band -> candidates =
+    equi-join on (band_id, band_val), verified by exact
+    bit_count(xor) <= 3, deduped on the pair key. Scale: the join key
+    is the band value -- the plan is the minhash-LSH banded shape, with
+    the same property that pair cost is Sum over buckets of |bucket|^2,
+    not corpus^2. Production geometry widens the fingerprint (64-bit,
+    4x16-bit bands -> 65536 buckets/band, Manku's deployed config);
+    the plan is identical, only the literals change, and the simhash
+    builder (operators/dedup.py simhash) takes bits as a parameter."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = simhash(d, bits=16)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * _SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "id", "simhash", F.explode(bands).alias("b")
+    ).select("id", "simhash", "b.band_id", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= _SIMHASH_MAXHAM)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
