@@ -2240,3 +2240,46 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_TOKS_SQL} AS toks FROM documents
+    ), pairs AS (
+      SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                     for i in range(1, len(toks))]) AS pair
+      FROM t
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style merge statistics: corpus-wide adjacent-token-pair
+    frequencies, top 30 — the inner loop of byte-pair-encoding
+    tokenizer training (count pairs, merge the most frequent, repeat)
+    done the way a 100 TB corpus forces: per-row pair explosion via a
+    higher-order transform (no window, no self-join, no per-row
+    Python), ONE hash agg with map-side partial aggregation, and a
+    TakeOrderedAndProject top-k instead of a global sort. Per-doc
+    fan-out is len(toks)-1 — corpus-linear. A full BPE trainer is
+    this query in a driver loop with the merge table broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    pairs = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', toks[i + 1]))"
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
