@@ -89,3 +89,65 @@ def asof_join_backward(
     return filled.filter(F.col("__side") == 1).select(
         *lcols, *[F.col(f"__v.{v}").alias(v) for v in value_cols]
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join, FORWARD direction: every left row, annotated
+    with ``value_cols`` from the EARLIEST right row with
+    ``right_ts >= left_ts`` (per keys) — the "next reading after this
+    event" lookup (DuckDB `ASOF JOIN ... ON r.ts >= l.ts`). Same
+    union + window encoding as backward (one shuffle, no range
+    explosion), mirrored: right rows sort AFTER left at equal ts (a
+    right row exactly at the left timestamp matches), and a
+    first-non-null over the FOLLOWING frame replaces last-over-
+    preceding. Duplicate-(keys, ts) right rows resolve to the
+    greatest value struct (sorted first within the tie via descending
+    struct order) — the same row-atomic greatest-row-wins rule as
+    backward, so flipping direction never changes the tie policy."""
+    lcols = left.columns
+    vtype = T.StructType([T.StructField(v, right.schema[v].dataType) for v in value_cols])
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(0))
+        .withColumn("__v", F.lit(None).cast(vtype))
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("__v"),
+    )
+    for c in lcols:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l.select(*lcols, "__ts", "__side", "__v").unionByName(
+        r.select(*lcols, "__ts", "__side", "__v")
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            # greatest value struct sorts FIRST among duplicate-ts
+            # right rows → wins the first()
+            F.col("__v").desc_nulls_last(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__side",
+        F.first("__v", ignorenulls=True).over(w).alias("__v"),
+    )
+    return filled.filter(F.col("__side") == 0).select(
+        *lcols, *[F.col(f"__v.{v}").alias(v) for v in value_cols]
+    )

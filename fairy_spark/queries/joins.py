@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fairy_spark.functions.exact import money_sum
-from fairy_spark.operators.asof import asof_join_backward
+from fairy_spark.operators.asof import asof_join_backward, asof_join_forward
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
 
@@ -432,4 +432,52 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_ts") >= F.col("ts") - F.expr("interval 1 hour"),
             F.round("purchase_value", 6),
         ).alias("purchase_value_1h"),
+    ).orderBy("event_id")
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           ROUND(p.purchase_value, 6) AS next_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    ORDER BY c.event_id
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for each click, the value of that user's
+    EARLIEST purchase at or after the click — the "what happened
+    next" direction (attribution, next-reading lookups). Same
+    single-shuffle union+window encoding as join_asof, frame
+    mirrored to first-non-null-over-FOLLOWING
+    (operators/asof.py asof_join_forward)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    joined = asof_join_forward(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 6).alias("next_purchase_value"),
     ).orderBy("event_id")

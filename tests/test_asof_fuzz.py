@@ -136,3 +136,40 @@ def test_asof_latest_row_null_value_not_backfilled(spark):
         ldf, rdf, keys=["k"], left_ts="lts", right_ts="rts", value_cols=["a", "b"]
     ).collect()
     assert [(r["a"], r["b"]) for r in out] == [(2, None)]
+
+
+def _expected_forward(left_rows, right_rows):
+    """Serial fold of asof_join_forward's rule: per left row, among
+    right rows with same key and ts >= left ts, the MIN ts wins;
+    among duplicates at that ts, the greatest value."""
+    out = {}
+    for i, (k, lts, _) in enumerate(left_rows):
+        cands = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts >= lts]
+        if not cands:
+            out[i] = None
+        else:
+            best_ts = min(rts for rts, _ in cands)
+            out[i] = max(v for rts, v in cands if rts == best_ts)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(left=stream, right=stream)
+def test_asof_forward_duplicate_right_ts_deterministic_winner(spark, left, right):
+    from fairy_spark.operators.asof import asof_join_forward
+
+    ldf = spark.createDataFrame(
+        [Row(k=k, lts=t, lid=i) for i, (k, t, _) in enumerate(left)],
+        "k STRING, lts INT, lid INT",
+    )
+    rdf = spark.createDataFrame(
+        [Row(k=k, rts=t, val=v) for (k, t, v) in right],
+        "k STRING, rts INT, val INT",
+    )
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join_forward(
+            ldf, rdf, keys=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    assert got == _expected_forward(left, right)
