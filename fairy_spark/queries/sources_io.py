@@ -298,3 +298,58 @@ def scan_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+    SELECT COALESCE(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                         THEN NULL ELSE o_orderpriority END, '<absent>') AS priority,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the scan: an early ingest batch wrote
+    (o_orderkey, o_totalprice); a later batch added o_orderpriority.
+    `mergeSchema=true` unions the footers — old rows surface NULL for
+    the added column, exactly the semantics a 100 TB append-only lake
+    table needs when producers upgrade independently. The oracle
+    derives the same union from the source table (pre-cutover rows →
+    NULL priority). Scale note: mergeSchema is a FOOTER-ONLY
+    operation (one task per file reads metadata, no data scan), so
+    evolution costs nothing at read time; the expensive anti-pattern
+    is rewriting old files to backfill the column."""
+    path = _scratch(spark, sf_dir, "orders_evolved")
+    o = load_table(spark, sf_dir, "orders")
+    cutover = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    (
+        o.filter(F.col("o_orderdate") < cutover)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path + "/batch=old")
+    )
+    (
+        o.filter(F.col("o_orderdate") >= cutover)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(path + "/batch=new")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        path + "/batch=old", path + "/batch=new"
+    )
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<absent>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0).alias(
+                "total"
+            ),
+        )
+        .orderBy("priority")
+    )
