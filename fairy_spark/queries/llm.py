@@ -2283,3 +2283,117 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
     )
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS n_label,
+             ROUND({_COS_SQL}, 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id <= 100
+    ), ranked AS (
+      SELECT query_id, n_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ), votes AS (
+      SELECT query_id, n_label, COUNT(*) AS cnt
+      FROM ranked WHERE rn <= 5 GROUP BY query_id, n_label
+    ), pick AS (
+      SELECT query_id,
+             ARG_MAX(n_label, cnt*1000 + (999 - n_label)) AS pred_label
+      FROM votes GROUP BY query_id
+    )
+    SELECT a.label AS true_label, p.pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pick p JOIN embeddings a ON a.vec_id = p.query_id
+    GROUP BY true_label, p.pred_label
+    ORDER BY true_label, p.pred_label
+    """,
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the 5-NN majority-vote classifier over a
+    100-query evaluation slice — the eval-harness counterpart of
+    ml_knn_vote (same deterministic integer vote composite, same
+    broadcast-query brute-force top-k), finished with a
+    (true, predicted) hash agg. The matrix is |labels|² cells no
+    matter the corpus size, so the reduction is never the scale
+    problem; the scored candidate set is, and it stays one corpus
+    scan with the query side broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 100)
+    nb = brute_force_topk(e, q, k=5)
+    lab = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    votes = (
+        nb.join(lab, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ordv = F.col("cnt") * 1000 + (999 - F.col("n_label"))
+    pick = votes.groupBy("query_id").agg(F.max_by("n_label", ordv).alias("pred_label"))
+    truth = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        pick.join(truth, "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+@register(
+    "text_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    ), s AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+      FROM tc GROUP BY source
+    )
+    SELECT source, n_tokens, vocab,
+           CAST(FLOOR((log2(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS entropy_bits
+    FROM s
+    ORDER BY source
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the unigram distribution — the
+    corpus-diversity signal next to Zipf head and TF stats (a
+    low-entropy source is boilerplate/templated; a dedup'd crawl
+    should rise). Algebra is arranged for distribution: entropy =
+    log2(N) − Σ c·log2(c) / N, so the engine ships exact integer
+    counts through ONE (source, token) hash agg and a source-sized
+    rollup — no per-token probability column, and only |vocab|
+    double terms enter the sum before 6-decimal fixed-point rounding
+    absorbs accumulation-order noise."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias(
+            "clogc"
+        ),
+    )
+    entropy = F.log2(F.col("n_tokens").cast("double")) - F.col("clogc") / F.col(
+        "n_tokens"
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        (F.floor(entropy * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0).alias(
+            "entropy_bits"
+        ),
+    ).orderBy("source")
