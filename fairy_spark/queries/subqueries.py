@@ -185,3 +185,90 @@ def sub_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+@register(
+    "sub_gt_all",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 6) AS total
+    FROM orders
+    WHERE o_totalprice > ALL (
+      SELECT o_totalprice FROM orders WHERE o_custkey <= 100
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def sub_gt_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison (> ALL): orders larger than EVERY order
+    of the first hundred customers. Catalyst rewrites the quantifier
+    to a 1-row MAX aggregate broadcast against the outer scan — the
+    textbook decorrelation that keeps `ALL` from being a per-row
+    probe. (NULL subtlety: > ALL over an empty set is TRUE, over a
+    set containing NULL is never TRUE for non-greater rows — both
+    engines implement the standard's three-valued rule, and the
+    subquery side here is non-null by schema.)"""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 6) AS total
+        FROM orders
+        WHERE o_totalprice > (
+          SELECT MAX(o_totalprice) FROM orders WHERE o_custkey <= 100
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sub_not_in_nullaware",
+    oracle="""
+    SELECT 'null_poisoned' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderpriority NOT IN (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE 'P' || CAST(value % 3 AS INTEGER) END
+      FROM events WHERE user_id = 1
+    )
+    UNION ALL
+    SELECT 'null_free' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderpriority NOT IN (
+      SELECT 'P' || CAST(value % 3 AS INTEGER)
+      FROM events WHERE user_id = 1 AND event_type != 'error'
+    )
+    ORDER BY variant
+    """,
+)
+def sub_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-aware NOT IN — the classic three-valued-logic trap: if the
+    subquery result contains a single NULL, NOT IN returns UNKNOWN for
+    every row and the query yields nothing; SQL demands exactly that,
+    and Spark plans it as a NULL-AWARE anti join (single-column
+    BroadcastNestedLoopJoin), distinct from NOT EXISTS's plain
+    LeftAnti. Both behaviors are pinned side-by-side: the
+    null_poisoned branch must count 0, the null_free branch the real
+    complement — a 0-row result alone would be weak evidence. The subquery here (one user's event stream, mapped so
+    'error' events inject NULL) is driver-bounded; at 100 TB a NOT IN
+    over a corpus-sized nullable column is the anti-pattern — rewrite
+    to NOT EXISTS, which this registry covers separately
+    (sub_not_exists_no_urgent)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'null_poisoned' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderpriority NOT IN (
+          SELECT CASE WHEN event_type = 'error' THEN NULL
+                      ELSE 'P' || CAST(CAST(value AS INT) % 3 AS STRING) END
+          FROM events WHERE user_id = 1
+        )
+        UNION ALL
+        SELECT 'null_free' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderpriority NOT IN (
+          SELECT 'P' || CAST(CAST(value AS INT) % 3 AS STRING)
+          FROM events WHERE user_id = 1 AND event_type != 'error'
+        )
+        ORDER BY variant
+        """
+    )

@@ -413,6 +413,8 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "sketch_hll",  # 1-row estimate frame x 1-row exact-count frame
         # bounded query/probe sets (broadcast side is k rows by design)
         "sim_cosine_topk", "ml_knn_vote", "ml_ann_ivf_topk",
+        "ml_confusion_matrix",  # 100-row eval-query broadcast
+        "graph_triangles",  # 1-row node/edge/triangle count summary frames
         # deliberate theta/cross shape over capped inputs
         "join_theta_cross",
         # scalar-subquery decorrelation over a 1-row aggregate
