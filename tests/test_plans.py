@@ -474,3 +474,48 @@ def test_dsir_scores_off_cached_vocab_via_broadcast(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, plan
     body = plan.split("InMemoryTableScan")[0]
     assert body.count("FileScan parquet") == 1, body
+
+
+def test_sessionize_single_user_exchange(spark, sf_dir):
+    """events_sessionize claims ONE exchange end-to-end: both windows
+    and the session agg share the user_id partitioning. Any second
+    hash key (or a SinglePartition window) would break per-user
+    locality at 100 TB."""
+    import re
+
+    plan = plan_of(QUERIES["events_sessionize"](spark, str(sf_dir)), "simple")
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id"}, keys
+    assert "SinglePartition" not in plan.replace(
+        "rangepartitioning", ""
+    ), plan  # presentation sort may range-partition; nothing may single-partition
+
+
+def test_bpe_pairs_is_takeordered_topk(spark, sf_dir):
+    """text_bpe_pairs' top-30 must plan as TakeOrderedAndProject
+    (per-partition heaps over the pair counts), never a global sort
+    of the full pair vocabulary."""
+    plan = plan_of(QUERIES["text_bpe_pairs"](spark, str(sf_dir)), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q9_part_filter_reaches_scan(spark, sf_dir):
+    """q9_product_profit's p_name LIKE filter must be pushed to the
+    part scan (shrinking the SF-proportional dim BEFORE the partkey
+    exchange) — at 100 TB an unpushed LIKE re-reads all of part."""
+    plan = plan_of(QUERIES["q9_product_profit"](spark, str(sf_dir)), "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "p_name" in l]
+    assert pushed and "Contains(p_name,red)" in pushed[0].replace(" ", ""), pushed
+
+
+def test_asof_forward_single_shuffle_no_join(spark, sf_dir):
+    """join_asof_forward is the union+window encoding: exactly one
+    user_id exchange, and NO join node anywhere — a range/candidate
+    join encoding would explode when many right rows follow a left
+    row."""
+    import re
+
+    plan = plan_of(QUERIES["join_asof_forward"](spark, str(sf_dir)), "simple")
+    assert "Join" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id"}, keys
