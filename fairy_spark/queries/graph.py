@@ -209,3 +209,79 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
     )
     return summary.select("n_nodes", "n_edges", "n_triangles")
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
+    ), adj AS (
+      SELECT u AS ctr, v AS nbr FROM pairs
+      UNION ALL
+      SELECT v AS ctr, u AS nbr FROM pairs
+    ), wedges AS (
+      SELECT a.nbr AS x, b.nbr AS y, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a JOIN adj b ON a.ctr = b.ctr AND a.nbr < b.nbr
+      GROUP BY x, y
+    )
+    SELECT w.x, w.y, w.common
+    FROM wedges w
+    LEFT JOIN pairs p ON w.x = p.u AND w.y = p.v
+    WHERE p.u IS NULL
+    ORDER BY w.common DESC, w.x, w.y
+    LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count (Liben-Nowell &
+    Kleinberg 2003, public): the top NON-edges ranked by shared
+    neighbors in the (sampled) co-purchase graph — "parts bought
+    together with the same third parts but never together". Shape:
+    symmetric adjacency self-joined on the CENTER node enumerates
+    each wedge once (nbr < nbr), one hash agg, then a LEFT ANTI join
+    removes existing edges and TakeOrdered keeps the head. Wedge
+    count is Σ deg² — the hub problem triangle counting dodges via
+    orientation, but common-neighbor scoring NEEDS both sides of
+    every wedge; the 100 TB mitigations are degree-capping or
+    per-center sampling (both order-preserving for the head), and the
+    order-key sample here stands in for that cap."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = pairs.select(F.col("u").alias("ctr"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
+    )
+    aa = adj.alias("aa")
+    bb = adj.alias("bb")
+    wedges = (
+        aa.join(
+            bb,
+            (F.col("aa.ctr") == F.col("bb.ctr"))
+            & (F.col("aa.nbr") < F.col("bb.nbr")),
+        )
+        .groupBy(F.col("aa.nbr").alias("x"), F.col("bb.nbr").alias("y"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_edges = wedges.join(
+        pairs, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")), "left_anti"
+    )
+    return non_edges.select("x", "y", "common").orderBy(
+        F.col("common").desc(), "x", "y"
+    ).limit(20)

@@ -427,3 +427,35 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["c_mktsegment", "c_nationkey"],
     )
     return out.orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "kv_range_scan",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE CAST(doc_id AS VARCHAR) >= '150'
+      AND CAST(doc_id AS VARCHAR) < '250'
+    ORDER BY key
+    """,
+)
+def kv_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV half-open range scan [lo, hi) — the LSM iterator / seek
+    surface next to kv_prefix_scan's readdir (SURVEY §2.A A17). The
+    two bound predicates compile to GreaterThanOrEqual/LessThan
+    filters pushed into the scan, so on a sorted-bucketed store the
+    range is served from column min/max stats: files wholly outside
+    [lo, hi) are skipped without reading a page — the same reason an
+    LSM iterator touches only the SSTables whose key range overlaps
+    the seek window."""
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+    return (
+        kv.filter((F.col("key") >= "150") & (F.col("key") < "250"))
+        .select("key", F.length("value").cast("bigint").alias("n_bytes"))
+        .orderBy("key")
+    )

@@ -374,3 +374,77 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "ts_zscore_anomaly",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS x6
+      FROM events
+    ), stats AS (
+      SELECT user_id, ts, event_id, x6,
+             SUM(x6) OVER w AS s1,
+             SUM(x6 * x6) OVER w AS s2,
+             COUNT(*) OVER w AS n
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, CAST(x6 AS DOUBLE) / 1000000 AS value,
+           CAST(FLOOR((CAST(x6 * n - s1 AS DOUBLE)
+                       / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * n / (n - 1)))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS z
+    FROM stats
+    WHERE n >= 10 AND n * s2 - s1 * s1 > 0
+      AND ABS(CAST(x6 * n - s1 AS DOUBLE)
+              / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * n / (n - 1))) > 2.5
+    ORDER BY user_id, event_id
+    """,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value sits
+    >2.5 sample standard deviations from the trailing-20 mean, per
+    user. The monitoring-pipeline staple — and a determinism case
+    study: mean/std come from EXACT integer fixed-point window sums
+    (Σx, Σx², n as bigints; z = (x·n − Σx)/√((n·Σx² − (Σx)²)·n/(n−1))
+    is then a fixed short IEEE sequence), so two engines — or two
+    partitionings of one engine — can never disagree on which events
+    are anomalies. A float Welford stddev here would make the >2.5
+    cut partition-order-dependent right at the threshold. Plan: one
+    user_id-partitioned window, same single-exchange shape as
+    sessionize; trailing state is 20 rows per user."""
+    ev = load_table(spark, sf_dir, "events")
+    x6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    stats = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        x6.alias("x6"),
+    ).select(
+        "user_id",
+        "event_id",
+        "x6",
+        F.sum("x6").over(w).alias("s1"),
+        F.sum(F.col("x6") * F.col("x6")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    num = (F.col("x6") * F.col("n") - F.col("s1")).cast("double")
+    var_int = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = num / F.sqrt(var_int.cast("double") * F.col("n") / (F.col("n") - 1))
+    return (
+        stats.filter((F.col("n") >= 10) & (var_int > 0) & (F.abs(z) > 2.5))
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("x6").cast("double") / 1000000).alias("value"),
+            (F.floor(z * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0).alias("z"),
+        )
+        .orderBy("user_id", "event_id")
+    )
