@@ -747,3 +747,157 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(CAST(ROUND(l.l_extendedprice / l.l_quantity * 10000) AS BIGINT)) / 10000.0
+               AS unit_price
+      FROM lineitem l
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation, o.unit_price
+    FROM offer o
+    JOIN part p     ON o.l_partkey = p.p_partkey
+    JOIN supplier s ON o.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND p.p_size = 15
+      AND o.unit_price = (
+        SELECT MIN(o2.unit_price)
+        FROM offer o2
+        JOIN supplier s2 ON o2.l_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE o2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_name, p.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: observed unit
+    price MIN(extendedprice/quantity) per (part, supplier) from
+    lineitem stands in for the missing partsupp.ps_supplycost; the
+    SHAPE under test — a correlated MIN subquery on the part key over
+    a region-constrained join, answered by every supplier achieving
+    the minimum — is Q2's. Decorrelation: the correlated subquery
+    becomes a per-part min-agg joined back on (partkey, unit_price)
+    equality, safe because unit_price is fixed-point. Scale: the
+    offer agg shuffles once on (partkey, suppkey); dims broadcast;
+    the min-frame join reuses the partkey keyset."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    unit = F.min(
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 10000, 0).cast(
+            "bigint"
+        )
+    ) / 10000.0
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(unit.alias("unit_price"))
+    euro_offer = (
+        offer.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_frame = euro_offer.groupBy(F.col("l_partkey").alias("mf_partkey")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        euro_offer.join(
+            min_frame,
+            (F.col("l_partkey") == F.col("mf_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "s_name", F.col("n_name").alias("nation"), "unit_price")
+        .orderBy("s_name", "p_partkey")
+    )
+
+
+@register(
+    "q11_important_share",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS v
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(v AS BIGINT) / 10000.0 AS part_value
+    FROM val
+    WHERE v > (SELECT SUM(v) * 0.0005 FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important inventory): groups whose aggregate
+    exceeds a FRACTION of the global total — the HAVING-vs-scalar-
+    subquery pattern (adapted to lineitem value per part; no
+    partsupp). The global total derives from the SAME per-part agg
+    (not a second corpus scan) and broadcasts as a 1-row frame;
+    comparisons happen on exact integer units so the threshold cut
+    is partition-order-safe. At 100 TB: one corpus shuffle on
+    partkey, part-sized everything after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 10000, 0).cast("bigint")).alias("v")
+    )
+    total = val.agg((F.sum("v") * 0.0005).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") > F.col("threshold"))
+        .select("l_partkey", (F.col("v") / 10000.0).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (late shipments by mode × priority class):
+    l_linestatus stands in for the absent l_shipmode, ship ≥ 90 days
+    after order for the absent commit/receipt lateness rule; the
+    SHAPE — one fact-fact join with a non-equi date predicate riding
+    inside it, finished by dual conditional counts in ONE pass — is
+    Q12's. The date-window predicates push to the lineitem scan; the
+    lateness predicate evaluates inside the join (never a second
+    scan); the CASE counts need no pivot or self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
