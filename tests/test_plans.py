@@ -419,6 +419,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "join_theta_cross",
         # scalar-subquery decorrelation over a 1-row aggregate
         "q22_idle_customers",
+        "q11_important_share",  # 1-row global-threshold frame
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
