@@ -754,7 +754,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH offer AS (
       SELECT l.l_partkey, l.l_suppkey,
-             MIN(CAST(ROUND(l.l_extendedprice / l.l_quantity * 10000) AS BIGINT)) / 10000.0
+             MIN(CAST(FLOOR(l.l_extendedprice / l.l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0
                AS unit_price
       FROM lineitem l
       GROUP BY l.l_partkey, l.l_suppkey
@@ -794,8 +794,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    # floor(x*1e4 + 0.5), not ROUND: the quotient is NOT fixed-point,
+    # and Spark (BigDecimal HALF_UP) vs DuckDB (libm) disagree on exact
+    # midpoints — the same IEEE floor sequence can't (functions/exact.py).
     unit = F.min(
-        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 10000, 0).cast(
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000 + F.lit(0.5)).cast(
             "bigint"
         )
     ) / 10000.0
