@@ -422,20 +422,28 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-19, Window.currentRow)
     )
+    # Exactness vs overflow: x6 ≤ ~5.6e8 at sf0.1, so s1 ≤ 1.1e10 and
+    # s1² ≈ 1.25e20 — past the 9.2e18 long max (ANSI mode faults).
+    # DuckDB survives because SUM(BIGINT) silently widens to HUGEINT
+    # (int128); the Spark twin widens the SAME math to decimal(38,0),
+    # which stays exact to 1e38 — headroom for another ~1e9× in Σx².
+    x6d = x6.cast("decimal(38,0)")
     stats = ev.select(
         "user_id",
         "ts",
         "event_id",
         x6.alias("x6"),
+        x6d.alias("x6d"),
     ).select(
         "user_id",
         "event_id",
         "x6",
-        F.sum("x6").over(w).alias("s1"),
-        F.sum(F.col("x6") * F.col("x6")).over(w).alias("s2"),
-        F.count(F.lit(1)).over(w).alias("n"),
+        F.col("x6d"),
+        F.sum("x6d").over(w).alias("s1"),
+        F.sum(F.col("x6d") * F.col("x6d")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
     )
-    num = (F.col("x6") * F.col("n") - F.col("s1")).cast("double")
+    num = (F.col("x6d") * F.col("n") - F.col("s1")).cast("double")
     var_int = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     z = num / F.sqrt(var_int.cast("double") * F.col("n") / (F.col("n") - 1))
     return (
