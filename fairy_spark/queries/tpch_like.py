@@ -904,3 +904,149 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q16_supplier_part_types",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (how many suppliers can serve each part
+    profile), adapted: the observed DISTINCT (l_partkey, l_suppkey)
+    pairs from lineitem stand in for the missing partsupp relation,
+    and the complaint-comment supplier exclusion (no s_comment column)
+    becomes s_acctbal < 0 — the SHAPE (derived relation ⋈ multi-
+    predicate dim filter, NOT-IN supplier blacklist, COUNT DISTINCT
+    per 3-column profile) is Q16's. Scale: the pair-distinct is one
+    shuffle on (partkey, suppkey); the blacklist is a dim-bounded
+    broadcast ANTI join (null-free key, so NOT IN ≡ anti); the
+    count-distinct agg shuffles pair-count rows, never lineitem.
+    Reference parity: cached-scan + membership-exclusion composition
+    (worker/src/h2_service.rs scan path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MAX(CAST(l_quantity AS BIGINT)) AS avail_qty
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ), win AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS win_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT ps.l_suppkey
+        FROM ps
+        JOIN win w ON ps.l_partkey = w.l_partkey
+                  AND ps.l_suppkey = w.l_suppkey
+        WHERE ps.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND 2 * ps.avail_qty > w.win_qty
+      )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of promotable
+    parts), adapted: the missing partsupp.ps_availqty is proxied as
+    the largest single shipment MAX(l_quantity) per (part, supplier),
+    compared against half that pair's 1996 shipped volume — the SHAPE
+    (nested IN: part-name prefilter → correlated per-pair quantity
+    threshold → supplier membership → nation-filtered dim) is Q20's.
+    Determinism: quantities are integral, so both sides of the
+    2·avail > win cut are exact bigint arithmetic — no float-sum
+    partition roulette at the threshold. Scale: both pair aggs
+    shuffle once on (partkey, suppkey) and AQE can reuse-stage them;
+    the part prefilter is a semi join that prunes before the pair
+    join; the surviving supplier keyset is supplier-bounded, so the
+    final membership is a broadcast SEMI join against the dim — the
+    corpus is never rescanned for the outer query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qint = F.col("l_quantity").cast("bigint")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.max(qint).alias("avail_qty"))
+    win = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("w_partkey"),
+            F.col("l_suppkey").alias("w_suppkey"),
+        )
+        .agg(F.sum(qint).alias("win_qty"))
+    )
+    promo_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp_keys = (
+        ps.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            win,
+            (F.col("l_partkey") == F.col("w_partkey"))
+            & (F.col("l_suppkey") == F.col("w_suppkey")),
+        )
+        .filter(2 * F.col("avail_qty") > F.col("win_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(supp_keys),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
