@@ -68,6 +68,7 @@ def _load_all() -> None:
         streaming_batch,
         udfs_mm,
         graph,
+        analytics,
     )
     # streaming_exec reuses streaming_batch's oracle strings, so it
     # must import after streaming_batch has registered them.

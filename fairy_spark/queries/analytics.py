@@ -1,0 +1,543 @@
+"""Warehouse-analytics composites: association rules, rolling
+correlation, snapshot diff (CDC), group-wise regression, seasonal
+baselines, data-quality expectations, incremental agg maintenance.
+
+These are the ops a reference user layers ON TOP of the relational
+core once the engine is their warehouse — recommendation candidates,
+monitoring math, day-over-day change capture, materialized-view
+maintenance. Shared determinism discipline (FIXTURES.md): every
+aggregate accumulates exact integer/decimal units; doubles appear
+only in a final, fixed-length IEEE op sequence mirrored token-for-
+token in the DuckDB oracle, so the hash gate is scale-independent.
+
+Reference parity: composed read-side analytics over cached tables
+(reference worker/src/h2_service.rs scan path; no single-op analog —
+these are the workloads §2.B's primitives exist to serve).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fairy_spark.functions.exact import money_sum as _money_sum, round6 as _round6
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+_DEC = "decimal(38,0)"
+
+
+@register(
+    "ml_assoc_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    ), item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM baskets GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM baskets
+    )
+    SELECT p.part_a, p.part_b, p.pair_cnt,
+           CAST(FLOOR(CAST(p.pair_cnt AS DOUBLE) * t.n_orders
+                      / (CAST(ca.c AS DOUBLE) * cb.c)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS lift
+    FROM pair p
+    CROSS JOIN tot t
+    JOIN item ca ON p.part_a = ca.l_partkey
+    JOIN item cb ON p.part_b = cb.l_partkey
+    WHERE p.pair_cnt >= 2
+    ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
+    LIMIT 50
+    """,
+)
+def ml_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994,
+    public): top co-purchased part pairs with their lift
+    P(a,b)/(P(a)P(b)). Scale shape: the basket self-join is an EQUI
+    join on l_orderkey, so pair fan-out is Σ|basket|² — corpus-linear
+    for bounded basket size (≤13 distinct parts/order here; a retail
+    100 TB corpus is the same shape). Support counts are one hash agg
+    on the pair key; item supports reuse the basket frame; the order
+    total is a 1-row broadcast stat frame (allowlisted BNLJ). Lift is
+    a fixed IEEE mul/div sequence over exact bigint counts — no
+    float-sum order dependence — then 1e-6 quantized. The final
+    top-50 is TakeOrdered on a total key (cnt desc, part_a, part_b),
+    so ties can't flap between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    tot = baskets.agg(F.count_distinct(F.col("l_orderkey")).alias("n_orders"))
+    ca = item.select(F.col("l_partkey").alias("ka"), F.col("c").alias("ca"))
+    cb = item.select(F.col("l_partkey").alias("kb"), F.col("c").alias("cb"))
+    lift = (
+        F.col("pair_cnt").cast("double")
+        * F.col("n_orders")
+        / (F.col("ca").cast("double") * F.col("cb"))
+    )
+    return (
+        pair.crossJoin(F.broadcast(tot))
+        .join(ca, F.col("part_a") == F.col("ka"))
+        .join(cb, F.col("part_b") == F.col("kb"))
+        .select("part_a", "part_b", "pair_cnt", _round6(lift).alias("lift"))
+        .orderBy(F.col("pair_cnt").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "ts_rolling_corr",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS x6,
+             LAG(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS y6
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, x6, y6,
+             COUNT(*) OVER w AS n,
+             SUM(x6) OVER w AS sx, SUM(y6) OVER w AS sy,
+             SUM(x6 * y6) OVER w AS sxy,
+             SUM(x6 * x6) OVER w AS sxx, SUM(y6 * y6) OVER w AS syy
+      FROM x WHERE y6 IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS r
+    FROM s
+    WHERE n = 20 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY user_id, event_id
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 Pearson autocorrelation (lag-1) of each user's
+    value series — the monitoring/feature-engineering twin of
+    ts_zscore_anomaly, now with FIVE exact co-sums (Σx, Σy, Σxy,
+    Σx², Σy², n) feeding one closed-form r per row. All sums are
+    decimal(38,0) — products like Σx·Σy reach ~1.25e20, past the
+    long max, the exact overflow that faulted ts_zscore_anomaly at
+    sf0.1 (DuckDB silently widens to HUGEINT; the twin must widen
+    explicitly). Plan: ONE user_id exchange serves the lag AND the
+    five frame sums (same window spec), trailing state is 20 rows
+    per user; r is a fixed IEEE sequence, so the engines agree
+    bit-for-bit, not within tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    x6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wo.rowsBetween(-19, Window.currentRow)
+    base = ev.select(
+        "user_id", "ts", "event_id", x6.alias("x6"), F.lag(x6).over(wo).alias("y6")
+    ).filter(F.col("y6").isNotNull())
+    xd = F.col("x6").cast(_DEC)
+    yd = F.col("y6").cast(_DEC)
+    s = base.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast(_DEC).alias("n"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(yd).over(w).alias("sy"),
+        F.sum(xd * yd).over(w).alias("sxy"),
+        F.sum(xd * xd).over(w).alias("sxx"),
+        F.sum(yd * yd).over(w).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    r = num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    return (
+        s.filter((F.col("n") == 20) & (vx > 0) & (vy > 0))
+        .select("user_id", "event_id", _round6(r).alias("r"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "merge_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS a_orders,
+             SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS a_total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS b_orders,
+             SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS b_total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           a.a_orders, b.b_orders, a.a_total, b.b_total
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+       OR a.a_orders != b.b_orders OR a.a_total != b.b_total
+    ORDER BY custkey
+    """,
+)
+def merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-capture compare: two per-customer
+    state snapshots (1996 vs 1997 order activity) full-outer-joined
+    on the business key, each surviving row classified added /
+    removed / changed — the day-over-day reconciliation every
+    warehouse pipeline runs, and the read-side complement of
+    merge_upsert (which APPLIES a diff; this one COMPUTES it).
+    Scale: each snapshot is one pushed-filter scan + custkey hash
+    agg; the diff is a single custkey-keyed full outer join between
+    two customer-sized frames — AQE picks SMJ/shuffle-hash; nothing
+    is corpus-sized after the aggs. The 'same' class is filtered
+    with exact equality, safe because totals are fixed-point money
+    sums — float sums would misclassify ties here."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def snap(year: int, pre: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp_ntz"))
+            )
+            .groupBy(F.col("o_custkey").alias(f"{pre}_custkey"))
+            .agg(
+                F.count(F.lit(1)).alias(f"{pre}_orders"),
+                _money_sum(F.col("o_totalprice")).alias(f"{pre}_total"),
+            )
+        )
+
+    a = snap(1996, "a")
+    b = snap(1997, "b")
+    joined = a.join(b, F.col("a_custkey") == F.col("b_custkey"), "full_outer")
+    status = (
+        F.when(F.col("a_custkey").isNull(), "added")
+        .when(F.col("b_custkey").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        joined.filter(
+            F.col("a_custkey").isNull()
+            | F.col("b_custkey").isNull()
+            | (F.col("a_orders") != F.col("b_orders"))
+            | (F.col("a_total") != F.col("b_total"))
+        )
+        .select(
+            F.coalesce(F.col("a_custkey"), F.col("b_custkey")).alias("custkey"),
+            status.alias("status"),
+            "a_orders",
+            "b_orders",
+            "a_total",
+            "b_total",
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "agg_linear_regression",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) * 24
+               + CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS slope_micro6,
+           CAST(FLOOR((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE)) / n
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS intercept_micro6
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise ordinary-least-squares fit (value vs hours since
+    2024-01-01, per event type): slope = (nΣxy − ΣxΣy)/(nΣx² −
+    (Σx)²), intercept = (Σy − slope·Σx)/n — SQL-standard
+    REGR_SLOPE/REGR_INTERCEPT semantics rebuilt from FOUR exact
+    co-sums so the result is deterministic (built-in regr_* / corr
+    aggregate doubles in partition order — hash-gate roulette). The
+    x axis is integer hours via date-diff + hour, never epoch-of-
+    timestamp (timezone-proof). Sums are decimal(38,0): nΣxy reaches
+    ~1e21 at sf0.1. One hash agg per group over one scan — partial
+    aggregation (map-side combine) applies, so the exchange carries
+    5 numbers per (group × partition), not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+            "bigint"
+        )
+        * 24
+        + F.hour("ts").cast("bigint")
+    )
+    y = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    pts = ev.select(
+        "event_type", x.cast(_DEC).alias("x"), y.cast(_DEC).alias("y")
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        _round6(slope).alias("slope_micro6"),
+        _round6(intercept).alias("intercept_micro6"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ts_seasonal_baseline",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS x6
+      FROM events
+    ), hourly AS (
+      SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x6) AS s6
+      FROM v GROUP BY event_type, hod
+    ), gstats AS (
+      SELECT event_type,
+             CAST(SUM(s6) AS DOUBLE) / SUM(n) AS gmean
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hod, h.n,
+           CAST(FLOOR(CAST(h.s6 AS DOUBLE) / h.n / 1000000
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS hour_avg,
+           CAST(FLOOR((CAST(h.s6 AS DOUBLE) / h.n - g.gmean) / 1000000
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS seasonal_delta
+    FROM hourly h JOIN gstats g ON h.event_type = g.event_type
+    ORDER BY h.event_type, h.hod
+    """,
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: each (type, hour)
+    cell's mean value and its delta from the type's global mean —
+    the additive-decomposition baseline behind every 'is this
+    metric's dip just the nightly lull?' monitor. The global mean
+    derives from the SAME 120-row hourly agg (Σ of sums / Σ of
+    counts), not a second corpus scan — the materialized-rollup
+    reuse discipline of q11/tpc-style threshold queries. One corpus
+    hash agg on a 120-key space (map-side combine collapses it
+    executor-locally); everything downstream is 120 rows joined to a
+    5-row broadcast. Means are exact integer sums with one final
+    IEEE division sequence, quantized at 1e-6."""
+    ev = load_table(spark, sf_dir, "events")
+    x6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    hourly = (
+        ev.select("event_type", F.hour("ts").alias("hod"), x6.alias("x6"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x6").alias("s6"))
+    )
+    glob = hourly.groupBy(F.col("event_type").alias("g_type")).agg(
+        (F.sum("s6").cast("double") / F.sum("n")).alias("gmean")
+    )
+    hmean = F.col("s6").cast("double") / F.col("n")
+    return (
+        hourly.join(F.broadcast(glob), F.col("event_type") == F.col("g_type"))
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            _round6(hmean / 1000000).alias("hour_avg"),
+            _round6((hmean - F.col("gmean")) / 1000000).alias("seasonal_delta"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+@register(
+    "agg_dq_checks",
+    oracle="""
+    SELECT 'lineitem_discount_range' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT) AS violations,
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orderkey_referential',
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) = 0
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_ship_after_order',
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) = 0
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    UNION ALL
+    SELECT 'orders_orderdate_not_null',
+           CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_orderdate IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) = 0
+    FROM orders
+    ORDER BY check_name
+    """,
+)
+def agg_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the deequ/great-expectations
+    pattern, public): six declarative checks — uniqueness, not-null,
+    value ranges, cross-table referential integrity, cross-column
+    date ordering — each reduced to a violation COUNT and a pass
+    flag, unioned into one report frame. Scale: the five single-
+    table checks are conditional-count aggs (one scan each; the
+    three orders checks could share a scan — kept separate so each
+    expectation is independently pluggable, the way a DQ suite
+    composes). The referential check is a shuffle ANTI join keyed on
+    orderkey; the date-order check rides the same-keyed INNER join —
+    at 100 TB these are the two corpus-sized exchanges, both
+    AQE-skew-safe equi joins. Counts are exact bigints; no floats
+    anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def check(name: str, frame: DataFrame, viol) -> DataFrame:
+        return frame.agg(viol.alias("violations")).select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("bigint").alias("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+
+    bad_disc = (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    checks = [
+        check("lineitem_discount_range", li, F.count_if(bad_disc)),
+        check(
+            "lineitem_orderkey_referential",
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"),
+            F.count(F.lit(1)),
+        ),
+        check(
+            "lineitem_ship_after_order",
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+                F.col("l_shipdate") < F.col("o_orderdate")
+            ),
+            F.count(F.lit(1)),
+        ),
+        check("orders_orderdate_not_null", o, F.count_if(F.col("o_orderdate").isNull())),
+        check(
+            "orders_orderkey_unique",
+            o,
+            F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")),
+        ),
+        check("orders_totalprice_positive", o, F.count_if(F.col("o_totalprice") <= 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             / 10000.0 AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the corpus is
+    split into a 'base' partition (shipped before 1998-07-01) and a
+    'delta' batch (the rest), each reduced to partial states
+    (count, Σ integer money units), then MERGED by summing states —
+    the add-only refresh path of a materialized view, exercising the
+    commutative-monoid contract (merge(partial(A), partial(B)) ==
+    full(A ∪ B)) that makes partial aggregation sound at all. The
+    ORACLE computes the direct one-pass aggregate, so the hash gate
+    itself proves the merge law — not just that two engines agree.
+    Keeping units as bigint through the merge is the load-bearing
+    detail: merging the DIVIDED doubles would reintroduce float
+    association error exactly where the law must be exact. Scale:
+    two pushed-filter scans + one 6-key agg each; the merge input is
+    2×6 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+
+    def partial(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum(units).alias("units")
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cut))
+    delta = partial(li.filter(F.col("l_shipdate") >= cut))
+    return (
+        base.unionAll(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("units").alias("units"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            (F.col("units") / 10000.0).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

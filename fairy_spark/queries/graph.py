@@ -302,3 +302,104 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return non_edges.select("x", "y", "common").orderBy(
         F.col("common").desc(), "x", "y"
     ).limit(20)
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
+    ), adj AS (
+      SELECT u AS ctr, v AS nbr FROM pairs
+      UNION ALL
+      SELECT v AS ctr, u AS nbr FROM pairs
+    ), deg AS (
+      SELECT ctr, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY ctr
+    ), wt AS (
+      SELECT ctr, CAST(FLOOR(1000000 / LN(CAST(d AS DOUBLE)) + 0.5) AS BIGINT) AS w6
+      FROM deg WHERE d >= 2
+    ), scored AS (
+      SELECT a.nbr AS x, b.nbr AS y, SUM(w.w6) AS score6
+      FROM adj a
+      JOIN adj b ON a.ctr = b.ctr AND a.nbr < b.nbr
+      JOIN wt w ON w.ctr = a.ctr
+      GROUP BY x, y
+    )
+    SELECT s.x, s.y, CAST(s.score6 AS BIGINT) / 1000000.0 AS aa_score
+    FROM scored s
+    LEFT JOIN pairs p ON s.x = p.u AND s.y = p.v
+    WHERE p.u IS NULL
+    ORDER BY aa_score DESC, s.x, s.y
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003, public): like
+    graph_common_neighbors but each shared neighbor w contributes
+    1/ln(deg(w)) instead of 1 — a hub that co-occurs with everything
+    carries almost no signal, a rare niche part carries a lot.
+    Determinism is the interesting bit: a naive float SUM of
+    1/ln(deg) over wedges is partition-order-dependent, so the
+    per-center weight is quantized ONCE to integer micro-units
+    (floor(1e6/ln d + 0.5) — one transcendental per NODE, not per
+    wedge) and the wedge aggregation sums exact bigints; the engines
+    then agree bit-for-bit and the top-20 cut can't flap. Centers
+    with deg 1 form no wedge, so the d >= 2 weight filter loses
+    nothing (and keeps ln > 0). Scale shape: identical to
+    common-neighbors (wedge join is Σ deg² — degree-capping is the
+    100 TB mitigation), plus one node-sized degree agg and a
+    node-sized weight broadcast riding the wedge join's existing
+    center key."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = pairs.select(F.col("u").alias("ctr"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
+    )
+    wt = (
+        adj.groupBy(F.col("ctr").alias("w_ctr"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+        .select(
+            "w_ctr",
+            F.floor(1000000 / F.log(F.col("d").cast("double")) + F.lit(0.5))
+            .cast("bigint")
+            .alias("w6"),
+        )
+    )
+    aa = adj.alias("aa")
+    bb = adj.alias("bb")
+    scored = (
+        aa.join(
+            bb,
+            (F.col("aa.ctr") == F.col("bb.ctr"))
+            & (F.col("aa.nbr") < F.col("bb.nbr")),
+        )
+        .join(wt, F.col("aa.ctr") == F.col("w_ctr"))
+        .groupBy(F.col("aa.nbr").alias("x"), F.col("bb.nbr").alias("y"))
+        .agg(F.sum("w6").alias("score6"))
+    )
+    return (
+        scored.join(
+            pairs, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")), "left_anti"
+        )
+        .select("x", "y", (F.col("score6") / 1000000.0).alias("aa_score"))
+        .orderBy(F.col("aa_score").desc(), "x", "y")
+        .limit(20)
+    )

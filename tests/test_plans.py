@@ -420,6 +420,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         # scalar-subquery decorrelation over a 1-row aggregate
         "q22_idle_customers",
         "q11_important_share",  # 1-row global-threshold frame
+        "ml_assoc_rules",  # 1-row order-count frame for the lift divisor
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
