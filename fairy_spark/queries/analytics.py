@@ -541,3 +541,106 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, value, ts, event_id,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view', 'signup')
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+      FROM events
+    )
+    SELECT touch AS channel,
+           CAST(COUNT(*) AS BIGINT) AS conversions,
+           SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+             AS attributed_value
+    FROM tagged
+    WHERE event_type = 'purchase' AND touch IS NOT NULL
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding touch event (click/view/signup), the
+    marketing-analytics workhorse. The carried channel is ONE
+    last_value(ignorenulls) over the user timeline — the forward-fill
+    idiom shared with join_asof/ts_resample_ffill — so attribution
+    costs a single user_id exchange end-to-end, never an inequality
+    self-join (the naive 'latest touch before each purchase' join is
+    corpus-quadratic per user at 100 TB). Purchase rows contribute
+    NULL to the carry, so a purchase can't attribute to itself.
+    Attributed value accumulates exact 1e-6 units; the final report
+    is |channels| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        ev.select("event_type", v6.alias("v6"), touch.alias("channel"))
+        .filter((F.col("event_type") == "purchase") & F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            (F.sum("v6") / 1000000.0).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "ml_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 32
+                AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks
+    WHERE tok != ''
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009, public):
+    tokens hash into a fixed 32-bucket vocabulary-free feature space —
+    the standard way to featurize unbounded token streams without a
+    vocab build or a dictionary broadcast. Bucket ids come from the
+    repo's portable 60-bit md5 hash (operators/text.py convention), so
+    both engines derive identical features — Spark's built-in
+    hash()/xxhash64 would be engine-private. Shape: one explode
+    (row-linear fan-out) + one hash agg on (doc_id, bucket), map-side
+    combined; output is ≤32 rows per doc — the sparse COO form a
+    trainer ingests directly. No vocabulary state anywhere: THE scale
+    property of the hashing trick."""
+    from fairy_spark.operators.text import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.select(
+            "doc_id", (portable_hash64(F.col("tok")) % 32).cast("int").alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
