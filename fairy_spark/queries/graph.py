@@ -19,8 +19,26 @@ from fairy_spark.sources.tables import load_table
 
 _ITERS = 3
 
-# graph_triangles' persisted oriented-edge frames (see its docstring)
-_TRI_PERSISTED: list = []
+# The graph queries' persisted edge frames: each derives an edge set
+# that feeds 3-7 downstream pipeline consumers (join inputs, degree
+# aggs, anti joins) — without a persist Spark re-derives the whole
+# scan→pair-distinct pipeline once per consumer (graph_triangles:
+# measured 27.7 s → 11.4 s at sf0.1). Cap 1: the previous frame is
+# unpersisted FIRST — the dsir/dedup cache-drop discipline (llm.py
+# _DSIR_PERSISTED): persist-then-unpersist in the other order drops
+# the shared CacheManager entry.
+_GRAPH_PERSISTED: list = []
+
+
+def _persist_edges(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    while _GRAPH_PERSISTED:
+        _GRAPH_PERSISTED.pop().unpersist(blocking=False)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    _GRAPH_PERSISTED.append(df)
+    return df
 
 
 def _pagerank_oracle(iters: int = _ITERS) -> str:
@@ -200,20 +218,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    # The oriented edge set feeds THREE join inputs (e1/e2/e3) plus the
-    # edge count; without a persist Spark re-derives the whole
-    # scan→pair-distinct→degree-join pipeline once per consumer
-    # (measured 27.7 s → 11.4 s at sf0.1). Previous call's frame is
-    # unpersisted FIRST — the dsir/dedup cache-drop discipline
-    # (llm.py _DSIR_PERSISTED): persist-then-unpersist in the other
-    # order drops the shared CacheManager entry.
-    from pyspark import StorageLevel
-
-    while _TRI_PERSISTED:
-        _TRI_PERSISTED.pop().unpersist(blocking=False)
-    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
-    oriented.count()
-    _TRI_PERSISTED.append(oriented)
+    # oriented feeds THREE join inputs (e1/e2/e3) plus the edge count
+    # (see _persist_edges).
+    oriented = _persist_edges(oriented)
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -282,6 +289,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+    # pairs feeds the symmetric adjacency (2x), the wedge self-join
+    # reads that twice more, plus the final anti join (_persist_edges).
+    pairs = _persist_edges(pairs)
     adj = pairs.select(F.col("u").alias("ctr"), F.col("v").alias("nbr")).unionAll(
         pairs.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
     )
@@ -369,6 +379,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+    # pairs feeds the symmetric adjacency (2x), the wedge self-join
+    # reads that twice more, plus the final anti join (_persist_edges).
+    pairs = _persist_edges(pairs)
     adj = pairs.select(F.col("u").alias("ctr"), F.col("v").alias("nbr")).unionAll(
         pairs.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
     )

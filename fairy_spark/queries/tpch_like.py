@@ -1002,39 +1002,35 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold → supplier membership → nation-filtered dim) is Q20's.
     Determinism: quantities are integral, so both sides of the
     2·avail > win cut are exact bigint arithmetic — no float-sum
-    partition roulette at the threshold. Scale: both pair aggs
-    shuffle once on (partkey, suppkey) and AQE can reuse-stage them;
-    the part prefilter is a semi join that prunes before the pair
-    join; the surviving supplier keyset is supplier-bounded, so the
-    final membership is a broadcast SEMI join against the dim — the
-    corpus is never rescanned for the outer query."""
+    partition roulette at the threshold. Scale: the oracle's ps/win
+    CTE pair would scan+shuffle lineitem twice; here both per-pair
+    stats (all-time MAX, windowed conditional SUM) ride ONE agg on
+    one (partkey, suppkey) exchange, with the part-name semi join
+    pruning BEFORE the agg (partkey-only prune keeps whole pairs, so
+    per-pair stats are unchanged). The surviving supplier keyset is
+    supplier-bounded, so the final membership is a broadcast SEMI
+    join against the dim — the corpus is never rescanned for the
+    outer query."""
     li = load_table(spark, sf_dir, "lineitem")
     qint = F.col("l_quantity").cast("bigint")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.max(qint).alias("avail_qty"))
-    win = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-        )
-        .groupBy(
-            F.col("l_partkey").alias("w_partkey"),
-            F.col("l_suppkey").alias("w_suppkey"),
-        )
-        .agg(F.sum(qint).alias("win_qty"))
-    )
+    in_window = (
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     promo_parts = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
     supp_keys = (
-        ps.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .join(
-            win,
-            (F.col("l_partkey") == F.col("w_partkey"))
-            & (F.col("l_suppkey") == F.col("w_suppkey")),
+        li.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.max(qint).alias("avail_qty"),
+            F.sum(F.when(in_window, qint)).alias("win_qty"),
         )
-        .filter(2 * F.col("avail_qty") > F.col("win_qty"))
+        .filter(
+            F.col("win_qty").isNotNull() & (2 * F.col("avail_qty") > F.col("win_qty"))
+        )
         .select("l_suppkey")
         .distinct()
     )
