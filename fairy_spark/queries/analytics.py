@@ -644,3 +644,165 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+@register(
+    "dedup_spell_variants",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), toks AS (SELECT tok FROM vocab WHERE tok != ''),
+    variants AS (
+      SELECT tok, unnest(list_distinct(list_concat(list_concat(
+               [tok],
+               list_transform(generate_series(1, len(tok)),
+                              i -> substr(tok, 1, i - 1) || substr(tok, i + 1, 100))),
+               flatten(list_transform(generate_series(1, len(tok)), i ->
+                 list_transform(list_filter(generate_series(1, len(tok)), j -> j > i),
+                   j -> substr(tok, 1, i - 1) || substr(tok, i + 1, j - i - 1)
+                        || substr(tok, j + 1, 100))))
+             ))) AS var
+      FROM toks
+    ), cand AS (
+      SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+      FROM variants a JOIN variants b
+        ON a.var = b.var AND a.tok < b.tok
+    )
+    SELECT tok_a, tok_b,
+           CAST(levenshtein(tok_a, tok_b) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(tok_a, tok_b) <= 2
+    ORDER BY tok_a, tok_b
+    """,
+)
+def dedup_spell_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant detection by deletion-neighborhood blocking
+    (the FastSS/SymSpell family, public): two words within edit
+    distance d share a member of each other's depth-d deletion
+    neighborhood, so generating all ≤2-char-deletion variants per
+    VOCABULARY entry (1 + n + n(n−1)/2 per word) and equi-joining on
+    the variant key finds every lev ≤ 2 candidate pair without the
+    O(|vocab|²) all-pairs scan — the same block-then-verify shape as
+    minhash-LSH, applied to edit distance. Everything is
+    vocabulary-bounded: the corpus contributes one explode + distinct
+    (one shuffle), and variants multiply vocab by ≤ 1+n+n²/2 (~40 for
+    8-char words), so a 1e6-word vocab costs ~4e7 join keys
+    regardless of corpus size. Levenshtein is the exact verify (both
+    engines implement the same DP), and the deletion pigeonhole
+    guarantees no lev ≤ 2 pair escapes the blocking — false negatives
+    are impossible, candidates are merely pruned. Degenerate hub: the
+    '' variant blocks all len ≤ 2 words together; production SymSpell
+    prefix-limits long words and skips len ≤ d ones — the plan is
+    unchanged by either refinement."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    variants = vocab.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(concat(array(tok), "
+                "transform(sequence(1, length(tok)), "
+                "i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, 100)))), "
+                "flatten(transform(sequence(1, length(tok)), i -> "
+                "transform(filter(sequence(1, length(tok)), j -> j > i), "
+                "j -> concat(substring(tok, 1, i - 1), "
+                "substring(tok, i + 1, j - i - 1), substring(tok, j + 1, 100)))))))"
+            )
+        ).alias("var"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.var") == F.col("b.var")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("tok_a", "tok_b") <= 2)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.levenshtein("tok_a", "tok_b").cast("int").alias("dist"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+@register(
+    "ts_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts AS s,
+             LEAST(ts + INTERVAL 10 MINUTE,
+                   CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
+      FROM events
+    ), bounds AS (
+      SELECT event_type, day, s AS bts, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, day, e AS bts, -1 AS delta FROM iv
+    ), running AS (
+      SELECT event_type, day, delta,
+             SUM(delta) OVER (PARTITION BY event_type, day
+                              ORDER BY bts, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conc
+      FROM bounds
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_events,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM running
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency (the 'max concurrent sessions'
+    classic): each event occupies [ts, ts+10min) clamped to its start
+    day, decomposed into +1/−1 boundary rows; a running sum ordered
+    by (boundary, delta) — ends sort before starts at the same
+    instant, so half-open adjacency never counts as overlap — peaks
+    at the answer. Determinism under ties: within a group of
+    identical (bts, delta) boundaries every permutation yields the
+    same prefix-sum SET (same-sign deltas), so max(conc) needs no
+    unique tiebreak column. Scale: the day clamp keeps both
+    boundaries of an interval in ONE (event_type, day) partition —
+    no cross-partition carry — so the window state is day-bounded
+    and the whole op is one exchange on a composite key that grows
+    with the calendar, not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    end = F.least(
+        F.col("ts") + F.expr("INTERVAL 10 MINUTES"),
+        F.date_add(day, 1).cast("timestamp_ntz"),
+    )
+    iv = ev.select("event_type", day.alias("day"), F.col("ts").alias("s"), end.alias("e"))
+    bounds = iv.select(
+        "event_type", "day", F.col("s").alias("bts"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", "day", F.col("e").alias("bts"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("bts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bounds.select(
+        "event_type", "day", "delta", F.sum("delta").over(w).alias("conc")
+    )
+    return (
+        running.groupBy("event_type", F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count_if(F.col("delta") == 1).alias("n_events"),
+            F.max("conc").cast("bigint").alias("peak_concurrency"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -272,3 +272,44 @@ def sub_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY variant
         """
     )
+
+
+_RECURSIVE_WALKS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM events
+  ) t
+  WHERE src IS NOT NULL AND src != dst
+), walks AS (
+  SELECT 'signup' AS node, 0 AS hop
+  UNION ALL
+  SELECT e.dst, w.hop + 1
+  FROM walks w JOIN edges e ON e.src = w.node
+  WHERE w.hop < 3
+)
+SELECT node, hop, CAST(COUNT(*) AS BIGINT) AS walks
+FROM walks
+GROUP BY node, hop
+ORDER BY node, hop
+"""
+
+
+@register("sub_recursive_walks", oracle=_RECURSIVE_WALKS_SQL)
+def sub_recursive_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): counts length-k
+    walks (k ≤ 3) from 'signup' through the distinct event-type
+    transition graph — the same SQL text runs on BOTH engines, so
+    this pins dialect-level recursion parity, not just result parity.
+    Spark executes the recursion as an iterative UNION ALL loop
+    (UnionLoop): each step is one frontier-sized equi join on the
+    node key against the node-bounded edge list, with the engine's
+    recursion-level limit (100) as the runaway guard on top of the
+    explicit hop bound. Scale: frontier rows multiply by out-degree
+    per hop — the hop bound IS the cost model, exactly as in the
+    driver-loop twins (graph_pagerank's fixed _ITERS); edge
+    extraction is the usual one-exchange user-timeline window. Walk
+    counts are exact integers; no floats anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_WALKS_SQL)
