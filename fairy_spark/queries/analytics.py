@@ -806,3 +806,94 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "win_pareto_frontier",
+    oracle="""
+    WITH sup AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS revenue_units,
+             MIN(CAST(FLOOR(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT))
+               AS unit_price_units
+      FROM lineitem
+      GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT n.n_name AS nation, s.s_suppkey,
+             sup.revenue_units, sup.unit_price_units,
+             MIN(sup.unit_price_units) OVER (
+               PARTITION BY n.n_name
+               ORDER BY sup.revenue_units DESC, s.s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      FROM sup
+      JOIN supplier s ON sup.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT nation, s_suppkey,
+           revenue_units / 10000.0 AS revenue,
+           unit_price_units / 10000.0 AS unit_price
+    FROM ranked
+    WHERE best_prev IS NULL OR unit_price_units < best_prev
+    ORDER BY nation, s_suppkey
+    """,
+)
+def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Pareto frontier (skyline) of suppliers: maximize
+    revenue, minimize observed unit price — a supplier survives iff
+    no same-nation supplier beats it on both axes. The 2D skyline
+    reduces to a SORT + RUNNING MIN: order by revenue desc and keep
+    rows whose price undercuts every predecessor's best — linear
+    after the sort, not the O(n²) dominance anti-join the textbook
+    NOT EXISTS formulation plans. Scale: the corpus collapses to a
+    supplier-sized frame via ONE hash agg before any window; the
+    frontier window partitions by nation over dim-bounded groups, so
+    no corpus-sized ordering exists anywhere (the curriculum-decile
+    sharded-rank fallback applies if the per-group entity table ever
+    outgrows a partition). Both axes are exact fixed-point units, so
+    the strict '<' dominance test can't flip on float noise; ties on
+    revenue break by s_suppkey, making the surviving set unique."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
+                "bigint"
+            )
+        ).alias("revenue_units"),
+        F.min(
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("unit_price_units"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ranked = (
+        sup.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            "revenue_units",
+            "unit_price_units",
+        )
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("revenue_units").desc(), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranked.withColumn("best_prev", F.min("unit_price_units").over(w))
+        .filter(
+            F.col("best_prev").isNull()
+            | (F.col("unit_price_units") < F.col("best_prev"))
+        )
+        .select(
+            "nation",
+            "s_suppkey",
+            (F.col("revenue_units") / 10000.0).alias("revenue"),
+            (F.col("unit_price_units") / 10000.0).alias("unit_price"),
+        )
+        .orderBy("nation", "s_suppkey")
+    )
