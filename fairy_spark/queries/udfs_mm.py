@@ -283,3 +283,58 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "resized_w", "resized_h")
         .orderBy("media_id")
     )
+
+
+@register(
+    "udf_udtf_table_arg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marks AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev IS NULL OR prev != event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM seq
+    ), runs AS (
+      SELECT user_id, run_id, COUNT(*) AS run_len
+      FROM marks GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def udf_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF over a TABLE argument with PARTITION BY / ORDER BY
+    (Spark 4 polymorphic UDTFs): run-length encodes each user's
+    ordered event-type sequence inside the UDTF and emits one
+    summary row per partition from terminate() — the custom
+    ordered-partition fold that scalar UDFs and LATERAL generators
+    can't express (and the API twin of applyInPandasWithState's
+    batch fold, but arbitrary-Python rather than pandas-frame).
+    Scale: Spark hash-partitions on user_id and sorts within
+    partitions BEFORE the UDTF — one exchange, the sessionize
+    discipline — and per-partition state is O(1) (five counters).
+    The oracle rebuilds identical runs via the gaps-and-islands CTE,
+    so the Python fold is value-checked against pure SQL."""
+    from fairy_spark.functions.udfs import make_rle_udtf
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("rle_events_in")
+    spark.udtf.register("fairy_rle", make_rle_udtf())
+    return spark.sql(
+        """
+        SELECT user_id, n_events, n_runs, longest_run
+        FROM fairy_rle(TABLE(SELECT user_id, ts, event_id, event_type
+                             FROM rle_events_in)
+                       PARTITION BY user_id ORDER BY (ts, event_id))
+        ORDER BY user_id
+        """
+    )
