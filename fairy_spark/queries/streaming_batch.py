@@ -448,3 +448,55 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "stream_record_high_batch",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v6,
+             MAX(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(v6) AS BIGINT) AS max_units,
+           CAST(COUNT(*) FILTER (WHERE prev_max IS NULL OR v6 > prev_max)
+                AS BIGINT) AS n_records
+    FROM x
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_record_high_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithStateInPandas record-high
+    operator (streaming/stateful.py::user_record_highs): per-user
+    running max of fixed-point value units plus the count of times a
+    NEW high appeared in event-time order — the order-sensitive fold
+    expressed as one user-partitioned window (prev-max frame) + one
+    hash agg. Exact integers end to end, so the stream fold and this
+    batch shape must agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = ev.select(
+        "user_id", v6.alias("v6"), F.max(v6).over(w).alias("prev_max")
+    )
+    return (
+        x.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("v6").alias("max_units"),
+            F.count_if(
+                F.col("prev_max").isNull() | (F.col("v6") > F.col("prev_max"))
+            ).alias("n_records"),
+        )
+        .orderBy("user_id")
+    )

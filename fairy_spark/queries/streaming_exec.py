@@ -255,3 +255,36 @@ def stream_exec_foreach_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def tws_record_high_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4's typed-state successor to
+    applyInPandasWithState) through the LIVE engine: per-user
+    record-high tracking with a schema-declared ValueState evolved
+    across real micro-batches, update-mode emissions into a memory
+    sink. The final state per user is the emission with the largest
+    n_events (strictly monotone across updates — the
+    stream_exec_stateful_ema selection trick).
+
+    NOT a registry query: the TWS state-server protocol requires the
+    protobuf Python package, absent in this sandbox (same gap that
+    auto-skips the Spark Connect client round-trip,
+    tests/test_streaming.py gates on the import). The batch twin
+    `stream_record_high_batch` carries the oracle check; where
+    protobuf exists, the gated test hash-compares THIS live fold
+    against it."""
+    from fairy_spark.streaming.stateful import user_record_highs
+
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir))
+    sink = run_to_table(user_record_highs(stream), mode="update")
+    final = sink.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "max_units", "n_records"), F.col("n_events")).alias(
+            "s"
+        )
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.max_units").alias("max_units"),
+        F.col("s.n_records").alias("n_records"),
+    ).orderBy("user_id")

@@ -108,3 +108,78 @@ def user_running_stats_batch(events: DataFrame) -> DataFrame:
         ).alias("total"),
         ema.alias("ema"),
     )
+
+
+# --- transformWithStateInPandas (Spark 4 typed-state API) ----------------
+
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_units", T.LongType()),
+        T.StructField("n_records", T.LongType()),
+    ]
+)
+
+
+def make_record_high_processor():
+    """StatefulProcessor for transformWithStateInPandas — Spark 4's
+    typed-state successor to applyInPandasWithState (ValueState with
+    a declared schema in the state store, instead of an opaque
+    tuple). Operator: per-user record-high tracking — running max of
+    fixed-point value units plus how many times a NEW high appeared,
+    scanning in event-time order. Order-sensitivity makes it a real
+    state-fold test (a set-semantics reformulation couldn't count
+    record events); fixed-point units make the fold exact. State per
+    user is three bigints; micro-batch rows are sorted by
+    (ts, event_id) before folding, and the replay feeds chunks in
+    event-time order, so the stream fold equals the batch window
+    twin row-for-row."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RecordHigh(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "rh", "max_units BIGINT, n_records BIGINT, n_events BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                mx, n_rec, n = self._state.get()
+            else:
+                mx, n_rec, n = None, 0, 0
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            for v in pdf["v6"]:
+                v = int(v)
+                n += 1
+                if mx is None or v > mx:
+                    mx = v
+                    n_rec += 1
+            self._state.update((mx, n_rec, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_units": [mx],
+                    "n_records": [n_rec],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RecordHigh()
+
+
+def user_record_highs(stream: DataFrame) -> DataFrame:
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        stream.select("user_id", "ts", "event_id", v6.alias("v6"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_record_high_processor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -264,3 +264,34 @@ def test_chunking_invariance_complete_mode(spark):
             shutil.rmtree(d, ignore_errors=True)
     assert results[0], "complete-mode stream emitted nothing"
     assert results[0] == results[1]
+
+
+def test_tws_record_high_live_matches_batch_twin(spark, sf_small):
+    """transformWithStateInPandas live fold vs the batch window twin
+    (stream_record_high_batch). The TWS state server speaks protobuf;
+    sandboxes without the package skip (the Spark Connect client
+    gating pattern) — the processor and plan still import-check
+    below, so regressions in the operator code surface even where
+    the live engine can't run."""
+    import pytest
+
+    from fairy_spark.queries.streaming_exec import tws_record_high_live
+    from fairy_spark.queries import QUERIES
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        # still exercise construction: the streaming plan must build
+        from fairy_spark.streaming.stateful import user_record_highs
+        from fairy_spark.queries.streaming_exec import _replay_dir
+        from fairy_spark.streaming.pipeline import read_event_stream
+
+        df = user_record_highs(
+            read_event_stream(spark, _replay_dir(spark, str(sf_small)))
+        )
+        assert df.isStreaming
+        pytest.skip("protobuf absent: TWS state server cannot start here")
+
+    live = tws_record_high_live(spark, str(sf_small)).collect()
+    batch = QUERIES["stream_record_high_batch"](spark, str(sf_small)).collect()
+    assert live == batch
