@@ -627,3 +627,108 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "fn_sql_udf",
+    oracle="""
+    WITH per_flag AS (
+      SELECT l_returnflag AS flag,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS revenue_units,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY flag
+    )
+    SELECT flag, revenue_units / 10000.0 AS revenue, qty, n
+    FROM per_flag
+    ORDER BY flag
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4.1 CREATE FUNCTION ... RETURN):
+    a SCALAR SQL UDF (exact fixed-point discount price — the money
+    convention packaged as a reusable catalog function, the way a
+    team actually standardizes it) and a TABLE-VALUED SQL function
+    (per-flag quantity/count over the lineitem view), composed via
+    LATERAL correlation over the distinct flag set. Both are pure
+    SQL bodies, so Catalyst INLINES them — the plan is identical to
+    hand-written expressions (whole-stage codegen, pushdown intact),
+    unlike a Python UDF; this is the zero-cost abstraction path for
+    shared business logic. The oracle writes the bodies inline, so a
+    hash match proves the inlining preserved semantics exactly."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discount_units(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(p * (1 - d) * 10000, 0) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION flag_stats(f STRING)
+        RETURNS TABLE(qty BIGINT, n BIGINT)
+        RETURN SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT),
+                      COUNT(*)
+               FROM sqludf_lineitem WHERE l_returnflag = f
+        """
+    )
+    return spark.sql(
+        """
+        SELECT flags.flag,
+               rev.revenue_units / CAST(10000 AS DOUBLE) AS revenue,
+               t.qty, t.n
+        FROM (SELECT DISTINCT l_returnflag AS flag FROM sqludf_lineitem) flags
+        JOIN (SELECT l_returnflag AS flag,
+                     SUM(discount_units(l_extendedprice, l_discount))
+                       AS revenue_units
+              FROM sqludf_lineitem GROUP BY flag) rev
+          ON flags.flag = rev.flag,
+        LATERAL flag_stats(flags.flag) t
+        ORDER BY flags.flag
+        """
+    )
+
+
+@register(
+    "fn_collation_param",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(CAST(ROUND(c.c_acctbal * 10000) AS BIGINT)) / 10000.0 AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE lower(c.c_mktsegment) = 'building'
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def fn_collation_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named :params server-side bound — no string
+    splicing, the injection-safe client surface) combined with Spark
+    4 COLLATION: the segment predicate compares under UTF8_LCASE, so
+    the lowercase parameter matches the uppercase stored values by
+    collation semantics rather than by wrapping lower() around the
+    column — which matters at scale because a collated comparison
+    remains a pushable predicate on the column while lower(col) = x
+    is an expression filter that defeats min/max pruning on sorted
+    data. The oracle mirrors with lower() (DuckDB lacks UTF8_LCASE);
+    ASCII-only values make the two definitions coincide exactly."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("collation_cust")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("collation_nat")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(CAST(ROUND(c.c_acctbal * 10000, 0) AS BIGINT))
+                 / CAST(10000 AS DOUBLE) AS total_bal
+        FROM collation_cust c
+        JOIN collation_nat n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_mktsegment COLLATE UTF8_LCASE = :seg
+        GROUP BY nation
+        ORDER BY nation
+        """,
+        args={"seg": "building"},
+    )
