@@ -732,3 +732,53 @@ def fn_collation_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"seg": "building"},
     )
+
+
+@register(
+    "fn_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS total,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML encode/decode (Spark 4 to_xml/from_xml): each order row is
+    serialized to an XML fragment and parsed back with an explicit
+    schema, then the PARSED columns aggregate — the oracle aggregates
+    the source directly, so a hash match proves the round-trip is
+    lossless, including doubles (Java's Double.toString/parseDouble
+    round-trip is exact by contract, then the money sum quantizes).
+    This is the third leg of the semi-structured trio (JSON
+    fn_json/fn_json_schema, VARIANT fn_variant, XML here) — the
+    feed-ingest formats a warehouse engine must parse natively.
+    Scale: both directions are codegen'd row-local expressions —
+    zero shuffle beyond the final 3-key agg; schema is explicit, so
+    no inference pass."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = o.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x", "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        ).alias("r")
+    ).select("r.*")
+    return (
+        parsed.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("bigint"))
+                / 10000.0
+            ).alias("total"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("status")
+    )

@@ -288,3 +288,61 @@ def tws_record_high_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.max_units").alias("max_units"),
         F.col("s.n_records").alias("n_records"),
     ).orderBy("user_id")
+
+
+@register(
+    "stream_exec_state_reader",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_units
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_exec_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store DATA SOURCE (Spark 4 `statestore` format): run a
+    live streaming aggregation to completion, then read the
+    aggregation's STATE out of the checkpoint — key struct + agg
+    buffer per shuffle partition — and hash-check that
+    reconstructed state against the batch oracle. This is the
+    debugging/ops surface a reference operator actually needs
+    (fairy's store IS inspectable state — worker/src/h2_service.rs's
+    kv map; here the engine's internal state becomes a queryable
+    table the same way). A green row proves the checkpoint encodes
+    the agg buffer faithfully — not just that the sink saw the right
+    rows. Scale: the state read is one task per state-store
+    partition, no shuffle; sums are exact fixed-point units."""
+    from fairy_spark.streaming.pipeline import read_event_stream
+
+    units = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    stream = read_event_stream(spark, _replay_dir(spark, sf_dir))
+    ck = _checkpoint(spark, "state_reader")
+    import uuid
+
+    name = f"mem_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.select("event_type", units.alias("v6"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v6").alias("value_units"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ck)
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            # buffer fields are named by AGG FUNCTION (count/sum),
+            # not by the sink projection's aliases
+            F.col("value.count").alias("n"),
+            F.col("value.sum").alias("value_units"),
+        )
+        .orderBy("event_type")
+    )
