@@ -100,3 +100,35 @@ def test_substring_pair_growth_is_near_linear(spark):
         counts[n] = substring_dedup_pairs(docs).count()
     per_doc = {n: counts[n] / n for n in SIZES}
     assert per_doc[SIZES[-1]] <= 4 * max(per_doc[SIZES[0]], 0.05), (counts, per_doc)
+
+
+def test_basket_pair_growth_is_linear_across_sf(spark):
+    """ml_assoc_rules' cost model measured across a 100x real-data
+    span: basket pair fan-out is Σ C(|basket|, 2), linear in order
+    count while basket size stays bounded (TPC-H-like baskets are
+    SF-invariant). Pairs-per-order at sf0.1 must sit within a small
+    constant of sf0.001 — if a schema change ever fattened baskets
+    with corpus size, the self-join would quietly go quadratic and
+    this gate is where it surfaces."""
+    from fairy_spark.sources.tables import load_table
+
+    ratio = {}
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        li = load_table(spark, sf_dir, "lineitem")
+        baskets = li.select("l_orderkey", "l_partkey").distinct()
+        n_orders = baskets.select("l_orderkey").distinct().count()
+        a, b = baskets.alias("a"), baskets.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).count()
+        ratio[sf_dir] = pairs / n_orders
+    r_small = ratio["/root/testdata/sf0.001"]
+    r_big = ratio["/root/testdata/sf0.1"]
+    assert r_small > 0
+    assert r_big <= 2.0 * r_small, ratio
