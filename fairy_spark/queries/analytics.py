@@ -897,3 +897,117 @@ def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "s_suppkey")
     )
+
+
+def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
+    """Unrolled Lloyd-iteration CTE chain (the _pagerank_oracle
+    pattern): DuckDB replays the identical integer arithmetic."""
+    prev = "c0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"""a{i} AS (
+      SELECT v.vec_id, c.cluster,
+             SUM((v.x - c.c) * (v.x - c.c)) AS d2
+      FROM v JOIN {prev} c ON v.dim = c.dim
+      GROUP BY v.vec_id, c.cluster
+    ), asg{i} AS (
+      SELECT a.vec_id, MIN(a.cluster) AS cluster
+      FROM a{i} a
+      JOIN (SELECT vec_id, MIN(d2) AS m FROM a{i} GROUP BY vec_id) mm
+        ON a.vec_id = mm.vec_id AND a.d2 = mm.m
+      GROUP BY a.vec_id
+    ), c{i} AS (
+      SELECT s.cluster, v.dim,
+             CAST(FLOOR(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM v JOIN asg{i} s ON v.vec_id = s.vec_id
+      GROUP BY s.cluster, v.dim
+    )"""
+        )
+        prev = f"c{i}"
+    return f"""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS xf
+      FROM embeddings
+    ), v AS (
+      SELECT vec_id, CAST(pos - 1 AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(xf AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      FROM ex
+    ), c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, dim, x AS c
+      FROM v WHERE vec_id < {k}
+    ), {", ".join(its)}
+    SELECT m.cluster,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(l.l1 AS BIGINT) AS centroid_l1
+    FROM (SELECT cluster, COUNT(*) AS n_members FROM asg{iters} GROUP BY cluster) m
+    JOIN (SELECT cluster, SUM(ABS(c)) AS l1 FROM c{iters} GROUP BY cluster) l
+      ON m.cluster = l.cluster
+    ORDER BY m.cluster
+    """
+
+
+@register("ml_kmeans_lloyd", oracle=_kmeans_oracle())
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means, Lloyd's algorithm (public, 1957/1982), run as TWO
+    fully-relational iterations over the embeddings table — the
+    iterative-ML shape (assign → update → repeat) as a driver loop of
+    joins, like graph_pagerank but over a 64-dim vector space.
+    Everything is EXACT integer arithmetic: components quantize once
+    to 1e-6 units, squared distances are bigint sums (≤ 64·(2e6)² ≈
+    2.6e14, no overflow), ties break to the lowest cluster id, and
+    centroid updates use the same floor(Σ/n) sequence on both
+    engines — a float k-means could never hash-match across engines
+    or even across partitionings (the IVF index, similarity.py:200,
+    makes the same determinism choices). Scale: the vector explode is
+    row-linear; each iteration is ONE corpus-sized hash agg per step
+    with the k×dims centroid frame (256 rows) BROADCAST — the
+    canonical distributed k-means plan, corpus never re-partitioned
+    across iterations; k seed rows come from the data itself
+    (vec_id < k), not a collect."""
+    k, iters = 4, 2
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("xf").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+    )
+    cent = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), "dim", F.col("x").alias("c")
+    )
+    for _ in range(iters):
+        a = (
+            v.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+        )
+        mm = a.groupBy(F.col("vec_id").alias("m_vid")).agg(F.min("d2").alias("m"))
+        asg = (
+            a.join(mm, (F.col("vec_id") == F.col("m_vid")) & (F.col("d2") == F.col("m")))
+            .groupBy("vec_id")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        cent = (
+            v.join(asg.withColumnRenamed("vec_id", "a_vid"), F.col("vec_id") == F.col("a_vid"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("c")
+            )
+        )
+    members = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    l1 = cent.groupBy(F.col("cluster").alias("l_cluster")).agg(
+        F.sum(F.abs(F.col("c"))).alias("centroid_l1")
+    )
+    return (
+        members.join(l1, F.col("cluster") == F.col("l_cluster"))
+        .select("cluster", "n_members", "centroid_l1")
+        .orderBy("cluster")
+    )
