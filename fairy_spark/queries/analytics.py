@@ -1011,3 +1011,166 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "n_members", "centroid_l1")
         .orderBy("cluster")
     )
+
+
+@register(
+    "ml_naive_bayes",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 32
+                  AS INTEGER) AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok != ''
+    ), train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    test  AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    cls AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM train GROUP BY lang
+    ), nd AS (SELECT SUM(n_docs) AS total_docs FROM cls),
+    cnt AS (
+      SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM train GROUP BY lang, b
+    ), tot AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS t FROM train GROUP BY lang
+    ), grid AS (
+      SELECT cls.lang, gb.b
+      FROM cls CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) gb
+    ), model AS (
+      SELECT g.lang, g.b,
+             CAST(FLOOR(LN((COALESCE(cnt.c, 0) + 1.0) / (tot.t + 32))
+                        * 1000000 + 0.5) AS BIGINT) AS lp6
+      FROM grid g
+      JOIN tot ON g.lang = tot.lang
+      LEFT JOIN cnt ON g.lang = cnt.lang AND g.b = cnt.b
+    ), prior AS (
+      SELECT cls.lang,
+             CAST(FLOOR(LN(CAST(cls.n_docs AS DOUBLE) / nd.total_docs)
+                        * 1000000 + 0.5) AS BIGINT) AS pr6
+      FROM cls CROSS JOIN nd
+    ), dcnt AS (
+      SELECT doc_id, MIN(lang) AS lang_true, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM test GROUP BY doc_id, b
+    ), score AS (
+      SELECT d.doc_id, MIN(d.lang_true) AS lang_true, m.lang AS lang_cand,
+             MIN(p.pr6) + SUM(d.c * m.lp6) AS s
+      FROM dcnt d
+      JOIN model m ON d.b = m.b
+      JOIN prior p ON m.lang = p.lang
+      GROUP BY d.doc_id, m.lang
+    ), best AS (
+      SELECT s.doc_id, MIN(s.lang_true) AS lang_true,
+             MIN(s.lang_cand) AS lang_pred
+      FROM score s
+      JOIN (SELECT doc_id, MAX(s) AS mx FROM score GROUP BY doc_id) mm
+        ON s.doc_id = mm.doc_id AND s.s = mm.mx
+      GROUP BY s.doc_id
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best
+    GROUP BY lang_true, lang_pred
+    ORDER BY lang_true, lang_pred
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND evaluated relationally
+    (public textbook algorithm, Laplace smoothing): even doc_ids
+    train per-(class, feature-bucket) counts over the 32-bucket
+    hashed feature space (ml_feature_hashing's portable-md5 buckets);
+    odd doc_ids score against the 160-row model and the confusion
+    matrix comes back. Determinism end-to-end: log-probabilities
+    quantize ONCE per model cell (160 transcendentals total, never
+    per document), document scores are exact bigint Σ count·lp6 +
+    prior, and argmax ties break to the lexicographically smallest
+    class — so train→predict→evaluate hash-matches across engines.
+    Scale: training is two hash aggs over the token stream; the model
+    + priors are class×bucket-bounded broadcasts; scoring is one
+    equi join on the bucket key and one (doc, class) hash agg —
+    corpus-linear, the model never shuffles, and the 100 TB version
+    differs only in bucket count."""
+    from fairy_spark.operators.text import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id", "lang", (portable_hash64(F.col("tok")) % 32).cast("int").alias("b")
+        )
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter(F.col("doc_id") % 2 == 1)
+    cls = train.groupBy("lang").agg(F.count_distinct("doc_id").alias("n_docs"))
+    nd = cls.agg(F.sum("n_docs").alias("total_docs"))
+    cnt = train.groupBy(F.col("lang").alias("c_lang"), F.col("b").alias("c_b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = train.groupBy(F.col("lang").alias("t_lang")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    grid = cls.select("lang").crossJoin(
+        spark.range(32).select(F.col("id").cast("int").alias("b"))
+    )
+    lp6 = (
+        F.floor(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("t") + 32)
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    model = (
+        grid.join(tot, F.col("lang") == F.col("t_lang"))
+        .join(
+            cnt,
+            (F.col("lang") == F.col("c_lang")) & (F.col("b") == F.col("c_b")),
+            "left",
+        )
+        .select("lang", "b", lp6.alias("lp6"))
+    )
+    pr6 = (
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("total_docs")) * 1000000
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    prior = cls.crossJoin(F.broadcast(nd)).select(
+        F.col("lang").alias("p_lang"), pr6.alias("pr6")
+    )
+    dcnt = test.groupBy("doc_id", "b").agg(
+        F.min("lang").alias("lang_true"), F.count(F.lit(1)).alias("c")
+    )
+    m = model.select(
+        F.col("lang").alias("m_lang"), F.col("b").alias("m_b"), "lp6"
+    )
+    score = (
+        dcnt.join(F.broadcast(m), F.col("b") == F.col("m_b"))
+        .join(F.broadcast(prior), F.col("m_lang") == F.col("p_lang"))
+        .groupBy("doc_id", F.col("m_lang").alias("lang_cand"))
+        .agg(
+            (F.min("pr6") + F.sum(F.col("c") * F.col("lp6"))).alias("s"),
+            F.min("lang_true").alias("lang_true"),
+        )
+    )
+    mm = score.groupBy(F.col("doc_id").alias("x_did")).agg(F.max("s").alias("mx"))
+    best = (
+        score.join(mm, (F.col("doc_id") == F.col("x_did")) & (F.col("s") == F.col("mx")))
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang_true").alias("lang_true"),
+            F.min("lang_cand").alias("lang_pred"),
+        )
+    )
+    return (
+        best.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_true", "lang_pred")
+    )
