@@ -1174,3 +1174,102 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    rfm AS (
+      SELECT e.user_id,
+             date_diff('day', CAST(MAX(e.ts) AS DATE), CAST(a.mx AS DATE))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_units
+      FROM events e CROSS JOIN anchor a
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id, a.mx
+    ), scored AS (
+      SELECT user_id, recency_days, n_purchases, monetary_units,
+             NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_q,
+             NTILE(5) OVER (ORDER BY n_purchases, user_id) AS f_q,
+             NTILE(5) OVER (ORDER BY monetary_units, user_id) AS m_q
+      FROM rfm
+    )
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           n_purchases, monetary_units,
+           CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+             AS segment
+    FROM scored
+    ORDER BY user_id
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles — the marketing-analytics classic): per purchasing
+    user, days since last purchase (vs the corpus max timestamp),
+    purchase count, and exact fixed-point spend, each assigned a
+    1-5 quintile and concatenated into the segment code. The three
+    global NTILEs use the SHARDED global-rank machinery
+    (operators/ranking.py — range-shard, per-shard window, driver
+    offset sum) + the NTILE-from-position formula, because a bare
+    NTILE() OVER (ORDER BY ...) plans a SinglePartition exchange
+    that serializes the table through one task — the exact
+    anti-pattern the registry's window gate exists to catch
+    (win_cume_pct's story, applied three times). All ranks order on
+    (metric, user_id), so ties are total and both engines bucket
+    identically. Scale: the RFM frame is user-sized after ONE corpus
+    hash agg; each quintile pass is an exchange over that frame, not
+    the corpus."""
+    from fairy_spark.operators.ranking import ntile_from_pos, sharded_global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    rfm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "mx")
+        .agg(
+            F.datediff(F.col("mx").cast("date"), F.max("ts").cast("date")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(v6).alias("monetary_units"),
+        )
+        .select(
+            "user_id",
+            F.col("recency_days").cast("bigint").alias("recency_days"),
+            "n_purchases",
+            "monetary_units",
+        )
+    )
+    out = rfm
+    for metric, qcol in [
+        ("recency_days", "r_q"),
+        ("n_purchases", "f_q"),
+        ("monetary_units", "m_q"),
+    ]:
+        ranked, total = sharded_global_row_number(
+            out, [metric, "user_id"], pos_col="__pos"
+        )
+        out = ranked.withColumn(
+            qcol, ntile_from_pos(F.col("__pos"), total, 5).cast("int")
+        ).drop("__pos")
+    return out.select(
+        "user_id",
+        "recency_days",
+        "n_purchases",
+        "monetary_units",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    ).orderBy("user_id")

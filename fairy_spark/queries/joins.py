@@ -481,3 +481,114 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("purchase_value", 6).alias("next_purchase_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    bwd AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.ts AS b_ts, p.purchase_value AS b_val
+      FROM clicks c
+      ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    ),
+    fwd AS (
+      SELECT c.event_id, p.ts AS f_ts, p.purchase_value AS f_val
+      FROM clicks c
+      ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+             WHEN f.f_ts IS NULL THEN 'backward'
+             WHEN b.b_ts IS NULL THEN 'forward'
+             WHEN date_diff('microseconds', b.b_ts, b.ts)
+                  <= date_diff('microseconds', b.ts, f.f_ts) THEN 'backward'
+             ELSE 'forward'
+           END AS direction,
+           ROUND(CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+             WHEN f.f_ts IS NULL THEN b.b_val
+             WHEN b.b_ts IS NULL THEN f.f_val
+             WHEN date_diff('microseconds', b.b_ts, b.ts)
+                  <= date_diff('microseconds', b.ts, f.f_ts) THEN b.b_val
+             ELSE f.f_val
+           END, 6) AS nearest_value
+    FROM bwd b JOIN fwd f ON b.event_id = f.event_id
+    ORDER BY b.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (either direction): each click gets
+    the temporally closest purchase, completing the as-of family
+    (backward, forward, tolerance, nearest — pandas merge_asof's
+    direction='nearest'). Composition, not a new operator: one
+    backward + one forward pass (operators/asof.py, each a single
+    user_id exchange carrying the matched timestamp as a value
+    column), then a row-local tie rule — distance compared in exact
+    microseconds, equidistant resolves BACKWARD (merge_asof's
+    documented rule). The same two-pass shape at 100 TB costs
+    exactly two window shuffles regardless of right-side density —
+    no interval explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select(
+            "user_id", "ts", "purchase_value", F.col("ts").alias("p_ts")
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    bwd = asof_join_backward(
+        clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value", "p_ts"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("purchase_value").alias("b_val"), F.col("p_ts").alias("b_ts"),
+    )
+    fwd = asof_join_forward(
+        clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value", "p_ts"],
+    ).select(
+        F.col("event_id").alias("f_eid"),
+        F.col("purchase_value").alias("f_val"), F.col("p_ts").alias("f_ts"),
+    )
+    j = bwd.join(fwd, F.col("event_id") == F.col("f_eid"))
+    # timestamp_ntz subtraction yields an exact day-time INTERVAL —
+    # directly comparable, no epoch cast needed (ntz cannot cast to
+    # double anyway)
+    db = F.col("ts") - F.col("b_ts")
+    df_ = F.col("f_ts") - F.col("ts")
+    use_b = (
+        F.col("f_ts").isNull()
+        | (F.col("b_ts").isNotNull() & (db <= df_))
+    )
+    direction = (
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None).cast("string"))
+        .when(use_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    nearest = (
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None).cast("double"))
+        .when(use_b, F.col("b_val"))
+        .otherwise(F.col("f_val"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        direction.alias("direction"),
+        F.round(nearest, 6).alias("nearest_value"),
+    ).orderBy("event_id")
