@@ -782,3 +782,49 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "fn_month_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_1m,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS quarter_start,
+           CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS months_since_95
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def fn_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar month arithmetic at the edges (the family that bites
+    in revenue reporting): add_months clamps Jan 31 + 1m to Feb 28
+    rather than overflowing into March — Spark's add_months and
+    DuckDB's + INTERVAL 1 MONTH share the clamp rule, which this row
+    PINS (an engine that overflows would hash-mismatch on every
+    month-end order). Also last_day, quarter truncation, and whole-
+    month difference — date_diff('month') counts month BOUNDARIES
+    crossed, matching integer months-since arithmetic on both
+    engines (Spark's fractional months_between is deliberately
+    avoided: its 31-day-month fraction rule has no DuckDB
+    equivalent). All codegen'd row-local date math; the modulo
+    sample keeps the check set small without an orderBy-limit
+    truncation bias."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 1).cast("string").alias("plus_1m"),
+        F.add_months(d, 3).cast("string").alias("plus_3m"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_trunc("quarter", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("quarter_start"),
+        (
+            (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+        ).cast("int").alias("months_since_95"),
+    ).orderBy("o_orderkey")
