@@ -27,11 +27,20 @@ def resample_ffill(
     forward-filled gaps. Output: key, bucket, n (0 on gaps), avg_value
     (null until first observation), ffill_value."""
     bucket = F.date_trunc("hour", F.col(ts_col))
+    # Exact-anchored mean: SUM of 1e-6-quantized units / (n·1e6) — one
+    # IEEE division of exactly-represented integers, so the bucket
+    # mean is bit-identical on any engine/partitioning. A float AVG
+    # here is an order-dependent sum; at sf0.1 one interp anchor
+    # landed on a ROUND(,6) knife edge and hash-mismatched (caught by
+    # the full-registry sf0.1 audit).
+    v6 = F.floor(F.col(val_col) * 1000000 + F.lit(0.5)).cast("bigint")
     agg = (
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(val_col).alias("avg_value"),
+            (F.sum(v6).cast("double") / (F.count(F.lit(1)) * 1000000)).alias(
+                "avg_value"
+            ),
         )
     )
     span = agg.groupBy("key").agg(

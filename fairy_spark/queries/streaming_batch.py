@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from fairy_spark.functions.exact import round6 as _round6
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
 
@@ -48,7 +49,8 @@ def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w_start,
            COUNT(*) AS n,
-           ROUND(AVG(value), 6) AS avg_value
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000) AS avg_value
     FROM expanded
     GROUP BY w_start
     ORDER BY w_start
@@ -60,7 +62,17 @@ def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact-anchored mean (see operators/timeseries.py): the
+            # float AVG here was order-dependent in its low bits
+            (
+                F.sum(
+                    F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / (F.count(F.lit(1)) * 1000000)
+            ).alias("avg_value"),
+        )
         .select(F.col("w.start").alias("w_start"), "n", "avg_value")
         .orderBy("w_start")
     )
@@ -198,7 +210,9 @@ def stream_stateful_ema_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
-             COUNT(*) AS n, AVG(value) AS avg_value
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000) AS avg_value
       FROM events WHERE user_id <= 10
       GROUP BY 1, 2
     ), span AS (
@@ -213,10 +227,11 @@ def stream_stateful_ema_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid g LEFT JOIN agg a ON g.key = a.key AND g.bucket = a.bucket
     )
     SELECT key, bucket, CAST(n AS BIGINT) AS n,
-           ROUND(avg_value, 6) AS avg_value,
-           ROUND(LAST_VALUE(avg_value IGNORE NULLS) OVER (
+           CAST(FLOOR(avg_value * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS avg_value,
+           CAST(FLOOR(LAST_VALUE(avg_value IGNORE NULLS) OVER (
              PARTITION BY key ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS ffill_value
     FROM j
     ORDER BY key, bucket
     """,
@@ -232,8 +247,8 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         "bucket",
         F.col("n").cast("bigint").alias("n"),
-        F.round("avg_value", 6).alias("avg_value"),
-        F.round("ffill_value", 6).alias("ffill_value"),
+        _round6(F.col("avg_value")).alias("avg_value"),
+        _round6(F.col("ffill_value")).alias("ffill_value"),
     ).orderBy("key", "bucket")
 
 
@@ -286,7 +301,9 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
-             COUNT(*) AS n, AVG(value) AS avg_value
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000) AS avg_value
       FROM events WHERE user_id <= 10
       GROUP BY 1, 2
     ), span AS (
@@ -318,11 +335,11 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g2
     )
     SELECT key, bucket, CAST(n AS BIGINT) AS n,
-           ROUND(avg_value, 6) AS avg_value,
-           ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+           CAST(FLOOR(avg_value * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS avg_value,
+           CAST(FLOOR((CASE WHEN avg_value IS NOT NULL THEN avg_value
                  WHEN pv IS NOT NULL AND nv IS NOT NULL
                    THEN pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
-                 ELSE NULL END, 6) AS interp_value
+                 ELSE NULL END) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS interp_value
     FROM g3
     ORDER BY key, bucket
     """,
@@ -343,8 +360,8 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         "bucket",
         F.col("n").cast("bigint").alias("n"),
-        F.round("avg_value", 6).alias("avg_value"),
-        F.round("interp_value", 6).alias("interp_value"),
+        _round6(F.col("avg_value")).alias("avg_value"),
+        _round6(F.col("interp_value")).alias("interp_value"),
     ).orderBy("key", "bucket")
 
 

@@ -99,7 +99,15 @@ def sliding_avg(stream: DataFrame, window: str = "2 hours", slide: str = "1 hour
     return (
         stream.withWatermark("ts", "4 hours")
         .groupBy(F.window("ts", window, slide).alias("w"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            # exact state: Σ quantized units + n; the mean is ONE IEEE
+            # division at emit — partition/batch-order independent
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("v6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("avg_value", F.col("v6").cast("double") / (F.col("n") * 1000000))
         .select(F.col("w.start").alias("w_start"), "avg_value", "n")
     )
 
