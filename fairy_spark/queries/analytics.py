@@ -1273,3 +1273,69 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_q").cast("string"),
         ).alias("segment"),
     ).orderBy("user_id")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS w
+      FROM lineitem
+      GROUP BY flag, qty
+    ), cum AS (
+      SELECT flag, qty, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY qty
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM cells
+    )
+    SELECT flag, CAST(MIN(qty) AS BIGINT) AS weighted_median_qty,
+           CAST(MIN(tw) AS BIGINT) / 10000.0 AS total_weight
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (revenue-weighted median order quantity
+    per return flag): the smallest quantity whose cumulative revenue
+    weight reaches half the group total. The scale design is the
+    HISTOGRAM reduction: the corpus collapses to (group × value)
+    CELLS in one hash agg — quantity is a bounded domain (≤50
+    values), so the cumulative-weight window runs over a ~150-row
+    frame, never the corpus; an unbounded continuous value column
+    would first quantize into bounded bins (this query's pattern) or
+    fall back to the mergeable quantile sketch
+    (sketch_quantile_hist). Weights are exact integer money units, so
+    the 2·cw ≥ tw cut is arithmetic, not float-comparison roulette —
+    a float weight sum could flip the median cell between runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.sum(w_units).alias("w"))
+    wq = Window.partitionBy("flag").orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("flag")
+    cum = cells.select(
+        "flag",
+        "qty",
+        F.sum("w").over(wq).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("qty").alias("weighted_median_qty"),
+            (F.min("tw") / 10000.0).alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
