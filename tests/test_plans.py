@@ -524,3 +524,30 @@ def test_asof_forward_single_shuffle_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
     assert keys == {"user_id"}, keys
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_sink(spark, sf_dir):
+    """THE other 100 TB scan-reduction mechanism next to static
+    partition pruning: joining the partitioned sink table against a
+    FILTERED dim on the partition column must inject a
+    dynamicpruning expression into the scan's PartitionFilters — at
+    scale this is what keeps a fact⋈dim join from reading every
+    date/flag directory when the dim filter only selects a few. If a
+    config or layout change ever silenced DPP, this gate catches it
+    before a cluster pays the full scan."""
+    import fairy_spark.queries.sources_io as io_mod
+
+    QUERIES["sink_parquet_partitioned"](spark, str(sf_dir)).collect()
+    fact = spark.read.parquet(
+        io_mod._scratch(spark, str(sf_dir), "lineitem_parquet")
+    )
+    dim = spark.createDataFrame(
+        [("A", 1), ("N", 2), ("R", 3)], "flag string, w int"
+    ).filter(F.col("w") == 1)
+    j = (
+        fact.join(dim.hint("broadcast"), fact.l_returnflag == dim.flag)
+        .groupBy("flag")
+        .count()
+    )
+    plan = plan_of(j)
+    assert "dynamicpruning" in plan.lower(), plan
