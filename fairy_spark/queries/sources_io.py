@@ -468,3 +468,69 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
     )
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 7 != 0) AS BIGINT) AS parsed,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS corrupt,
+           CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS parsed_chars,
+           CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS parsed_id_sum
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-record handling — the ingestion
+    reality check every feed pipeline needs: a CSV batch is written
+    with every 7th record deliberately broken (wrong delimiter, non-
+    numeric fields), read back with an explicit schema +
+    columnNameOfCorruptRecord, and the engine must (a) keep every
+    good row bit-intact, (b) quarantine every bad row into the
+    corrupt column rather than dropping or crashing (FAILFAST), and
+    (c) agree with the oracle's ground-truth corruption rule on the
+    exact counts. At 100 TB this is the difference between one bad
+    upstream record poisoning a load and a quarantine table you can
+    triage; the corrupt column is populated per-row at parse time —
+    row-local, no extra pass."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "n_chars", "lang")
+    )
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("bad|"), F.col("doc_id").cast("string"), F.lit("|oops")),
+    ).otherwise(
+        F.concat_ws(",", F.col("doc_id"), F.col("n_chars"), F.col("lang"))
+    )
+    out = _scratch(spark, sf_dir, "csv_malformed")
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id INT, n_chars INT, lang STRING, _bad STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+    )
+    # Load-bearing subtlety: corrupt-record detection is evaluated
+    # over the REQUIRED column set only — an aggregate that prunes
+    # doc_id out of the scan never attempts the failing int parse,
+    # and the malformed rows sail through as all-null "good" rows
+    # (observed; the Spark docs' cache-first caveat is this same
+    # behavior). Summing doc_id keeps the failing field required, so
+    # quarantine works under column pruning.
+    return back.agg(
+        F.count_if(F.col("_bad").isNull()).alias("parsed"),
+        F.count_if(F.col("_bad").isNotNull()).alias("corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0)).alias(
+            "parsed_chars"
+        ),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("doc_id")).otherwise(0)).alias(
+            "parsed_id_sum"
+        ),
+    )
