@@ -209,8 +209,13 @@ class KVStore:
         )
 
     def delete(self, key: str) -> None:
+        self.delete_batch([key])
+
+    def delete_batch(self, keys: list[str]) -> None:
+        """Tombstone many keys under ONE write sequence — the batched
+        twin of put_batch (one table append instead of one per key)."""
         seq = self._alloc_seq()
-        self._append([Row(key=key, value=None, seq=seq)])
+        self._append([Row(key=k, value=None, seq=seq) for k in dict.fromkeys(keys)])
 
     def exists(self, key: str) -> bool:
         hit = (
@@ -228,6 +233,28 @@ class KVStore:
     def scan(self) -> DataFrame:
         """Full live view (key, value) — the analytics bridge."""
         return self._latest().filter(F.col("value").isNotNull()).select("key", "value")
+
+    def current_seq(self) -> int:
+        """Latest committed write sequence (0 for an empty store) — the
+        snapshot handle for :meth:`scan_as_of`. Parquet footer-stats
+        aggregate, same metadata-only cost as _alloc_seq."""
+        if not self._exists_table():
+            return 0
+        row = self._log().agg(F.max("seq").alias("m")).first()
+        return row["m"] or 0
+
+    def scan_as_of(self, seq: int) -> DataFrame:
+        """Snapshot (key, value) view as of write sequence ``seq``
+        (inclusive) — MVCC time travel, free because the store is an
+        append-only log: filtering ``seq <= S`` before the latest-wins
+        agg reconstructs exactly the state after write S, including
+        un-deleting keys whose tombstones came later. Compaction is
+        the one operation that discards history (it rewrites the live
+        view only) — snapshots older than the last compact() are gone,
+        the same contract as any compacting LSM."""
+        log = self._log().filter(F.col("seq") <= seq)
+        latest = log.groupBy("key").agg(F.max_by("value", "seq").alias("value"))
+        return latest.filter(F.col("value").isNotNull()).select("key", "value")
 
     def scan_prefix(self, prefix: str) -> DataFrame:
         """Live (key, value) pairs under a key prefix — the directory-
@@ -337,3 +364,16 @@ class KVStore:
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        # A write that failed BETWEEN location-create and catalog-
+        # register leaves an orphaned warehouse dir the next
+        # saveAsTable refuses to reuse (LOCATION_ALREADY_EXISTS);
+        # drop() guarantees a clean slate, so clear the path too —
+        # through the JVM Hadoop FS so any warehouse scheme works.
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(
+            self.spark.conf.get("spark.sql.warehouse.dir"), self.table.lower()
+        )
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)

@@ -459,3 +459,85 @@ def kv_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", F.length("value").cast("bigint").alias("n_bytes"))
         .orderBy("key")
     )
+
+
+@register(
+    "kv_time_travel",
+    oracle="""
+    WITH snap1 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS k, text AS v
+      FROM documents WHERE doc_id < 100
+    ), cur AS (
+      SELECT CAST(doc_id AS VARCHAR) AS k,
+             CASE WHEN doc_id < 50 THEN upper(text) ELSE text END AS v
+      FROM documents
+      WHERE doc_id < 100 AND NOT (doc_id BETWEEN 50 AND 59)
+    )
+    SELECT 'asof' AS phase, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(concat('0x', substr(md5(k || ':' || v), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT) AS checksum
+    FROM snap1
+    UNION ALL
+    SELECT 'current', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(concat('0x', substr(md5(k || ':' || v), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT)
+    FROM cur
+    ORDER BY phase
+    """,
+)
+def kv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC time travel on the REAL append-only KV store (kv.py — the
+    first registry query to drive the store itself, not its
+    relational model): 100 documents are ingested (seq 1), half are
+    overwritten and ten tombstoned (seq 2-3), then scan_as_of(seq 1)
+    must reconstruct the pre-overwrite state EXACTLY while scan()
+    reflects the final state — both hash-checked against the oracle's
+    independently-derived snapshots via the portable content
+    checksum. This is the capability an append+seq log gives for
+    free (the LSM design's payoff beyond crash recovery): historical
+    reads are a seq predicate pushed to the scan, no snapshot copies.
+    Scale: both views are one latest-wins hash agg over the bucketed
+    log — bucket-local, shuffle-free; the checksum is an
+    order-independent exact bigint sum."""
+    from fairy_spark.kv import KVStore
+    from fairy_spark.operators.text import portable_hash64
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.encode(F.col("text"), "UTF-8").alias("value"),
+            F.col("doc_id").alias("did"),
+            F.col("text"),
+        )
+    )
+    kv = KVStore(spark, name="time_travel_probe", num_buckets=8)
+    kv.drop()
+    kv.put_df(docs.select("key", "value"))
+    s1 = kv.current_seq()
+    kv.put_df(
+        docs.filter(F.col("did") < 50).select(
+            "key", F.encode(F.upper(F.col("text")), "UTF-8").alias("value")
+        )
+    )
+    kv.delete_batch([str(i) for i in range(50, 60)])
+
+    def checksum(df: DataFrame, phase: str) -> DataFrame:
+        kv_str = F.concat(F.col("key"), F.lit(":"), F.col("value").cast("string"))
+        return df.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            # Σ of 60-bit hashes overflows long past ~8 rows: widen to
+            # decimal, fold back with a modulus (DuckDB widens to
+            # HUGEINT implicitly; the mod keeps both in bigint range)
+            (F.sum(portable_hash64(kv_str).cast("decimal(38,0)"))
+             % 1000000000000000)
+            .cast("bigint")
+            .alias("checksum"),
+        ).select(F.lit(phase).alias("phase"), "n_keys", "checksum")
+
+    return (
+        checksum(kv.scan_as_of(s1), "asof")
+        .unionAll(checksum(kv.scan(), "current"))
+        .orderBy("phase")
+    )

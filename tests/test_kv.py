@@ -243,3 +243,29 @@ def test_random_op_sequences_match_dict_model(kv, spark):
     assert live == model
     for k in keys:
         assert kv.exists(k) == (k in model)
+
+
+def test_scan_as_of_reconstructs_history_until_compaction(spark):
+    """MVCC contract: scan_as_of(S) replays the log to write S —
+    overwrites undone, tombstones not yet written un-delete — and
+    compaction is the one operation that discards that history."""
+    from fairy_spark.kv import KVStore
+
+    kv = KVStore(spark, name="asof_probe", num_buckets=4)
+    kv.drop()
+    kv.put_batch([("a", b"1"), ("b", b"2")])
+    s1 = kv.current_seq()
+    kv.put_batch([("a", b"9")])
+    kv.delete_batch(["b"])
+    s3 = kv.current_seq()
+
+    snap1 = {r["key"]: bytes(r["value"]) for r in kv.scan_as_of(s1).collect()}
+    assert snap1 == {"a": b"1", "b": b"2"}
+    now = {r["key"]: bytes(r["value"]) for r in kv.scan().collect()}
+    assert now == {"a": b"9"}
+    assert {r["key"]: bytes(r["value"]) for r in kv.scan_as_of(s3).collect()} == now
+
+    kv.compact()
+    post = {r["key"]: bytes(r["value"]) for r in kv.scan_as_of(s1).collect()}
+    assert post == {"a": b"9"}, "compaction must discard pre-compact history"
+    kv.drop()
