@@ -541,3 +541,76 @@ def kv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(checksum(kv.scan(), "current"))
         .orderBy("phase")
     )
+
+
+@register(
+    "kv_compaction_equivalence",
+    oracle="""
+    WITH live AS (
+      SELECT CAST(doc_id AS VARCHAR) AS k,
+             CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS v
+      FROM documents
+      WHERE doc_id < 80 AND doc_id % 5 != 0
+    )
+    SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(concat('0x', substr(md5(k || ':' || v), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT) AS checksum
+    FROM live, (SELECT unnest(['compacted', 'pre_compact']) AS phase)
+    GROUP BY phase
+    ORDER BY phase
+    """,
+)
+def kv_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM compaction correctness through the REAL store: after an
+    ingest + overwrite + tombstone history (3 write generations),
+    compact() must rewrite the log to exactly the live view — same
+    keys, same bytes, tombstones and shadowed versions physically
+    gone. Both the pre-compact scan and the post-compact scan are
+    checksummed and hash-checked against ONE oracle state derived
+    independently from the source rules, so a compaction that drops,
+    resurrects, or corrupts even one key fails the gate (the
+    reference's analog: local FS store rewrite,
+    local_file_kv_store.rs). Scale: compact() is one latest-wins
+    hash agg + a bucketed rewrite — the same bucket-local shape as
+    every read; history size amortizes away."""
+    from fairy_spark.kv import KVStore
+    from fairy_spark.operators.text import portable_hash64
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.encode(F.col("text"), "UTF-8").alias("value"),
+            F.col("doc_id").alias("did"),
+            F.col("text"),
+        )
+    )
+    kv = KVStore(spark, name="compact_probe", num_buckets=8)
+    kv.drop()
+    kv.put_df(docs.select("key", "value"))
+    kv.put_df(
+        docs.filter(F.col("did") % 3 == 0).select(
+            "key", F.encode(F.upper(F.col("text")), "UTF-8").alias("value")
+        )
+    )
+    kv.delete_batch([str(i) for i in range(0, 80, 5)])
+
+    def checksum(df: DataFrame, phase: str) -> DataFrame:
+        kv_str = F.concat(F.col("key"), F.lit(":"), F.col("value").cast("string"))
+        return df.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            (
+                F.sum(portable_hash64(kv_str).cast("decimal(38,0)"))
+                % 1000000000000000
+            )
+            .cast("bigint")
+            .alias("checksum"),
+        ).select(F.lit(phase).alias("phase"), "n_keys", "checksum")
+
+    pre = checksum(kv.scan(), "pre_compact")
+    pre.collect()  # materialize BEFORE the table swap underneath
+    pre = spark.createDataFrame(pre.collect(), pre.schema)
+    kv.compact()
+    post = checksum(kv.scan(), "compacted")
+    return post.unionAll(pre).orderBy("phase")
