@@ -824,7 +824,7 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
              sup.revenue_units, sup.unit_price_units,
              MIN(sup.unit_price_units) OVER (
                PARTITION BY n.n_name
-               ORDER BY sup.revenue_units DESC, s.s_suppkey
+               ORDER BY sup.revenue_units DESC, sup.unit_price_units, s.s_suppkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
       FROM sup
       JOIN supplier s ON sup.l_suppkey = s.s_suppkey
@@ -878,9 +878,14 @@ def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_price_units",
         )
     )
+    # Tie discipline: same-revenue rows order cheapest-FIRST, so an
+    # equal-revenue pricier supplier sees the cheaper one's price in
+    # best_prev and is eliminated — with (revenue, suppkey) alone a
+    # dominated same-revenue row with a lower suppkey survived
+    # (caught by tests/test_skyline_fuzz.py's brute-force compare).
     w = (
         Window.partitionBy("nation")
-        .orderBy(F.col("revenue_units").desc(), "s_suppkey")
+        .orderBy(F.col("revenue_units").desc(), "unit_price_units", "s_suppkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
