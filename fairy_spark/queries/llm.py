@@ -2397,3 +2397,94 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits"
         ),
     ).orderBy("source")
+
+
+@register(
+    "text_bloom_prejoin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), t2 AS (SELECT doc_id, lang, tok FROM toks WHERE tok != ''),
+    ref AS (SELECT DISTINCT tok FROM t2 WHERE lang = 'en'),
+    q AS (SELECT DISTINCT doc_id, tok FROM t2 WHERE lang != 'en')
+    SELECT q.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(COUNT(ref.tok) AS BIGINT) AS n_overlap,
+           CAST(FLOOR(CAST(COUNT(ref.tok) AS DOUBLE) / COUNT(*)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS overlap_pct
+    FROM q LEFT JOIN ref ON q.tok = ref.tok
+    GROUP BY q.doc_id
+    ORDER BY q.doc_id
+    """,
+)
+def text_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-ACCELERATED reference-overlap join (the sketch USED in a
+    pipeline, not just materialized — sketch_bloom's structure doing
+    the job Spark's runtime bloom join pushdown does): non-English
+    documents' tokens probe a broadcast 4096-bit Bloom of the English
+    reference vocabulary FIRST, and only bloom-positive tokens reach
+    the exact shuffle join. Correctness is free by construction — no
+    false negatives means the prefilter drops nothing that matters,
+    and the exact join kills the false positives — which is precisely
+    what the oracle proves: it computes the PLAIN exact overlap with
+    no bloom anywhere, so a hash match certifies the accelerated
+    plan is semantics-preserving. At 100 TB the win is the shuffle:
+    token traffic into the exact join shrinks by the true-negative
+    rate (most of a foreign corpus), for the price of one ≤4096-row
+    broadcast. Per-doc overlap percentage quantizes from exact
+    counts."""
+    from fairy_spark.operators.text import portable_hash64, tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    M, K = 4096, 3
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    ref = toks.filter(F.col("lang") == "en").select("tok").distinct()
+    q = (
+        toks.filter(F.col("lang") != "en")
+        .select("doc_id", "tok")
+        .distinct()
+    )
+
+    def positions(tok_col):
+        return F.array(
+            *[(portable_hash64(tok_col, seed=f"bf{k}") % M) for k in range(K)]
+        )
+
+    bits = (
+        ref.select(F.explode(positions(F.col("tok"))).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    bloom_pass = (
+        q.select("doc_id", "tok", F.explode(positions(F.col("tok"))).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "tok")
+        .agg((F.count(F.lit(1)) == F.count("hit")).alias("member"))
+        .filter(F.col("member"))
+        .select("doc_id", "tok")
+    )
+    overlap = (
+        bloom_pass.join(ref.withColumnRenamed("tok", "r_tok"),
+                        F.col("tok") == F.col("r_tok"), "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = q.groupBy(F.col("doc_id").alias("t_did")).agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    pct = F.floor(
+        F.col("n_overlap").cast("double") / F.col("n_toks") * 1000000 + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    return (
+        totals.join(overlap, F.col("t_did") == F.col("doc_id"), "left")
+        .select(
+            F.col("t_did").alias("doc_id"),
+            "n_toks",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        )
+        .withColumn("n_overlap", F.col("n_overlap").cast("bigint"))
+        .withColumn("overlap_pct", pct)
+        .orderBy("doc_id")
+    )
