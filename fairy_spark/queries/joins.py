@@ -592,3 +592,63 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction.alias("direction"),
         F.round(nearest, 6).alias("nearest_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderpriority END AS pri
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), r AS (
+      SELECT CASE WHEN n % 2 = 0 THEN NULL
+                  ELSE '1-URGENT' END AS pri,
+             n AS tag
+      FROM (SELECT unnest(generate_series(0, 3)) AS n)
+    )
+    SELECT l.pri IS NULL AS null_key,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(r.tag) AS BIGINT) AS tag_sum
+    FROM l JOIN r ON l.pri IS NOT DISTINCT FROM r.pri
+    GROUP BY null_key
+    ORDER BY null_key
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics SCD
+    pipelines need when NULL is a legitimate dimension value (the
+    merge/scd2 operators' null-safe change detection, surfaced as a
+    join predicate). The build side carries two NULL-keyed rows, so
+    the null partition matches are observable, not vacuous. Plan:
+    Spark plans <=> as a HASH join key (null-safe equality is still
+    an equi-join — keys hash with NULL as a value), NOT the
+    nested-loop a general null-tolerant predicate would force; at
+    100 TB that distinction is the whole game. One caveat pinned by
+    the shape: null-safe join keys concentrate every NULL row in ONE
+    hash partition — a high-NULL column needs the salted-skew
+    treatment (join_salted_skew)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("pri"),
+    )
+    right = spark.range(4).select(
+        F.when(F.col("id") % 2 == 0, F.lit(None)).otherwise(F.lit("1-URGENT")).alias(
+            "r_pri"
+        ),
+        F.col("id").alias("tag"),
+    )
+    return (
+        left.join(right, F.col("pri").eqNullSafe(F.col("r_pri")))
+        .groupBy(F.col("pri").isNull().alias("null_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("tag").alias("tag_sum"),
+        )
+        .orderBy("null_key")
+    )

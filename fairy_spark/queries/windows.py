@@ -502,3 +502,41 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+_TIME_RANGE_SQL = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS units_last_hour
+FROM events
+WHERE user_id <= 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "win_time_range_frame",
+    oracle=_TIME_RANGE_SQL,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING): each event sees the count and exact unit-sum of the
+    SAME USER's events in the trailing wall-clock hour — the
+    interval-over-timestamp sibling of win_range_frame's numeric
+    range, the shape monitoring windows actually use. The SAME SQL
+    text runs on both engines (the sub_recursive_walks pattern):
+    interval frames over TIMESTAMP ordering are SQL-only surface —
+    the DataFrame API's rangeBetween takes numeric offsets, and an
+    epoch cast would smuggle in session-timezone dependence. Frame
+    membership is a timestamp comparison, so equal-ts rows are PEERS
+    (all included — RANGE semantics, which is why no unique tiebreak
+    is needed for determinism). One user_id exchange; trailing state
+    is time-bounded rather than row-bounded. Sums are fixed-point
+    units, so frame totals are exact."""
+    from fairy_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TIME_RANGE_SQL)
