@@ -138,3 +138,44 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10, max_frames: int = 4) 
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
     ).withColumn("byte_offset", F.col("frame_index") * every_n)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_index", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sumsq", T.LongType()),
+    ]
+)
+
+
+def audio_energy_windows(media: DataFrame, window_bytes: int = 64) -> DataFrame:
+    """Windowed audio energy over opaque payloads (the audio leg of
+    the multimodal family): payload bytes are treated as fake 8-bit
+    PCM samples (centered at 128 — a real decoder would slot in
+    here; the Spark-side plumbing is what's under test), split into
+    fixed windows, and each window reduces to (n_samples, Σ sample²)
+    inside an Arrow-vectorized mapInPandas. The UDF emits EXACT
+    integers only — the RMS transcendental happens JVM-side on the
+    caller, so the Python boundary never touches a float. Fan-out is
+    len/window rows per payload (row-linear); batches arrive
+    Arrow-columnar and numpy does the per-window fold without
+    per-sample Python."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "window_index": [], "n_samples": [], "sumsq": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+                for w in range(0, len(samples), window_bytes):
+                    chunk = samples[w : w + window_bytes]
+                    out["media_id"].append(mid)
+                    out["window_index"].append(w // window_bytes)
+                    out["n_samples"].append(len(chunk))
+                    out["sumsq"].append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(gen, AUDIO_ENERGY_SCHEMA)

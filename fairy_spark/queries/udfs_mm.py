@@ -338,3 +338,65 @@ def udf_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "mm_audio_energy",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id <= 30
+    ), w AS (
+      SELECT media_id, u.i AS window_index,
+             substr(text, CAST(u.i * 64 + 1 AS INT), 64) AS chunk
+      FROM m, UNNEST(generate_series(0,
+             CAST(CEIL(LENGTH(text) / 64.0) AS INT) - 1)) AS u(i)
+    )
+    SELECT media_id, CAST(window_index AS INTEGER) AS window_index,
+           CAST(LENGTH(chunk) AS BIGINT) AS n_samples,
+           CAST(FLOOR(sqrt(
+             CAST(list_reduce(list_prepend(0,
+               list_transform(range(1, LENGTH(chunk) + 1),
+                 j -> (ord(substr(chunk, j, 1)) - 128)
+                      * (ord(substr(chunk, j, 1)) - 128))),
+               (a, b) -> a + b) AS DOUBLE) / LENGTH(chunk))
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS rms
+    FROM w
+    ORDER BY media_id, window_index
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over opaque audio payloads — the AUDIO leg
+    of the multimodal family (decode/resize/frame-sample cover
+    image/video): payload bytes stand in for 8-bit PCM (deterministic
+    fake decode; libs absent per the brief), windows of 64 samples
+    reduce to exact integer (n, Σ sample²) inside an Arrow-vectorized
+    mapInPandas (operators/multimodal.py::audio_energy_windows), and
+    the RMS = √(Σ/n) transcendental runs JVM-SIDE on the exact ints —
+    the Python boundary ships only integers, so the float sequence is
+    engine-identical. The oracle recomputes per-window energy
+    analytically from the text bytes (ASCII corpus ⇒ byte == ord).
+    Scale: fan-out is len/64 rows per payload (row-linear), no
+    shuffle before the final presentation sort; batches arrive
+    Arrow-columnar and numpy folds windows without per-sample
+    Python."""
+    from fairy_spark.operators.multimodal import (
+        audio_energy_windows,
+        media_table_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 30)
+    media = media_table_from_documents(docs)
+    win = audio_energy_windows(media, window_bytes=64)
+    rms = F.floor(
+        F.sqrt(F.col("sumsq").cast("double") / F.col("n_samples")) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    return (
+        win.select(
+            "media_id",
+            "window_index",
+            "n_samples",
+            rms.alias("rms"),
+        )
+        .orderBy("media_id", "window_index")
+    )
