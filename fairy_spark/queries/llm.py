@@ -2488,3 +2488,120 @@ def text_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("overlap_pct", pct)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(generate_series(1, len(t) - 1), i -> t[i] != '' AND t[i+1] != ''),
+               i -> t[i] || ' ' || t[i + 1])) AS pair
+      FROM toks
+    ), train AS (SELECT pair FROM bg WHERE doc_id % 2 = 0),
+    test  AS (SELECT doc_id, pair FROM bg WHERE doc_id % 2 = 1),
+    c2 AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c FROM train GROUP BY pair),
+    c1 AS (
+      SELECT string_split(pair, ' ')[1] AS prev, CAST(SUM(c) AS BIGINT) AS c1
+      FROM c2 GROUP BY prev
+    ), vv AS (
+      SELECT CAST(COUNT(DISTINCT string_split(pair, ' ')[1]) AS BIGINT) AS v FROM c2
+    ), seen AS (
+      SELECT c2.pair,
+             CAST(FLOOR(LN((c2.c + 1.0) / (c1.c1 + vv.v)) * 1000000 + 0.5) AS BIGINT)
+               AS lp6
+      FROM c2 JOIN c1 ON string_split(c2.pair, ' ')[1] = c1.prev CROSS JOIN vv
+    ), unseen AS (
+      SELECT c1.prev,
+             CAST(FLOOR(LN(1.0 / (c1.c1 + vv.v)) * 1000000 + 0.5) AS BIGINT) AS lpu6
+      FROM c1 CROSS JOIN vv
+    ), oov AS (
+      SELECT CAST(FLOOR(LN(1.0 / vv.v) * 1000000 + 0.5) AS BIGINT) AS lpo6 FROM vv
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(COALESCE(seen.lp6, unseen.lpu6, oov.lpo6)) AS BIGINT)
+                AS DOUBLE) / CAST(COUNT(*) * 1000000 AS BIGINT) AS mean_logprob
+    FROM test t
+    LEFT JOIN seen ON t.pair = seen.pair
+    LEFT JOIN unseen ON string_split(t.pair, ' ')[1] = unseen.prev
+    CROSS JOIN oov
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing (the KenLM-
+    lite step up from text_quality_logprob's unigram LM): even docs
+    train bigram/left-context counts, odd docs score mean
+    log P(wᵢ | wᵢ₋₁) with a three-tier backoff — observed bigram,
+    known context (unseen continuation), out-of-vocabulary context —
+    every tier's log quantized ONCE per MODEL CELL (bigram-, context-,
+    and 1-row tables; never per test token), so per-doc totals are
+    exact integer sums and the mean is one IEEE division. Bigram
+    extraction is the BPE per-row HOF (adjacent pairs, fan-out
+    len−1, no window). Scale: the model is observed-bigram-bounded
+    (vocab² worst case), the context table vocab-bounded — both
+    broadcastable for real vocabularies; scoring is two equi joins +
+    one per-doc hash agg, corpus-linear."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    pair_expr = F.expr(
+        "transform(filter(sequence(1, size(t) - 1),"
+        " i -> t[i - 1] != '' AND t[i] != ''),"
+        " i -> concat(t[i - 1], ' ', t[i]))"
+    )
+    bg = (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(pair_expr).alias("pair"))
+    )
+    train = bg.filter(F.col("doc_id") % 2 == 0)
+    test = bg.filter(F.col("doc_id") % 2 == 1)
+    c2 = train.groupBy("pair").agg(F.count(F.lit(1)).alias("c"))
+    prev_of = F.split(F.col("pair"), " ").getItem(0)
+    c1 = c2.groupBy(prev_of.alias("prev")).agg(F.sum("c").alias("c1"))
+    vv = c2.select(prev_of.alias("p")).distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    seen = (
+        c2.join(c1, prev_of == F.col("prev"))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            F.col("pair").alias("s_pair"),
+            F.floor(
+                F.log((F.col("c") + 1.0) / (F.col("c1") + F.col("v"))) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp6"),
+        )
+    )
+    unseen = c1.crossJoin(F.broadcast(vv)).select(
+        F.col("prev").alias("u_prev"),
+        F.floor(F.log(1.0 / (F.col("c1") + F.col("v"))) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("lpu6"),
+    )
+    oov = vv.select(
+        F.floor(F.log(1.0 / F.col("v")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("lpo6")
+    )
+    return (
+        test.join(F.broadcast(seen), F.col("pair") == F.col("s_pair"), "left")
+        .join(F.broadcast(unseen), prev_of == F.col("u_prev"), "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(
+                    F.coalesce(F.col("lp6"), F.col("lpu6"), F.col("lpo6"))
+                ).cast("double")
+                / (F.count(F.lit(1)) * 1000000)
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
