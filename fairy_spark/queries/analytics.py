@@ -1344,3 +1344,77 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH first_touch AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+      FROM events
+      GROUP BY user_id
+    ), conv AS (
+      SELECT user_id, CAST(s_ts AS DATE) AS cohort_day,
+             date_diff('hour', s_ts, p_ts) AS hours_to_convert
+      FROM first_touch
+      WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(MEDIAN(hours_to_convert), 6) AS median_hours,
+           ROUND(QUANTILE_CONT(hours_to_convert, 0.9), 6) AS p90_hours
+    FROM conv
+    GROUP BY cohort_day
+    ORDER BY cohort_day
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per signup cohort (the growth
+    metric next to events_retention's who-came-back matrix): each
+    user's FIRST signup to FIRST purchase, in whole hours, summarized
+    as exact interpolated median and p90 per signup-day cohort. Both
+    first-touch timestamps come from ONE conditional-min hash agg per
+    user (no window, no self-join — the funnel extraction pattern);
+    the hour deltas are exact integers (epoch-difference floor), so
+    the percentile interpolation runs over identical inputs on both
+    engines (agg_percentiles' percentile == QUANTILE_CONT pairing).
+    Scale: one corpus agg to a user-sized frame, then a cohort-keyed
+    agg over it; cohort count grows with the calendar, not the
+    corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    ft = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts"),
+    )
+    conv = (
+        ft.filter(
+            F.col("s_ts").isNotNull()
+            & F.col("p_ts").isNotNull()
+            & (F.col("p_ts") >= F.col("s_ts"))
+        )
+        .select(
+            F.col("s_ts").cast("date").cast("string").alias("cohort_day"),
+            # whole-hour delta via exact date+hour arithmetic (tz-free);
+            # DuckDB date_diff('hour') counts hour-boundary crossings
+            (
+                (
+                    F.datediff(F.col("p_ts").cast("date"), F.col("s_ts").cast("date"))
+                    * 24
+                    + (F.hour("p_ts") - F.hour("s_ts"))
+                ).cast("bigint")
+            ).alias("hours_to_convert"),
+        )
+    )
+    return (
+        conv.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.expr("percentile(hours_to_convert, 0.5)"), 6).alias(
+                "median_hours"
+            ),
+            F.round(F.expr("percentile(hours_to_convert, 0.9)"), 6).alias("p90_hours"),
+        )
+        .orderBy("cohort_day")
+    )
