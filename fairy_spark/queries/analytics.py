@@ -1418,3 +1418,66 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+    ), wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT day FROM user_days) d
+      JOIN user_days u
+        ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+           CAST(FLOOR(CAST(dau.dau AS DOUBLE) / wau.wau * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness (the product-analytics pulse metric):
+    daily actives, trailing-7-day actives, and their ratio per day.
+    The corpus reduces ONCE to the distinct (user, day) frame — after
+    that everything is calendar×user-bounded: DAU is a day-keyed hash
+    agg, and WAU joins the day grid to user-days on a 7-day band
+    (each user-day fans out to ≤7 grid days — bounded fan-out, the
+    binned-interval-join discipline) before a distinct count per
+    anchor day. No corpus-sized window, no 7-day DISTINCT frame
+    (window distinct-count doesn't exist in either engine — the
+    band-join IS the standard formulation). Stickiness quantizes
+    from exact integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    grid = user_days.select(F.col("day").alias("g_day")).distinct()
+    wau = (
+        grid.join(
+            user_days,
+            (F.col("day") >= F.date_sub(F.col("g_day"), 6))
+            & (F.col("day") <= F.col("g_day")),
+        )
+        .groupBy("g_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    stick = F.floor(
+        F.col("dau").cast("double") / F.col("wau") * 1000000 + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    return (
+        dau.join(wau, F.col("day") == F.col("g_day"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            stick.alias("stickiness"),
+        )
+        .orderBy("day")
+    )

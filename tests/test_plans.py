@@ -424,6 +424,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "sink_zorder_layout",  # 1-row key-max frame for Morton normalization
         "ml_naive_bayes",  # class-list x 32-bucket model grid + 1-row doc-total frame
         "events_rfm_segmentation",  # 1-row corpus-max-ts anchor frame
+        "events_dau_wau",  # calendar-day grid broadcast (~365 rows/yr) band join
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
