@@ -756,3 +756,50 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("e") - F.col("exact_nd")) / F.col("exact_nd") <= 0.26
         ).alias("within_2sigma"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS flag,
+           COALESCE(l_linestatus, '(all)') AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, flag, status
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id markers on grouping sets — the piece
+    that makes rollup output MACHINE-readable: a NULL in a rollup row
+    is ambiguous (real NULL group vs subtotal placeholder) until the
+    grouping bitmask disambiguates, which is why every BI tool emits
+    it. The composite id is built from the per-column GROUPING() bits
+    (grouping(flag)·2 + grouping(status)) — identical arithmetic on
+    both engines, where the engines' native grouping_id()/
+    GROUPING_ID() bit orders could differ. Same partial-agg shape as
+    agg_rollup; the marker costs nothing (it's metadata of the
+    grouping-set expansion, not an extra pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("status"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "flag", "status")
+    )
