@@ -803,3 +803,40 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "flag", "status")
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three DIFFERENT-column COUNT(DISTINCT)s plus a plain sum in ONE
+    aggregation — the planner capability under test: Spark rewrites
+    multi-distinct via Expand (each row replicated once per distinct
+    group with a gid), so all four aggregates resolve in a single
+    shuffled pass instead of three self-joined single-distinct
+    queries. At 100 TB the Expand trades 3× map-side rows for one
+    exchange — almost always the right trade, and the alternative
+    (N separate jobs + join) is the anti-pattern this row exists to
+    obviate. Counts are exact; at extreme cardinalities the sketched
+    path (agg_approx_distinct) is the documented degrade."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count_distinct("l_orderkey").alias("n_orders"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+        .orderBy("flag")
+    )
