@@ -183,14 +183,21 @@ def _interleave_families() -> None:
     keys_by_group: dict[tuple[int, str], list[str]] = {}
     for name in QUERIES:
         keys_by_group.setdefault((tier_of(name), FAMILY[name]), []).append(name)
-    ranked: list[tuple[int, float, str]] = []
+    # ROUND-ROBIN within the tier (rank before fraction): every
+    # family's FIRST member precedes any family's second, so the
+    # 50-slot prefix covers all families with unverified rows even
+    # when one tier holds 80+ queries — the fractional spread alone
+    # put a 1-member family at tier-position ~n/2, off the end of the
+    # window once big families (llm, analytics) stacked up in front
+    # (caught by test_registry_order when the r5 additions landed).
+    ranked: list[tuple[int, int, float, str]] = []
     for (tier, _fam), fam_keys in keys_by_group.items():
         n = len(fam_keys)
         for j, name in enumerate(fam_keys):
-            ranked.append((tier, (j + 0.5) / n, name))
-    ranked.sort(key=lambda t: (t[0], t[1]))
+            ranked.append((tier, j, (j + 0.5) / n, name))
+    ranked.sort(key=lambda t: (t[0], t[1], t[2]))
     order = ["q1_pricing_summary"] + [
-        name for _, _, name in ranked if name != "q1_pricing_summary"
+        name for _, _, _, name in ranked if name != "q1_pricing_summary"
     ]
     for name in order:
         QUERIES[name] = QUERIES.pop(name)

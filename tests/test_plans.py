@@ -425,6 +425,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "ml_naive_bayes",  # class-list x 32-bucket model grid + 1-row doc-total frame
         "events_rfm_segmentation",  # 1-row corpus-max-ts anchor frame
         "events_dau_wau",  # calendar-day grid broadcast (~365 rows/yr) band join
+        "text_bigram_lm",  # 1-row vocab-size and OOV-logprob frames
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
