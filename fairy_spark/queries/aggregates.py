@@ -840,3 +840,89 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS m1,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS m2,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS m3,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS m4
+      FROM lineitem
+      GROUP BY flag
+    ), d AS (
+      SELECT flag, n,
+             CAST(m1 AS DOUBLE) / n AS mu,
+             CAST(m2 AS DOUBLE) / n AS r2,
+             CAST(m3 AS DOUBLE) / n AS r3,
+             CAST(m4 AS DOUBLE) / n AS r4
+      FROM s
+    ), c AS (
+      SELECT flag, n, mu,
+             r2 - mu * mu AS c2,
+             r3 - 3 * mu * r2 + 2 * mu * mu * mu AS c3,
+             r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS c4
+      FROM d
+    )
+    SELECT flag, n,
+           CAST(FLOOR(c3 / (c2 * sqrt(c2)) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS skewness,
+           CAST(FLOOR((c4 / (c2 * c2) - 3) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS excess_kurtosis
+    FROM c
+    ORDER BY flag
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group — the 3rd/4th
+    standardized moments, rebuilt from EXACT integer power sums
+    (Σx..Σx⁴ as bigints; x ≤ 50 keeps Σx⁴ ≤ ~4e12 at sf0.1, ~9
+    digits of headroom) so every double enters through the SAME raw→
+    central-moment IEEE sequence on both engines. The built-in
+    skewness()/kurtosis() aggregates accumulate doubles in partition
+    order — fine for analytics, unusable under a hash gate (the
+    agg_stats_moments row survives on rounding luck; this row does
+    not gamble). One map-side-combined hash agg over one scan; the
+    moment algebra is 3 rows of arithmetic after it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("m1"),
+        F.sum(q * q).alias("m2"),
+        F.sum(q * q * q).alias("m3"),
+        F.sum(q * q * q * q).alias("m4"),
+    )
+    mu = F.col("m1").cast("double") / F.col("n")
+    r2 = F.col("m2").cast("double") / F.col("n")
+    r3 = F.col("m3").cast("double") / F.col("n")
+    r4 = F.col("m4").cast("double") / F.col("n")
+    d = s.select("flag", "n", mu.alias("mu"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    c2 = F.col("r2") - F.col("mu") * F.col("mu")
+    c3 = (
+        F.col("r3")
+        - 3 * F.col("mu") * F.col("r2")
+        + 2 * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    c4 = (
+        F.col("r4")
+        - 4 * F.col("mu") * F.col("r3")
+        + 6 * F.col("mu") * F.col("mu") * F.col("r2")
+        - 3 * F.col("mu") * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    c = d.select("flag", "n", c2.alias("c2"), c3.alias("c3"), c4.alias("c4"))
+    skew = F.floor(
+        F.col("c3") / (F.col("c2") * F.sqrt(F.col("c2"))) * 1000000 + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    kurt = F.floor(
+        (F.col("c4") / (F.col("c2") * F.col("c2")) - 3) * 1000000 + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    return c.select(
+        "flag", "n", skew.alias("skewness"), kurt.alias("excess_kurtosis")
+    ).orderBy("flag")
