@@ -926,3 +926,44 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "flag", "n", skew.alias("skewness"), kurt.alias("excess_kurtosis")
     ).orderBy("flag")
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (Spark 4's
+    bitmap_* aggregate family — the roaring-bitmap warehouse pattern):
+    keys bucket into fixed-width bitmap segments
+    (bitmap_bucket_number), each (group, bucket) builds a bitmap
+    (bitmap_construct_agg of bit positions — partial states OR-merge
+    across partitions inside the agg), and per-bucket popcounts sum
+    to the group total (buckets partition the key space, so no
+    cross-bucket merge is needed). Same
+    mergeable-state shape as the sketch suite, but EXACT — the
+    middle ground between COUNT(DISTINCT)'s full shuffle of raw keys
+    and HLL's approximation: the shuffle carries fixed-size bitmap
+    segments instead of every key occurrence, a massive win when
+    duplication is high. Keys shift by +1: bit positions are 1-based
+    (value 0 vanishes — measured, the classic off-by-one of this
+    API). The oracle is plain COUNT(DISTINCT), so the hash gate
+    proves the whole bucket/position/merge pipeline loses nothing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_partkey") + 1
+    partials = (
+        li.select(F.col("l_returnflag").alias("flag"), k.alias("k"))
+        .groupBy("flag", F.expr("bitmap_bucket_number(k)").alias("bucket"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"))
+    )
+    return (
+        partials.groupBy("flag")
+        .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_parts"))
+        .orderBy("flag")
+    )
