@@ -967,3 +967,37 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_parts"))
         .orderBy("flag")
     )
+
+
+@register(
+    "sketch_hll_native",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_3pct
+    FROM lineitem
+    """,
+)
+def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE Apache DataSketches HLL (Spark 4 hll_sketch_agg /
+    hll_sketch_estimate) next to the from-first-principles build
+    (sketch_hll): the binary sketch column is mergeable state the
+    same way, but here the engine owns the registers. The estimate
+    itself is deterministic yet engine-private (DuckDB can't rebuild
+    DataSketches bit-for-bit), so the ORACLE-checkable claims are the
+    exact count and the accuracy contract — lgK=14 gives ~0.8%
+    relative standard error, asserted at a lenient 3% so the row
+    fails only on a real estimator break, not noise. The estimate is
+    still computed through the real sketch path; a wrong merge or
+    register encoding blows the bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias("est"),
+        F.count_distinct("l_partkey").alias("exact_distinct"),
+    )
+    return s.select(
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.03 * F.col("exact_distinct")
+        ).alias("within_3pct"),
+    )

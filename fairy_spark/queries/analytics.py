@@ -1481,3 +1481,71 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_power_curve",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS units
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, units,
+             NTILE(10) OVER (ORDER BY units DESC, user_id) AS decile
+      FROM spend
+    ), tot AS (SELECT SUM(units) AS total FROM spend)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(units) AS BIGINT) AS units,
+           CAST(FLOOR(CAST(SUM(units) AS DOUBLE) / tot.total * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS share
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, tot.total
+    ORDER BY decile
+    """,
+)
+def events_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve (the 80/20 check): purchasing
+    users ranked into spend deciles, each decile's share of total
+    purchase value. The decile NTILE runs on the SHARDED global-rank
+    machinery over the user-sized spend frame (RFM's discipline — a
+    bare global NTILE plans SinglePartition), ordered (units desc,
+    user_id) so ties bucket identically on both engines; shares come
+    from exact integer units against a 1-row total broadcast. One
+    corpus hash agg, then everything is user- and decile-bounded."""
+    from fairy_spark.operators.ranking import ntile_from_pos, sharded_global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(v6).alias("units"))
+    )
+    # rank on DESC units: negate for the ascending sharded ranker
+    ranked, total_n = sharded_global_row_number(
+        spend.withColumn("neg_units", -F.col("units")),
+        ["neg_units", "user_id"],
+        pos_col="__pos",
+    )
+    tot = spend.agg(F.sum("units").alias("total"))
+    share = F.floor(
+        F.col("units_sum").cast("double") / F.col("total") * 1000000 + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    return (
+        ranked.withColumn(
+            "decile", ntile_from_pos(F.col("__pos"), total_n, 10).cast("int")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("units").alias("units_sum"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            F.col("units_sum").alias("units"),
+            share.alias("share"),
+        )
+        .orderBy("decile")
+    )

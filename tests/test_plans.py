@@ -426,6 +426,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "events_rfm_segmentation",  # 1-row corpus-max-ts anchor frame
         "events_dau_wau",  # calendar-day grid broadcast (~365 rows/yr) band join
         "text_bigram_lm",  # 1-row vocab-size and OOV-logprob frames
+        "events_power_curve",  # 1-row total-spend frame for decile shares
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
