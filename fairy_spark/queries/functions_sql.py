@@ -828,3 +828,53 @@ def fn_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
         ).cast("int").alias("months_since_95"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT) AS content_checksum,
+           TRUE AS all_roundtrip
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round-trip (aes_encrypt/aes_decrypt,
+    ECB for determinism — GCM's random IV would make ciphertext
+    nondeterministic by design): every document encrypts, decrypts,
+    and must hash back to the ORIGINAL bytes — the at-rest
+    protection shape for a sensitive column, with the round-trip
+    law (decrypt∘encrypt = id) oracle-checked via the portable
+    content checksum over the DECRYPTED text plus an all-rows
+    equality flag. Both AES passes are row-local codegen'd JVM
+    crypto — zero shuffle, no Python; at 100 TB this is a map-only
+    rewrite of the column. The oracle computes the checksum from the
+    source directly: a single corrupted round-trip flips the
+    checksum or the flag."""
+    key = "fairy-demo-key16"  # 16-byte demo key (public test fixture)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    rt = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"cast(aes_decrypt(aes_encrypt(text, '{key}', 'ECB'), '{key}', 'ECB')"
+            " as string)"
+        ).alias("rt_text"),
+    )
+    from fairy_spark.operators.text import portable_hash64
+
+    return rt.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(portable_hash64(F.col("rt_text")).cast("decimal(38,0)"))
+            % 1000000000000000
+        )
+        .cast("bigint")
+        .alias("content_checksum"),
+        (F.count_if(F.col("rt_text") == F.col("text")) == F.count(F.lit(1))).alias(
+            "all_roundtrip"
+        ),
+    )

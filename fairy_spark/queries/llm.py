@@ -2605,3 +2605,77 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_rouge_recall",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_filter(generate_series(1, len(t) - 1),
+                           i -> t[i] != '' AND t[i+1] != ''),
+               i -> t[i] || ' ' || t[i + 1])) AS grams
+      FROM toks
+    ), ref AS (
+      SELECT unnest(grams) AS g FROM bg WHERE doc_id = 0
+    ), cand AS (
+      SELECT doc_id, unnest(grams) AS g FROM bg
+      WHERE doc_id BETWEEN 1 AND 200
+    ), hits AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(ref.g) AS BIGINT) AS n_hits
+      FROM cand c LEFT JOIN ref ON c.g = ref.g
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_grams, n_hits,
+           CAST(FLOOR(CAST(n_hits AS DOUBLE) / n_grams * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS rouge2_precision
+    FROM hits
+    ORDER BY doc_id
+    """,
+)
+def text_rouge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2-style bigram overlap against a reference document (the
+    LLM-eval metric shape — summarization/extraction scoring): each
+    candidate's DISTINCT bigrams probe the reference's bigram set,
+    and the matched fraction comes back as an exact-count ratio.
+    Distinct-gram semantics (set overlap, not multiset clipping)
+    keep both engines trivially aligned; the reference gram set is
+    document-bounded and BROADCASTS — scoring any corpus against a
+    fixed reference is one equi join + one per-doc hash agg,
+    corpus-linear (the decontamination probe's plan, repurposed for
+    scoring). Ratios quantize from exact bigint counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    grams = F.expr(
+        "array_distinct(transform(filter(sequence(1, size(t) - 1),"
+        " i -> t[i - 1] != '' AND t[i] != ''),"
+        " i -> concat(t[i - 1], ' ', t[i])))"
+    )
+    bg = d.select("doc_id", toks.alias("t")).select("doc_id", grams.alias("grams"))
+    ref = (
+        bg.filter(F.col("doc_id") == 0)
+        .select(F.explode("grams").alias("g_ref"))
+        .distinct()
+    )
+    cand = bg.filter(F.col("doc_id").between(1, 200)).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    hits = (
+        cand.join(F.broadcast(ref), F.col("g") == F.col("g_ref"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("g_ref").alias("n_hits"),
+        )
+    )
+    ratio = F.floor(
+        F.col("n_hits").cast("double") / F.col("n_grams") * 1000000 + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    return hits.select(
+        "doc_id", "n_grams", "n_hits", ratio.alias("rouge2_precision")
+    ).orderBy("doc_id")
