@@ -177,3 +177,33 @@ def arrow_norm_stats(embeddings: DataFrame) -> DataFrame:
 
     schema = "vec_id bigint, l2_norm double"
     return embeddings.select("vec_id", "embedding").mapInArrow(gen, schema)
+
+
+def make_iter_tokencount_udf():
+    """Iterator-of-Series pandas UDF (SCALAR_ITER protocol): the
+    variant that amortizes expensive per-executor setup — the
+    compiled pattern here stands in for a tokenizer/model load —
+    ONCE per partition, then streams Arrow batches through it.
+    A plain SCALAR pandas UDF re-enters Python per batch with no
+    place to hold state; mapInPandas could, but loses scalar-column
+    composability. This is the remaining pandas-UDF protocol in the
+    §2.B UDF family."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def bpeish_count(batches):
+        pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")  # "model load", once
+        for s in batches:
+            yield s.str.lower().map(lambda t: len(pat.findall(t)) if t else 0)
+
+    # Real type objects, not strings: this file's `from __future__ import
+    # annotations` stringifies inline hints, and pandas_udf cannot
+    # resolve them from a function-local namespace.
+    bpeish_count.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return pandas_udf(bpeish_count, "int")

@@ -1549,3 +1549,40 @@ def events_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "events_activity_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+    """,
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap — the dashboard
+    staple behind every 'when are users active' panel: event and
+    distinct-user counts per (dow, hod) cell. One hash agg to a
+    fixed 7×24 cell space (map-side combine collapses it executor-
+    locally; the exchange carries ≤168 keys however large the
+    corpus), plus the distinct count riding the same exchange via
+    Expand. Day-of-week numbering is pinned to the engines' SHARED
+    convention (1=Sunday..7=Saturday for both Spark dayofweek and
+    DuckDB dayofweek+1 — checked below) so the axes can't silently
+    shift."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -400,3 +400,33 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "window_index")
     )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS INTEGER) AS bpeish_tokens
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF (functions/udfs.py::make_iter_tokencount_udf)
+    — the iterator protocol that amortizes per-executor setup (here a
+    compiled tokenizer pattern standing in for a model load) once per
+    partition while streaming Arrow batches. Value-checked against
+    the pure-SQL regexp count (text_token_count's bpeish column), so
+    the protocol's batch iteration provably computes what the
+    declarative path would. At 100 TB this is THE protocol for
+    UDF-with-heavy-init (tokenizers, ONNX sessions): init cost is
+    per-partition, not per-batch."""
+    from fairy_spark.functions.udfs import make_iter_tokencount_udf
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fn = make_iter_tokencount_udf()
+    return d.select("doc_id", fn(F.col("text")).alias("bpeish_tokens")).orderBy(
+        "doc_id"
+    )
