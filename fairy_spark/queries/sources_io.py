@@ -534,3 +534,55 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parsed_id_sum"
         ),
     )
+
+
+@register(
+    "scan_glob_filter",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def scan_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-level file selection (pathGlobFilter): orders are written
+    into per-priority subdirectories, then ONLY the urgent/high files
+    are read back via a glob on the FILE names — selection happens at
+    listing time, before any footer or row is touched (one tier
+    earlier than partition pruning, which still lists everything).
+    The data-lake hygiene tool for 'just the 2024-* files' reads over
+    directories that aren't Hive-partitioned. The oracle filters
+    relationally; a hash match proves glob selection == predicate
+    selection for this layout. Each subdir write is one job here;
+    production would write once partitioned — the READ side is the
+    surface under test."""
+    o = load_table(spark, sf_dir, "orders")
+    out = _scratch(spark, sf_dir, "glob_orders")
+    pri_tag = F.regexp_replace(F.col("o_orderpriority"), "[^0-9A-Za-z]", "_")
+    tags = [r["t"] for r in o.select(pri_tag.alias("t")).distinct().collect()]
+    for t in sorted(tags):
+        (
+            o.filter(pri_tag == t)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"pri={t}"))
+        )
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(out, "pri=1_URGENT"), os.path.join(out, "pri=2_HIGH"))
+    )
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("priority")
+    )

@@ -313,3 +313,52 @@ def sub_recursive_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact integers; no floats anywhere."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_WALKS_SQL)
+
+
+@register(
+    "sub_multi_col_in",
+    oracle="""
+    WITH active AS (
+      SELECT l_returnflag, l_linestatus
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      HAVING COUNT(*) > 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l
+    SEMI JOIN active a
+      ON l.l_returnflag = a.l_returnflag AND l.l_linestatus = a.l_linestatus
+    """,
+)
+def sub_multi_col_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column (row-value) IN subquery — (a, b) IN (SELECT x, y)
+    — the tuple-membership SQL surface: rows whose (flag, status)
+    pair belongs to the set of pairs still active late in the data's
+    time range. Catalyst rewrites the row-value IN to a LeftSemi join
+    on the COMPOSITE key — one hash semi join, exactly like the
+    single-column case (sub_in_segment) — rather than the
+    conjunction-of-INs a naive rewrite would produce (which is WRONG:
+    (a,b) pairs, not independent membership per column). The inner
+    set is group-bounded (≤ flag×status pairs); the HAVING threshold
+    makes the subquery a real aggregate, not a distinct scan. The
+    oracle spells the SAME semantics as an explicit SEMI JOIN on the
+    composite key (DuckDB lacks row-value IN subqueries), which is
+    precisely the plan Catalyst produces — the rewrite is the
+    equivalence under test."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE (l_returnflag, l_linestatus) IN (
+          SELECT l_returnflag, l_linestatus
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          HAVING COUNT(*) > 100
+        )
+        """
+    )
