@@ -1001,3 +1001,40 @@ def sketch_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.03 * F.col("exact_distinct")
         ).alias("within_3pct"),
     )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_1pct
+    FROM lineitem
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile under an oracle-checked accuracy CONTRACT
+    (the sketch_hll_native pattern): the KLL/GK-style sketch behind
+    approx_percentile(col, 0.5, 10000) is engine-private, so the
+    checkable claims are the exact interpolated median and the bound
+    |approx − exact| ≤ 1% of exact. accuracy=10000 guarantees rank
+    error ≤ 1/10000 of rows — value error at the median is far
+    inside 1% for any non-degenerate distribution, so the row fails
+    only on a real estimator break. At 100 TB the approx path is THE
+    percentile (mergeable fixed-size state vs exact percentile's
+    per-group sort); this row keeps it honest against the exact
+    reference (agg_percentiles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap"),
+    )
+    return s.select(
+        "flag",
+        F.round("exact_p50", 6).alias("exact_p50"),
+        (
+            F.abs(F.col("ap") - F.col("exact_p50")) <= 0.01 * F.abs(F.col("exact_p50"))
+        ).alias("approx_within_1pct"),
+    ).orderBy("flag")

@@ -586,3 +586,66 @@ def scan_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(price * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM final
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic —
+    INSERT OVERWRITE's surgical form): the full table is written
+    partitioned by priority, then a SECOND overwrite write containing
+    ONLY corrected 1-URGENT rows (+1000 price) replaces exactly that
+    partition, leaving the other four untouched — STATIC mode would
+    have wiped them (the classic production data-loss footgun this
+    row pins). The read-back aggregate must equal the
+    oracle's derived final state: urgent rows corrected once,
+    everything else byte-original — proving the overwrite neither
+    leaked old urgent rows nor touched sibling partitions. At 100 TB
+    this is how late-arriving corrections land without rewriting the
+    table."""
+    o = load_table(spark, sf_dir, "orders")
+    out = _scratch(spark, sf_dir, "dyn_overwrite")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    corrected = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            corrected.write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("priority")
+    )
