@@ -1038,3 +1038,88 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("ap") - F.col("exact_p50")) <= 0.01 * F.abs(F.col("exact_p50"))
         ).alias("approx_within_1pct"),
     ).orderBy("flag")
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sp,
+             SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sd,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sqq,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS spp,
+             SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sdd,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sqp,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sqd,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS spd
+      FROM lineitem
+      GROUP BY flag
+    )
+    SELECT flag,
+           CAST(FLOOR(CAST(n * sqp - sq * sp AS DOUBLE)
+                      / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                         * sqrt(CAST(n * spp - sp * sp AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS corr_qty_price,
+           CAST(FLOOR(CAST(n * sqd - sq * sd AS DOUBLE)
+                      / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                         * sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS corr_qty_disc,
+           CAST(FLOOR(CAST(n * spd - sp * sd AS DOUBLE)
+                      / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                         * sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS corr_price_disc
+    FROM s
+    ORDER BY flag
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of three measures per group from
+    ONE pass of exact integer co-sums (the ts_rolling_corr technique
+    generalized to the full upper triangle): quantity, cents-price,
+    and cents-discount accumulate {Σx, Σx², Σxy} for every pair as
+    decimal(38,0) — n·Σpp reaches ~1e24 at sf0.1, far past long —
+    then each r is one closed-form IEEE sequence. Built-in CORR per
+    pair would scan once per pair AND float-sum in partition order;
+    this is one scan, one hash agg, three exact formulas. The co-sum
+    set is the sufficient statistic a feature-correlation pruner
+    ships between workers at 100 TB — 10 numbers per (group ×
+    partition), never rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    D = "decimal(38,0)"
+    q = F.col("l_quantity").cast("bigint").cast(D)
+    p = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast(D)
+    dsc = F.round(F.col("l_discount") * 100, 0).cast("bigint").cast(D)
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(dsc).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(dsc * dsc).alias("sdd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * dsc).alias("sqd"),
+        F.sum(p * dsc).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        vy = (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        r = num / (F.sqrt(vx) * F.sqrt(vy))
+        return (F.floor(r * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0)
+
+    return s.select(
+        "flag",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    ).orderBy("flag")

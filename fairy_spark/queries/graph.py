@@ -416,3 +416,59 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "x", "y")
         .limit(20)
     )
+
+
+@register(
+    "graph_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src
+      FROM events
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE src IS NOT NULL GROUP BY src, dst
+    ), outs AS (
+      SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM edges GROUP BY src
+    )
+    SELECT e.src, e.dst, e.n,
+           CAST(FLOOR(CAST(e.n AS DOUBLE) / o.total * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS p
+    FROM edges e JOIN outs o ON e.src = o.src
+    ORDER BY e.src, e.dst
+    """,
+)
+def graph_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event-type chain
+    — the MODEL graph_pagerank iterates on, materialized as rows:
+    P(next | current) from exact transition counts over each user's
+    timeline (one lag on one user_id exchange — the sessionize
+    discipline — then a |types|²-bounded hash agg). Per-row
+    probabilities quantize from exact bigint count ratios, so the
+    matrix is hash-stable; rows of the matrix sum to 1 by
+    construction (the per-src totals divide their own edges). At
+    100 TB the matrix stays |event_types|² regardless of corpus size
+    — the classic big-data-to-small-model reduction, and the input
+    for next-event prediction or anomaly scoring downstream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("dst"), F.lag("event_type").over(w).alias("src")
+    )
+    edges = (
+        ordered.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outs = edges.groupBy(F.col("src").alias("o_src")).agg(
+        F.sum("n").alias("total")
+    )
+    p = F.floor(
+        F.col("n").cast("double") / F.col("total") * 1000000 + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    return (
+        edges.join(F.broadcast(outs), F.col("src") == F.col("o_src"))
+        .select("src", "dst", "n", p.alias("p"))
+        .orderBy("src", "dst")
+    )
