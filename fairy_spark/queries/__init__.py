@@ -12,6 +12,15 @@ Discipline (FIXTURES.md oracle conventions): every computed column is
 aliased identically on both sides; doubles are rounded in-query on
 both sides so value hashes align; collect_list is always sort_array-
 wrapped; no query depends on partition-order nondeterminism.
+
+Registry-growth policy (adopted r6, per the r5 verdict): the external
+driver verifies only ~50 queries per round, so the number of
+never-driver-checked queries must never exceed one driver window.
+Before registering NEW queries in a round, count the queries with no
+CORRECTNESS_r*.json row yet ("debt"); additions that round are capped
+at max(0, 50 - debt). Round 5 added 97 queries against a 50-slot
+window and created 56 rows of verification debt — round 6 therefore
+adds zero and lets the tier rotation below surface the debt first.
 """
 
 from __future__ import annotations
@@ -138,21 +147,10 @@ def _driver_verified_counts() -> dict[str, int]:
 # 50-slot window. (r3's five pins all came back green in
 # CORRECTNESS_r03 — pruned. r4's pins — merge_upsert,
 # dedup_ngram_jaccard — both came back green in CORRECTNESS_r04 —
-# pruned. r5 pins: the as-of winner became row-atomic (struct-packed
-# last, ADVICE r4) and merge grew the unorderable-column fallback, so
-# the three queries riding those operators re-verify first.)
-_RECHECK_FIRST = {
-    "join_asof",
-    "join_asof_tolerance",
-    "merge_upsert",
-    # minhash signature index build switched to the Arrow engine
-    # (value-identical by gate, but the driver should ratify it):
-    "dedup_minhash_lsh",
-    "dedup_minhash_est",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_survivors",
-}
+# pruned. r5's eight pins (as-of rework, merge fallback, minhash Arrow
+# engine) ALL came back green in CORRECTNESS_r05 — pruned at the start
+# of r6 so the full 50-slot window goes to the never-checked tier.)
+_RECHECK_FIRST: set[str] = set()
 
 
 def _interleave_families() -> None:
