@@ -214,6 +214,10 @@ class KVStore:
     def delete_batch(self, keys: list[str]) -> None:
         """Tombstone many keys under ONE write sequence — the batched
         twin of put_batch (one table append instead of one per key)."""
+        if not keys:
+            # no-op delete: don't burn a sequence number or launch an
+            # empty parquet write job (ADVICE r5)
+            return
         seq = self._alloc_seq()
         self._append([Row(key=k, value=None, seq=seq) for k in dict.fromkeys(keys)])
 
@@ -363,17 +367,37 @@ class KVStore:
         return n
 
     def drop(self) -> None:
+        # Resolve the table's REAL location from the catalog BEFORE
+        # dropping — blindly deleting {warehouse}/{table} could hit a
+        # path owned by something else when the table lives in a
+        # non-default database or under a LOCATION override, and the
+        # conf lookup raised when the key was unset (ADVICE r5).
+        location = None
+        if self.spark.catalog.tableExists(self.table):
+            for row in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {self.table}"
+            ).collect():
+                if row["col_name"] == "Location":
+                    location = row["data_type"]
+                    break
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
-        # A write that failed BETWEEN location-create and catalog-
-        # register leaves an orphaned warehouse dir the next
-        # saveAsTable refuses to reuse (LOCATION_ALREADY_EXISTS);
-        # drop() guarantees a clean slate, so clear the path too —
-        # through the JVM Hadoop FS so any warehouse scheme works.
+        # Clear the path too, through the JVM Hadoop FS so any
+        # warehouse scheme works: a write that failed BETWEEN
+        # location-create and catalog-register leaves an orphaned dir
+        # the next saveAsTable refuses to reuse
+        # (LOCATION_ALREADY_EXISTS); drop() guarantees a clean slate.
         jvm = self.spark.sparkContext._jvm
         jsc = self.spark.sparkContext._jsc
-        path = jvm.org.apache.hadoop.fs.Path(
-            self.spark.conf.get("spark.sql.warehouse.dir"), self.table.lower()
-        )
+        if location is not None:
+            path = jvm.org.apache.hadoop.fs.Path(location)
+        else:
+            # Orphan case — the table was never catalog-registered, so
+            # the only candidate is the default managed path; skip if
+            # no warehouse dir is configured.
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir", None)
+            if warehouse is None:
+                return
+            path = jvm.org.apache.hadoop.fs.Path(warehouse, self.table.lower())
         fs = path.getFileSystem(jsc.hadoopConfiguration())
         if fs.exists(path):
             fs.delete(path, True)

@@ -110,7 +110,16 @@ def asof_join_forward(
     preceding. Duplicate-(keys, ts) right rows resolve to the
     greatest value struct (sorted first within the tie via descending
     struct order) — the same row-atomic greatest-row-wins rule as
-    backward, so flipping direction never changes the tie policy."""
+    backward, so flipping direction never changes the tie policy.
+
+    Tie-break caveat (ADVICE r5): "greatest value struct" compares
+    ``value_cols`` lexicographically IN THE ORDER GIVEN, so for
+    multi-column value_cols the winner among duplicate-(keys, ts)
+    right rows depends on the column ordering the caller passed.
+    Deterministic, but surprising — callers who care which duplicate
+    wins should pre-deduplicate the right side to unique (keys, ts)
+    (e.g. groupBy + max_by on an explicit tie-break column) before
+    calling, as the registry queries do."""
     lcols = left.columns
     vtype = T.StructType([T.StructField(v, right.schema[v].dataType) for v in value_cols])
     l = (

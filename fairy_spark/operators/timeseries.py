@@ -38,7 +38,11 @@ def resample_ffill(
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(v6).cast("double") / (F.count(F.lit(1)) * 1000000)).alias(
+            # Divide by the NON-NULL value count, matching F.avg's
+            # null semantics: a NULL value row must be ignored, not
+            # drag the mean toward 0 (ADVICE r5). All-null bucket →
+            # SUM is NULL → NULL/0 is NULL on Spark and DuckDB alike.
+            (F.sum(v6).cast("double") / (F.count(F.col(val_col)) * 1000000)).alias(
                 "avg_value"
             ),
         )

@@ -149,7 +149,14 @@ def _driver_verified_counts() -> dict[str, int]:
 # dedup_ngram_jaccard — both came back green in CORRECTNESS_r04 —
 # pruned. r5's eight pins (as-of rework, merge fallback, minhash Arrow
 # engine) ALL came back green in CORRECTNESS_r05 — pruned at the start
-# of r6 so the full 50-slot window goes to the never-checked tier.)
+# of r6 so the full 50-slot window goes to the never-checked tier.
+# r6's NULL-semantics fix to the quantized mean touched
+# stream_sliding_batch / ts_resample_ffill / ts_resample_interp /
+# stream_exec_sliding symmetrically on engine AND oracle sides (both
+# divide by COUNT(value) now) and is covered by the local oracle suite
+# + test_quantized_mean_ignores_null_values; pinning them this round
+# would displace 4 of the 56 never-checked rows the r5 verdict ordered
+# cleared first, so they are DEFERRED to r7's pin set.)
 _RECHECK_FIRST: set[str] = set()
 
 

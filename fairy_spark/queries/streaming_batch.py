@@ -50,7 +50,7 @@ def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT w_start,
            COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / (COUNT(*) * 1000000) AS avg_value
+             / (COUNT(value) * 1000000) AS avg_value
     FROM expanded
     GROUP BY w_start
     ORDER BY w_start
@@ -70,7 +70,9 @@ def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
                 ).cast("double")
-                / (F.count(F.lit(1)) * 1000000)
+                # non-null count: NULL values are ignored like F.avg
+                # would, not averaged in as 0 (ADVICE r5)
+                / (F.count(F.col("value")) * 1000000)
             ).alias("avg_value"),
         )
         .select(F.col("w.start").alias("w_start"), "n", "avg_value")
@@ -212,7 +214,7 @@ def stream_stateful_ema_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-               / (COUNT(*) * 1000000) AS avg_value
+               / (COUNT(value) * 1000000) AS avg_value
       FROM events WHERE user_id <= 10
       GROUP BY 1, 2
     ), span AS (
@@ -303,7 +305,7 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-               / (COUNT(*) * 1000000) AS avg_value
+               / (COUNT(value) * 1000000) AS avg_value
       FROM events WHERE user_id <= 10
       GROUP BY 1, 2
     ), span AS (

@@ -106,8 +106,11 @@ def sliding_avg(stream: DataFrame, window: str = "2 hours", slide: str = "1 hour
                 F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
             ).alias("v6"),
             F.count(F.lit(1)).alias("n"),
+            # non-null count for the divisor: NULL values are ignored
+            # like F.avg would, not averaged in as 0 (ADVICE r5)
+            F.count(F.col("value")).alias("nv"),
         )
-        .withColumn("avg_value", F.col("v6").cast("double") / (F.col("n") * 1000000))
+        .withColumn("avg_value", F.col("v6").cast("double") / (F.col("nv") * 1000000))
         .select(F.col("w.start").alias("w_start"), "avg_value", "n")
     )
 

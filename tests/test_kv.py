@@ -269,3 +269,42 @@ def test_scan_as_of_reconstructs_history_until_compaction(spark):
     post = {r["key"]: bytes(r["value"]) for r in kv.scan_as_of(s1).collect()}
     assert post == {"a": b"9"}, "compaction must discard pre-compact history"
     kv.drop()
+
+
+def test_delete_batch_empty_is_noop(kv):
+    """ADVICE r5: delete_batch([]) must not burn a sequence number,
+    launch an empty write job, or materialize a table that doesn't
+    exist yet."""
+    # On a store with no table at all: no table may appear.
+    kv.delete_batch([])
+    assert not kv._exists_table()
+    kv.put("k", b"v")
+    before = kv.current_seq()
+    kv.delete_batch([])
+    assert kv.current_seq() == before
+    assert kv.get("k") == b"v"
+
+
+def test_drop_deletes_only_the_catalog_resolved_location(kv, spark):
+    """ADVICE r5: drop() resolves the managed table's real location
+    from the catalog (not a blind {warehouse}/{name} guess) and clears
+    exactly that path, so a later saveAsTable never hits
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    from urllib.parse import urlparse
+
+    kv.put("k", b"v")
+    loc_row = [
+        r
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {kv.table}").collect()
+        if r["col_name"] == "Location"
+    ]
+    assert loc_row, "managed kv table must expose a Location"
+    local = urlparse(loc_row[0]["data_type"]).path
+    assert os.path.exists(local)
+    kv.drop()
+    assert not os.path.exists(local)
+    assert not spark.catalog.tableExists(kv.table)
+    # recreate works cleanly after drop
+    kv.put("k2", b"w")
+    assert kv.get("k2") == b"w"

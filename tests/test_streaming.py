@@ -295,3 +295,38 @@ def test_tws_record_high_live_matches_batch_twin(spark, sf_small):
     live = tws_record_high_live(spark, str(sf_small)).collect()
     batch = QUERIES["stream_record_high_batch"](spark, str(sf_small)).collect()
     assert live == batch
+
+
+def test_quantized_mean_ignores_null_values(spark):
+    """ADVICE r5: the exact-anchored (quantized-sum / count) mean must
+    divide by the NON-NULL value count, matching F.avg's null
+    semantics — a NULL value row must not drag the mean toward 0 —
+    and an all-null bucket must yield NULL, not 0."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fairy_spark.operators.timeseries import resample_ffill
+    from fairy_spark.streaming.pipeline import sliding_avg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0.replace(minute=30), None),  # must be ignored, not a 0
+        (1, t0.replace(hour=1), None),     # all-null bucket -> NULL
+        (1, t0.replace(hour=2), 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+
+    got = {
+        r["bucket"].hour: r["avg_value"]
+        for r in resample_ffill(ev).collect()
+    }
+    assert got[0] == 10.0, "NULL row averaged in (divided by COUNT(*))"
+    assert got[1] is None, "all-null bucket must be NULL like F.avg"
+    assert got[2] == 4.0
+
+    slid = {r["w_start"].hour: r["avg_value"] for r in sliding_avg(ev).collect()}
+    # window [23:00-01:00) covers bucket-0 rows; [00:00-02:00) covers
+    # bucket 0+1 (one non-null value: 10.0)
+    assert slid[23] == 10.0 and slid[0] == 10.0
