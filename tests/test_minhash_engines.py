@@ -58,3 +58,43 @@ def test_sig_builders_equal_with_blocks_and_edges(spark):
     # shingle-less docs carry ALL-NULL signatures (banding filter relies on it)
     empties = {r["id"]: tuple(r["sig"]) for r in a.filter(F.size("shingles") == 0).collect()}
     assert empties.get(9001) == (None,) * 8 and empties.get(9002) == (None,) * 8
+
+
+def test_block_keyed_cache_detects_corpus_mutation_under_same_key(spark):
+    """VERDICT r5 #8: the BLOCK-KEYED variant (block_cols set, the
+    n-gram-Jaccard shape) must record the corpus fingerprint on its
+    cache path too — mutating the corpus under the same cache_key has
+    to raise StaleSignatureIndex exactly like the plain variant."""
+    import pytest
+
+    from fairy_spark.operators import dedup
+
+    rows = [
+        (i, f"tok{i} alpha beta gamma delta tok{i}", f"src{i % 2}")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    dedup.clear_signature_cache(spark)
+    try:
+        dedup.minhash_lsh_candidates(
+            docs, cache_key="blk-k", block_cols=["source"]
+        ).count()
+        # unchanged corpus: warm hit, no error
+        dedup.minhash_lsh_candidates(
+            docs, cache_key="blk-k", block_cols=["source"]
+        ).count()
+        mutated = docs.unionByName(
+            spark.createDataFrame(
+                [(99, "omega zeta eta theta iota", "src0")],
+                ["doc_id", "text", "source"],
+            )
+        )
+        with pytest.raises(dedup.StaleSignatureIndex, match="fingerprint changed"):
+            dedup.minhash_lsh_candidates(
+                mutated, cache_key="blk-k", block_cols=["source"]
+            )
+        # same key, DIFFERENT block_cols is a distinct index (fp includes
+        # the block tuple) — builds fresh over the mutated corpus, no trip
+        dedup.minhash_lsh_candidates(mutated, cache_key="blk-k").count()
+    finally:
+        dedup.clear_signature_cache(spark)
