@@ -142,6 +142,21 @@ def main() -> None:
     QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
     minhash_warm = round(time.perf_counter() - t0, 3)
 
+    # Informational (non-gated, VERDICT r5 #4): the SCALE-GEOMETRY
+    # minhash number. The band1 headline runs the small-corpus
+    # setting; band_rows=2 is the measured production geometry
+    # (SCALE.md: 27× candidate suppression at 80% recall on the 80k
+    # synth corpus; (16,2) recovers 94% recall at 7% of band1
+    # volume), so the scale setting gets a tracked number of its own —
+    # cold per rep, same metric shape as the headline.
+    band2_samples: list[float] = []
+    for _ in range(3):
+        gc.collect()
+        clear_signature_cache(spark)
+        t0 = time.perf_counter()
+        QUERIES["dedup_minhash_band2"](spark, sf_dir).count()
+        band2_samples.append(time.perf_counter() - t0)
+
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         n = len(s)
@@ -163,6 +178,7 @@ def main() -> None:
                 "queries": per_query,
                 "spread": spread,
                 "minhash_warm_query_sec": minhash_warm,
+                "minhash_band2_cold_sec": round(median(band2_samples), 3),
                 # per-rep stall attribution: a slow rep with flat
                 # jvm_gc_ms is host noise, not driver GC
                 "minhash_reps": minhash_reps,

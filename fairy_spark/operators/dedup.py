@@ -239,6 +239,17 @@ def minhash_lsh_candidates(
     rows=2 cut the candidate set 27× at 80% recall; band_rows must
     grow ~log(n) with the corpus.
 
+    PRODUCTION DEFAULT AT SCALE: ``num_hashes=16, band_rows=2`` — the
+    measured (16,2) geometry (SCALE.md "band geometry at scale")
+    recovers 94% of true pairs at 7% of the 1-row candidate volume on
+    the 80k synth corpus, and its collision tail grows with
+    E[J^2] instead of E[J], which is what keeps the band join
+    sub-quadratic on a 100 TB corpus. The registry/bench queries pin
+    the small-corpus (8,1) setting because their frozen baselines and
+    oracles were recorded with it; bench.py reports the (8,2) cold
+    number alongside the headline so the scale setting has a tracked
+    trend line ("minhash_band2_cold_sec").
+
     ``cache_key``: stable identity of the input corpus (e.g. its
     path). When provided, a repeat call with the same key and params
     reuses the warm persisted shingle+signature tables instead of
