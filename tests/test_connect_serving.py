@@ -169,7 +169,10 @@ def test_connect_server_speaks_http2():
 @pytest.mark.skipif(
     not HAS_GRPC,
     reason="grpcio/protobuf not installed — Spark Connect Python client "
-    "unavailable in this sandbox (server-side smoke still runs)",
+    "unavailable in this sandbox (server-side smoke still runs). "
+    "Verified r6: installation is impossible here (no package-index "
+    "network access; pip DNS resolution fails) — permanent sandbox "
+    "residual, auto-unskips on any grpcio-equipped host",
 )
 def test_connect_remote_roundtrip():
     """Full remote round-trip: kv put/get and a registry query through a
