@@ -302,19 +302,29 @@ def minhash_lsh_candidates(
         if fp in cache:
             for prev in cache.pop(fp)[0]:
                 prev.unpersist(blocking=False)
-        # Record the corpus fingerprint only for reusable entries —
-        # the fp=None slot is never served back, so don't pay the agg.
-        content = _corpus_fingerprint(docs, id_col) if fp is not None else None
+        # Materialize eagerly: the four subtrees race and recompute on a
+        # cold cache otherwise (measured 7s vs 2s at sf0.1). One tiny
+        # job up front makes the big join read warm cache
+        # deterministically. For reusable entries the SAME job records
+        # the corpus fingerprint — sig carries one row per doc with the
+        # id column intact, so (count, max id) over sig ≡ the
+        # _corpus_fingerprint of docs, and fusing them saves one of the
+        # cold path's fixed-overhead jobs (r6 stage profile,
+        # BASELINE.md §3).
+        if fp is not None:
+            row = sig.agg(
+                F.count(F.lit(1)).alias("n"), F.max(F.col("id")).alias("mx")
+            ).first()
+            content = (row["n"], row["mx"])
+        else:
+            # fp=None slot is never served back — don't pay the agg
+            content = None
+            sig.count()
         cache[fp] = ([sig], content)
         while len(cache) > _CACHE_CAP:
             oldest = next(iter(cache))
             for prev in cache.pop(oldest)[0]:
                 prev.unpersist(blocking=False)
-        # Materialize eagerly: the four subtrees race and recompute on a
-        # cold cache otherwise (measured 7s vs 2s at sf0.1). One tiny
-        # job up front makes the big join read warm cache
-        # deterministically.
-        sig.count()
 
     # Bands carry ONLY (id, band_id, band_hash): the band self-join
     # shuffles a few dozen bytes per row instead of the shingle arrays;

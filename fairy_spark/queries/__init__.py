@@ -156,7 +156,12 @@ def _driver_verified_counts() -> dict[str, int]:
 # divide by COUNT(value) now) and is covered by the local oracle suite
 # + test_quantized_mean_ignores_null_values; pinning them this round
 # would displace 4 of the 56 never-checked rows the r5 verdict ordered
-# cleared first, so they are DEFERRED to r7's pin set.)
+# cleared first, so they are DEFERRED to r7's pin set. Likewise r6's
+# minhash cold-path job fusion (fingerprint recorded from the cached
+# sig frame instead of a second corpus agg — value-identical by row
+# preservation, gated by the engine-equality + staleness tests):
+# dedup_minhash_lsh/est/band2, dedup_ngram_jaccard, dedup_components,
+# dedup_survivors join the r7 pin candidates.)
 _RECHECK_FIRST: set[str] = set()
 
 
