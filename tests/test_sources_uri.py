@@ -51,3 +51,40 @@ def test_sink_and_readback_through_file_uri(spark, tmp_path):
     back = spark.read.parquet(target)
     got = back.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).first()
     assert (got["n"], got["s"]) == (100, 4950)
+
+
+def test_scan_through_viewfs_uri_second_scheme(spark, sf_dir):
+    """A SECOND Hadoop filesystem scheme, not just file://: viewfs://
+    resolves through a client-side mount table (scheme → ViewFileSystem
+    → link resolution → target FS), exactly the dispatch chain an
+    s3a:// path takes minus the cloud SDK. Proves the scan layer is
+    scheme-agnostic, not special-cased to the default FS — and that
+    filter pushdown survives the indirection."""
+    import os
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        "fs.viewfs.mounttable.fairyprobe.link./data",
+        "file://" + os.path.dirname(sf_dir),
+    )
+    vdir = "viewfs://fairyprobe/data/" + os.path.basename(sf_dir)
+    bare = load_table(spark, sf_dir, "lineitem")
+    view = load_table(spark, vdir, "lineitem")
+    a = bare.agg(F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("ks")).first()
+    b = view.agg(F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("ks")).first()
+    assert (a["n"], a["ks"]) == (b["n"], b["ks"]) and a["n"] > 0
+
+    # registry query end-to-end through the mounted scheme
+    assert (
+        QUERIES["q1_pricing_summary"](spark, vdir).collect()
+        == QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    )
+
+    # pushdown reaches the parquet scan through viewfs too
+    plan = (
+        view.filter(F.col("l_orderkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)" in plan
