@@ -26,11 +26,17 @@ FLOAT_ATOL = 1e-12
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
-        )
+        p = table_path(sf_dir, name)
+        if os.path.isdir(p):
+            # Spark-written tables are DIRECTORIES of part files
+            # (sf1_bench replicas); testdata ships single files —
+            # DuckDB needs the glob form for the former.
+            p = p.rstrip("/") + "/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
