@@ -107,7 +107,19 @@ def build_sf1(spark) -> None:
     repl = F.broadcast(spark.range(REPLICAS).withColumnRenamed("id", "__repl"))
     for table, shifts in _SHIFTS.items():
         df = load_table(spark, SRC, table)
-        if shifts:
+        if table == "documents":
+            # Exact-copy replicas would hand every doc 9 perfect
+            # duplicates — a 10-clique near-dup structure no real
+            # corpus has, which blows the dedup queries (and their
+            # transitive-closure oracles) combinatorially. Synthesize
+            # an HONEST 10× corpus instead: same schema, bounded
+            # duplication (fairy_spark/testing/synth.py — the SCALE.md
+            # generator), so the dedup family stays auditable at sf1.
+            from fairy_spark.testing.synth import synth_documents
+
+            n = df.count() * REPLICAS
+            rep = synth_documents(spark, n)
+        elif shifts:
             rep = df.crossJoin(repl)
             for col, space in shifts.items():
                 rep = rep.withColumn(
