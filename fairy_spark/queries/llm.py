@@ -2204,7 +2204,19 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus^2. Production geometry widens the fingerprint (64-bit,
     4x16-bit bands -> 65536 buckets/band, Manku's deployed config);
     the plan is identical, only the literals change, and the simhash
-    builder (operators/dedup.py simhash) takes bits as a parameter."""
+    builder (operators/dedup.py simhash) takes bits as a parameter.
+
+    MEASURED DEGENERACY (r6 large-SF audit): on the low-entropy
+    testdata vocabulary (~31 tokens) the 16-bit registry geometry is
+    near-degenerate -- 1,833,396 pairs at 5,000 docs (hash-green vs
+    the oracle, AUDIT_r6_sf01.txt), i.e. ~7% of ALL pairs fall within
+    hamming 3, and at the 50k sf1 corpus the OUTPUT itself (~100x
+    more pairs) exceeds driver collect limits. That is a property of
+    "report every pair within hamming<=3" on a corpus whose
+    fingerprints barely differ, not of the plan: pair cost stays
+    Sum|bucket|^2. At scale the answer is the documented 64-bit
+    geometry (drives bucket collision rates down ~4 orders), plus a
+    sink -- not a collect -- for the pair stream."""
     d = load_table(spark, sf_dir, "documents")
     sig = simhash(d, bits=16)
     bands = F.array(
