@@ -213,7 +213,11 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            LIST_CONTAINS(toks, 'data') AS has_data,
            ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ',') AS uniq_sorted,
            ARRAY_TO_STRING(toks[2:4], ',') AS mid_slice,
-           ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(toks, ['data', 'table', 'row'])), ',') AS key_toks
+           -- COALESCE: DuckDB ARRAY_TO_STRING([]) is NULL while Spark
+           -- array_join([]) is '' — divergence surfaced by the r6 sf1
+           -- audit on docs containing none of the probe tokens
+           -- (unreachable in driver testdata, where every doc hits one)
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(toks, ['data', 'table', 'row'])), ','), '') AS key_toks
     FROM t
     ORDER BY doc_id
     """,
