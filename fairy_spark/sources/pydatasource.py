@@ -40,10 +40,25 @@ class ParquetRowGroupReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self):
+        import glob
+        import os
+
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(self.path).metadata.num_row_groups
-        return [RowGroupPartition(self.path, i) for i in range(n)]
+        # A real table is a DIRECTORY of part files (any Spark-written
+        # table); a single .parquet file is the testdata special case.
+        # Either way the split granularity is (file, row group) — the
+        # r6 sf1 audit caught the single-file assumption the moment the
+        # source met a directory table.
+        if os.path.isdir(self.path):
+            files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+        else:
+            files = [self.path]
+        return [
+            RowGroupPartition(f, i)
+            for f in files
+            for i in range(pq.ParquetFile(f).metadata.num_row_groups)
+        ]
 
     def read(self, partition):
         import pyarrow.parquet as pq
