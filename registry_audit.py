@@ -11,6 +11,12 @@ line per query plus a JSON summary.
 Run ad hoc (takes tens of minutes at sf0.1 on local[32]):
   python registry_audit.py [sf_dir]
 Env: SPARK_GRAFT_CPUS=32
+     SPARK_GRAFT_AUDIT_SKIP=q1,q2   skip named queries (recorded in the
+       summary — for queries whose ORACLE is deliberately the
+       transparent quadratic formulation, e.g. text_containment's
+       all-pairs form: fine at sf0.01, ~10 min at sf0.1, days at sf1)
+     SPARK_GRAFT_AUDIT_START_AFTER=name   resume an interrupted run
+       (alphabetical order) after `name`
 """
 
 from __future__ import annotations
@@ -42,8 +48,15 @@ def main() -> None:
     failed: list[str] = []
     inexact: list[str] = []
     rows_only = sorted(set(QUERIES) - set(ORACLE))
+    skip = {s for s in os.environ.get("SPARK_GRAFT_AUDIT_SKIP", "").split(",") if s}
+    start_after = os.environ.get("SPARK_GRAFT_AUDIT_START_AFTER", "")
     t_all = time.perf_counter()
     for name in sorted(QUERIES):
+        if start_after and name <= start_after:
+            continue
+        if name in skip:
+            print(f"[SKIP] {name}", flush=True)
+            continue
         t0 = time.perf_counter()
         try:
             res = run_compare(name, spark, sf_dir, con)
@@ -66,6 +79,8 @@ def main() -> None:
                 "failed": failed,
                 "inexact_cells": inexact,
                 "rows_only": rows_only,
+                "skipped": sorted(skip),
+                "start_after": start_after,
                 "wall_sec": round(time.perf_counter() - t_all, 1),
             }
         ),
