@@ -132,3 +132,52 @@ def test_basket_pair_growth_is_linear_across_sf(spark):
     r_big = ratio["/root/testdata/sf0.1"]
     assert r_small > 0
     assert r_big <= 2.0 * r_small, ratio
+
+
+def test_simhash_wider_fingerprint_suppresses_pairs(spark):
+    """SCALE.md r6 geometry measurement, gated: widening the simhash
+    fingerprint 16 → 32 bits must suppress hamming≤3 pair volume by
+    ≥ 20× on the synth corpus (measured 186× at 5k docs) — the knob
+    that keeps the banded join's output non-degenerate at scale."""
+    from pyspark.sql import functions as F
+
+    from fairy_spark.operators.dedup import simhash
+    from fairy_spark.testing.synth import synth_documents
+
+    docs = synth_documents(spark, 2000)
+
+    def pairs_within(bits, bands=4, maxham=3):
+        band_bits = bits // bands
+        sig = simhash(docs, bits=bits)
+        b = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright("simhash", i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("band_val"),
+                )
+                for i in range(bands)
+            ]
+        )
+        banded = sig.select("id", "simhash", F.explode(b).alias("b")).select(
+            "id", "simhash", "b.band_id", "b.band_val"
+        )
+        a_, b_ = banded.alias("a"), banded.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        return (
+            a_.join(
+                b_,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .filter(ham <= maxham)
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+
+    p16, p32 = pairs_within(16), pairs_within(32)
+    assert p32 > 0, "wider fingerprint should still find the planted near-dups"
+    assert p16 >= 20 * p32, f"suppression collapsed: 16-bit {p16} vs 32-bit {p32}"
