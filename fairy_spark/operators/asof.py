@@ -42,12 +42,23 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, annotated with ``value_cols``
     from the latest right row with ``right_ts <= left_ts`` (per keys).
-    Left rows keep all their columns; unmatched rows get nulls."""
+    Left rows keep all their columns; unmatched rows get nulls.
+
+    ``tie_break`` (ADVICE r5): optional right-side column that decides
+    the winner among duplicate-(keys, ts) right rows — the row with
+    the GREATEST tie_break value wins, still row-atomically (the
+    column rides as the winner struct's first field, so struct
+    comparison orders on it before any value column). Default policy
+    (None) is unchanged: greatest value-struct in value_cols order."""
     lcols = left.columns
-    vtype = T.StructType([T.StructField(v, right.schema[v].dataType) for v in value_cols])
+    vfields = ([("__tb", right.schema[tie_break].dataType)] if tie_break else []) + [
+        (v, right.schema[v].dataType) for v in value_cols
+    ]
+    vtype = T.StructType([T.StructField(n, t) for n, t in vfields])
     l = (
         left.withColumn("__ts", F.col(left_ts))
         .withColumn("__side", F.lit(1))
@@ -60,7 +71,10 @@ def asof_join_backward(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("__v"),
+        F.struct(
+            *([F.col(tie_break).alias("__tb")] if tie_break else []),
+            *[F.col(v).alias(v) for v in value_cols],
+        ).alias("__v"),
     )
     for c in lcols:
         if c not in keys:
@@ -76,7 +90,8 @@ def asof_join_backward(
             F.col("__ts").asc(),
             F.col("__side").asc(),
             # deterministic tie-break among duplicate-(keys, ts) right
-            # rows: greatest value struct sorts last → wins the last()
+            # rows: greatest (tie_break?, values) struct sorts last →
+            # wins the last()
             F.col("__v").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -98,6 +113,7 @@ def asof_join_forward(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Left as-of join, FORWARD direction: every left row, annotated
     with ``value_cols`` from the EARLIEST right row with
@@ -119,9 +135,14 @@ def asof_join_forward(
     Deterministic, but surprising — callers who care which duplicate
     wins should pre-deduplicate the right side to unique (keys, ts)
     (e.g. groupBy + max_by on an explicit tie-break column) before
-    calling, as the registry queries do."""
+    calling, as the registry queries do. Alternatively pass
+    ``tie_break``: a right-side column whose GREATEST value picks the
+    winner row-atomically (same mechanism as backward)."""
     lcols = left.columns
-    vtype = T.StructType([T.StructField(v, right.schema[v].dataType) for v in value_cols])
+    vfields = ([("__tb", right.schema[tie_break].dataType)] if tie_break else []) + [
+        (v, right.schema[v].dataType) for v in value_cols
+    ]
+    vtype = T.StructType([T.StructField(n, t) for n, t in vfields])
     l = (
         left.withColumn("__ts", F.col(left_ts))
         .withColumn("__side", F.lit(0))
@@ -131,7 +152,10 @@ def asof_join_forward(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("__v"),
+        F.struct(
+            *([F.col(tie_break).alias("__tb")] if tie_break else []),
+            *[F.col(v).alias(v) for v in value_cols],
+        ).alias("__v"),
     )
     for c in lcols:
         if c not in keys:

@@ -173,3 +173,27 @@ def test_asof_forward_duplicate_right_ts_deterministic_winner(spark, left, right
         ).collect()
     }
     assert got == _expected_forward(left, right)
+
+
+def test_asof_explicit_tie_break_column_picks_winner(spark):
+    """ADVICE r5: callers can name the tie-break column explicitly —
+    the duplicate-(keys, ts) right row with the GREATEST tie_break
+    value wins row-atomically, in BOTH directions, even when the
+    default greatest-value-struct policy would pick a different row."""
+    from fairy_spark.operators.asof import asof_join_backward, asof_join_forward
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    # two right rows at the same (k, ts): higher seq carries the LOWER
+    # value, so the two policies disagree on purpose
+    right = spark.createDataFrame(
+        [(1, 10, 1, 99.0), (1, 10, 2, 5.0)], "k int, ts int, seq int, v double"
+    )
+
+    for fn in (asof_join_backward, asof_join_forward):
+        default = fn(left, right, ["k"], "ts", "ts", ["v"]).collect()[0]
+        assert default["v"] == 99.0, f"{fn.__name__}: default policy changed"
+        by_seq = fn(left, right, ["k"], "ts", "ts", ["v"], tie_break="seq").collect()[0]
+        assert by_seq["v"] == 5.0, f"{fn.__name__}: tie_break=seq not honored"
+        # output schema must not leak the tie-break carrier
+        cols = fn(left, right, ["k"], "ts", "ts", ["v"], tie_break="seq").columns
+        assert cols == ["k", "ts", "v"]
