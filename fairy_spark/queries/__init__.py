@@ -161,7 +161,9 @@ def _driver_verified_counts() -> dict[str, int]:
 # sig frame instead of a second corpus agg — value-identical by row
 # preservation, gated by the engine-equality + staleness tests):
 # dedup_minhash_lsh/est/band2, dedup_ngram_jaccard, dedup_components,
-# dedup_survivors join the r7 pin candidates.)
+# dedup_survivors join the r7 pin candidates — as do the four asof
+# queries after the optional tie_break parameter landed (default path
+# value-identical, oracle-green; pure API addition).)
 _RECHECK_FIRST: set[str] = set()
 
 
