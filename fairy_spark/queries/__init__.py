@@ -164,7 +164,34 @@ def _driver_verified_counts() -> dict[str, int]:
 # dedup_survivors join the r7 pin candidates — as do the four asof
 # queries after the optional tie_break parameter landed (default path
 # value-identical, oracle-green; pure API addition).)
-_RECHECK_FIRST: set[str] = set()
+#
+# r7 pin set: exactly the deferred r6-changed queries above (NULL-mean
+# semantics ×4, minhash job fusion ×6, asof tie_break API ×4), plus the
+# two rows-only ANN queries the r6 verdict asked re-checked in a driver
+# window (they record err="no_oracle" + a row count; the new hash-
+# checked ml_ann_ivf_exact twin closes the loop beside them).
+_RECHECK_FIRST: set[str] = {
+    # r6 NULL-mean fix (engine AND oracle both divide by COUNT(value))
+    "stream_sliding_batch",
+    "stream_exec_sliding",
+    "ts_resample_ffill",
+    "ts_resample_interp",
+    # r6 minhash cold-path job fusion (fingerprint from cached sig frame)
+    "dedup_minhash_lsh",
+    "dedup_minhash_est",
+    "dedup_minhash_band2",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_survivors",
+    # r6 asof tie_break parameter (default path value-identical)
+    "join_asof",
+    "join_asof_tolerance",
+    "join_asof_forward",
+    "join_asof_nearest",
+    # rows-only ANN re-check (VERDICT r6 #4)
+    "ml_ann_lsh_topk",
+    "ml_ann_ivf_topk",
+}
 
 
 def _interleave_families() -> None:

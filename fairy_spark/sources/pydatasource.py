@@ -52,6 +52,19 @@ class ParquetRowGroupReader(DataSourceReader):
         # source met a directory table.
         if os.path.isdir(self.path):
             files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+            if not files:
+                # Hive-partitioned / nested layouts put part files below
+                # subdirectories; a flat glob finding nothing must NOT
+                # silently plan zero partitions (an empty scan that
+                # reads as a correct empty table — ADVICE r6).
+                files = sorted(
+                    glob.glob(os.path.join(self.path, "**", "*.parquet"), recursive=True)
+                )
+            if not files:
+                raise FileNotFoundError(
+                    f"fairy_pqrg: no *.parquet files under {self.path!r} "
+                    "(checked top-level and recursively)"
+                )
         else:
             files = [self.path]
         return [

@@ -50,6 +50,7 @@ def main() -> None:
     rows_only = sorted(set(QUERIES) - set(ORACLE))
     skip = {s for s in os.environ.get("SPARK_GRAFT_AUDIT_SKIP", "").split(",") if s}
     start_after = os.environ.get("SPARK_GRAFT_AUDIT_START_AFTER", "")
+    compared = 0
     t_all = time.perf_counter()
     for name in sorted(QUERIES):
         if start_after and name <= start_after:
@@ -57,6 +58,7 @@ def main() -> None:
         if name in skip:
             print(f"[SKIP] {name}", flush=True)
             continue
+        compared += 1
         t0 = time.perf_counter()
         try:
             res = run_compare(name, spark, sf_dir, con)
@@ -76,6 +78,12 @@ def main() -> None:
                 "metric": "registry_audit",
                 "sf_dir": sf_dir,
                 "queries": len(QUERIES),
+                # A resumed (START_AFTER) or skip-heavy run must not
+                # read as full-registry-green: record the number of
+                # queries ACTUALLY compared and a full flag (ADVICE r6).
+                "compared": compared,
+                "full": compared == len(QUERIES) - len(skip & set(QUERIES))
+                and not start_after,
                 "failed": failed,
                 "inexact_cells": inexact,
                 "rows_only": rows_only,

@@ -44,7 +44,10 @@ def test_result_identical_under_perturbed_partitioning(name, spark, sf_dir):
     try:
         perturbed = [tuple(r) for r in QUERIES[name](alt, sf_dir).collect()]
     finally:
+        # Unset BOTH perturbed confs: the newSession is throwaway, but
+        # symmetric cleanup keeps the block safe under reuse (ADVICE r6).
         alt.conf.unset("spark.sql.files.maxPartitionBytes")
+        alt.conf.unset("spark.sql.shuffle.partitions")
 
     assert len(base) > 0
     assert perturbed == base, (

@@ -63,28 +63,36 @@ def test_scan_through_viewfs_uri_second_scheme(spark, sf_dir):
     import os
 
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    hconf.set(
-        "fs.viewfs.mounttable.fairyprobe.link./data",
-        "file://" + os.path.dirname(sf_dir),
-    )
-    vdir = "viewfs://fairyprobe/data/" + os.path.basename(sf_dir)
-    bare = load_table(spark, sf_dir, "lineitem")
-    view = load_table(spark, vdir, "lineitem")
-    a = bare.agg(F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("ks")).first()
-    b = view.agg(F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("ks")).first()
-    assert (a["n"], a["ks"]) == (b["n"], b["ks"]) and a["n"] > 0
+    mount_key = "fs.viewfs.mounttable.fairyprobe.link./data"
+    hconf.set(mount_key, "file://" + os.path.dirname(sf_dir))
+    # The mount entry lives on the SHARED JVM hadoopConfiguration —
+    # unset it on exit so no global state leaks into sibling tests in
+    # the same session (ADVICE r6).
+    try:
+        vdir = "viewfs://fairyprobe/data/" + os.path.basename(sf_dir)
+        bare = load_table(spark, sf_dir, "lineitem")
+        view = load_table(spark, vdir, "lineitem")
+        a = bare.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("ks")
+        ).first()
+        b = view.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("ks")
+        ).first()
+        assert (a["n"], a["ks"]) == (b["n"], b["ks"]) and a["n"] > 0
 
-    # registry query end-to-end through the mounted scheme
-    assert (
-        QUERIES["q1_pricing_summary"](spark, vdir).collect()
-        == QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
-    )
+        # registry query end-to-end through the mounted scheme
+        assert (
+            QUERIES["q1_pricing_summary"](spark, vdir).collect()
+            == QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+        )
 
-    # pushdown reaches the parquet scan through viewfs too
-    plan = (
-        view.filter(F.col("l_orderkey") == 1)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)" in plan
+        # pushdown reaches the parquet scan through viewfs too
+        plan = (
+            view.filter(F.col("l_orderkey") == 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)" in plan
+    finally:
+        hconf.unset(mount_key)
