@@ -68,13 +68,32 @@ class KVStore:
     _recover_orphans), so re-creating the handle heals the store.
     """
 
-    def __init__(self, spark: SparkSession, name: str = "kv_default", num_buckets: int = 1024):
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str = "kv_default",
+        num_buckets: int = 1024,
+        location: str | None = None,
+    ):
         # 1024 matches the reference default (local_kv_options.rs:23);
         # tests use a smaller fanout so bucket files stay non-tiny.
         self.spark = spark
         self.table = f"fairy_kv_{name}"
         self.num_buckets = num_buckets
+        # ``location``: back the log with an EXTERNAL table at an
+        # explicit path — the durable-log mode. The path is the store's
+        # identity (the reference's data_path root,
+        # local_file_kv_store.rs:62-70); the catalog entry is just a
+        # metadata cache over it. Spark's default in-memory catalog
+        # forgets managed tables on process restart, so a managed store
+        # dies with the driver; with a location, a NEW process (or a
+        # post-DROP catalog) re-registers the same files and every
+        # historical seq is still there — scan_as_of works across
+        # restarts.
+        self.location = location
         self._recover_orphans()
+        if location is not None:
+            self._recover_from_location()
 
     # -- internals ---------------------------------------------------------
 
@@ -98,6 +117,37 @@ class KVStore:
             for t in (tmp, bak):
                 if cat.tableExists(t):
                     self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def _hadoop_path(self, p: str):
+        jvm = self.spark.sparkContext._jvm
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def _hadoop_fs(self, path):
+        return path.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+
+    def _recover_from_location(self) -> None:
+        """Location-backed durability: if the catalog has no entry for
+        this store but its path holds data (a fresh process over a
+        durable log — or a finished-but-unrenamed compaction snapshot),
+        re-register the files as the SAME external bucketed table.
+        Bucket file names carry their bucket id, so the re-registered
+        table keeps bucket pruning and shuffle-free key aggs."""
+        if self._exists_table():
+            return
+        loc = self._hadoop_path(self.location)
+        fs = self._hadoop_fs(loc)
+        tmp = self._hadoop_path(self.location.rstrip("/") + "__compact")
+        if not fs.exists(loc) and fs.exists(tmp):
+            # hard crash between "delete old live dir" and "rename
+            # snapshot in" during a location-mode compact(): the
+            # snapshot IS the live state — finish the rename.
+            fs.rename(tmp, loc)
+        if fs.exists(loc) and fs.listStatus(loc):
+            self.spark.sql(
+                f"CREATE TABLE {self.table} (key STRING, value BINARY, seq BIGINT) "
+                f"USING PARQUET CLUSTERED BY (key) SORTED BY (key) "
+                f"INTO {self.num_buckets} BUCKETS LOCATION '{self.location}'"
+            )
 
     def _exists_table(self) -> bool:
         return self.spark.catalog.tableExists(self.table)
@@ -123,15 +173,24 @@ class KVStore:
             return (row["m"] or 0) + 1
         return 1
 
-    def _append(self, rows: list[Row]) -> None:
-        df = self.spark.createDataFrame(rows, KV_SCHEMA)
-        (
+    def _append_df(self, df: DataFrame) -> None:
+        """Append one write generation to the log table. All mutating
+        paths funnel through here so the location-backed (external)
+        mode is applied uniformly: with a location the first write
+        creates an EXTERNAL table at that path, later appends land in
+        the same files either way."""
+        w = (
             df.write.mode("append")
             .bucketBy(self.num_buckets, "key")
             .sortBy("key")
             .format("parquet")
-            .saveAsTable(self.table)
         )
+        if self.location is not None:
+            w = w.option("path", self.location)
+        w.saveAsTable(self.table)
+
+    def _append(self, rows: list[Row]) -> None:
+        self._append_df(self.spark.createDataFrame(rows, KV_SCHEMA))
 
     def _latest(self) -> DataFrame:
         """One row per key, latest seq wins; tombstones still present."""
@@ -177,13 +236,7 @@ class KVStore:
         rows = deduped.select(
             "key", "value", F.lit(seq).cast("long").alias("seq")
         )
-        (
-            rows.write.mode("append")
-            .bucketBy(self.num_buckets, "key")
-            .sortBy("key")
-            .format("parquet")
-            .saveAsTable(self.table)
-        )
+        self._append_df(rows)
 
     def get(self, key: str) -> bytes:
         # Key-equality filter → bucket pruning + row-group pruning; only
@@ -288,6 +341,9 @@ class KVStore:
         class (single-writer contract)."""
         latest = self._latest().filter(F.col("value").isNotNull())
         snapshot = latest.select("key", "value", F.lit(1).cast("long").alias("seq"))
+        if self.location is not None:
+            self._compact_external(snapshot)
+            return
         tmp = self.table + "_compact"
         bak = self.table + "_bak"
         (
@@ -308,6 +364,38 @@ class KVStore:
                 self.spark.sql(f"ALTER TABLE {bak} RENAME TO {self.table}")
             raise
         self.spark.sql(f"DROP TABLE IF EXISTS {bak}")
+
+    def _compact_external(self, snapshot: DataFrame) -> None:
+        """Location-mode compact: catalog renames don't move EXTERNAL
+        files, so the swap happens at the filesystem level — snapshot
+        to ``{location}__compact``, drop the live dir, rename the
+        snapshot dir in, re-register. The path stays the store's
+        identity across the swap (a restart recovers from either side
+        of the rename: _recover_from_location finishes an interrupted
+        one). Same crash-safety order as the managed branch: the
+        snapshot is durable before any destructive step."""
+        tmp_table = self.table + "_compact"
+        tmp_loc = self.location.rstrip("/") + "__compact"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        tmp_path = self._hadoop_path(tmp_loc)
+        fs = self._hadoop_fs(tmp_path)
+        if fs.exists(tmp_path):
+            fs.delete(tmp_path, True)
+        (
+            snapshot.write.mode("overwrite")
+            .bucketBy(self.num_buckets, "key")
+            .sortBy("key")
+            .format("parquet")
+            .option("path", tmp_loc)
+            .saveAsTable(tmp_table)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        live_path = self._hadoop_path(self.location)
+        if fs.exists(live_path):
+            fs.delete(live_path, True)
+        fs.rename(tmp_path, live_path)
+        self._recover_from_location()
 
     def evict(self, keep_latest: int) -> int:
         """Retention eviction: keep only the keep_latest most recently
@@ -356,13 +444,7 @@ class KVStore:
                 F.lit(None).cast("binary").alias("value"),
                 F.lit(seq).cast("long").alias("seq"),
             )
-            (
-                tombstones.write.mode("append")
-                .bucketBy(self.num_buckets, "key")
-                .sortBy("key")
-                .format("parquet")
-                .saveAsTable(self.table)
-            )
+            self._append_df(tombstones)
             self.compact()
         return n
 
@@ -388,6 +470,16 @@ class KVStore:
         # (LOCATION_ALREADY_EXISTS); drop() guarantees a clean slate.
         jvm = self.spark.sparkContext._jvm
         jsc = self.spark.sparkContext._jsc
+        if self.location is not None:
+            # Location-backed store: destroy the durable log AND any
+            # leftover compaction snapshot — drop() means the data is
+            # gone, external or not.
+            for p in (self.location, self.location.rstrip("/") + "__compact"):
+                path = self._hadoop_path(p)
+                fs = self._hadoop_fs(path)
+                if fs.exists(path):
+                    fs.delete(path, True)
+            return
         if location is not None:
             path = jvm.org.apache.hadoop.fs.Path(location)
         else:

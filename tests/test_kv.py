@@ -308,3 +308,91 @@ def test_drop_deletes_only_the_catalog_resolved_location(kv, spark):
     # recreate works cleanly after drop
     kv.put("k2", b"w")
     assert kv.get("k2") == b"w"
+
+
+@pytest.fixture()
+def kv_loc(spark, tmp_path):
+    loc = str(tmp_path / "kv_durable")
+    store = KVStore(spark, name="durable_test", num_buckets=4, location=loc)
+    store.drop()
+    yield store
+    store.drop()
+    spark.sql(f"DROP TABLE IF EXISTS {store.table}")
+
+
+def test_location_store_survives_catalog_amnesia(kv_loc, spark):
+    """The durable-log mode: DROP the catalog entry (what a driver
+    restart does to the in-memory catalog) — a fresh handle over the
+    same path re-registers the log with full history intact."""
+    kv_loc.put("a", b"1")
+    s1 = kv_loc.current_seq()
+    kv_loc.put("a", b"2")
+    kv_loc.put("b", b"3")
+    kv_loc.delete("b")
+    spark.sql(f"DROP TABLE {kv_loc.table}")  # simulated restart
+
+    kv2 = KVStore(
+        spark, name="durable_test", num_buckets=4, location=kv_loc.location
+    )
+    assert kv2.get("a") == b"2"
+    with pytest.raises(KeyNotFound):
+        kv2.get("b")
+    # MVCC history crossed the restart too
+    asof = {r["key"]: bytes(r["value"]) for r in kv2.scan_as_of(s1).collect()}
+    assert asof == {"a": b"1"}
+
+
+def test_location_store_compact_keeps_path_identity(kv_loc, spark):
+    """compact() on a location-backed store must leave the live data
+    at the SAME path (external renames don't move files — the swap is
+    filesystem-level), so a post-compact restart still recovers."""
+    import os
+
+    for i in range(10):
+        kv_loc.put_batch([(f"k{i}", f"v{i}".encode())])
+    kv_loc.delete_batch(["k0", "k1"])
+    kv_loc.compact()
+    live = {r["key"]: bytes(r["value"]) for r in kv_loc.scan().collect()}
+    assert live == {f"k{i}": f"v{i}".encode() for i in range(2, 10)}
+    assert os.path.isdir(kv_loc.location)
+    assert not os.path.exists(kv_loc.location.rstrip("/") + "__compact")
+    # restart after compact
+    spark.sql(f"DROP TABLE {kv_loc.table}")
+    kv2 = KVStore(
+        spark, name="durable_test", num_buckets=4, location=kv_loc.location
+    )
+    assert {r["key"]: bytes(r["value"]) for r in kv2.scan().collect()} == live
+
+
+def test_location_store_recovers_interrupted_compact_rename(kv_loc, spark):
+    """Hard-crash window: live dir deleted, snapshot dir not yet
+    renamed in. A fresh handle must finish the rename and serve the
+    compacted state."""
+    import shutil
+
+    kv_loc.put("x", b"old")
+    kv_loc.put("x", b"new")
+    kv_loc.put("y", b"keep")
+    # manufacture the crash state: snapshot exists under __compact,
+    # live dir gone, catalog entry gone
+    kv_loc.compact()
+    spark.sql(f"DROP TABLE {kv_loc.table}")
+    tmp = kv_loc.location.rstrip("/") + "__compact"
+    shutil.move(kv_loc.location, tmp)
+
+    kv2 = KVStore(
+        spark, name="durable_test", num_buckets=4, location=kv_loc.location
+    )
+    assert kv2.get("x") == b"new"
+    assert kv2.get("y") == b"keep"
+
+
+def test_location_store_drop_destroys_durable_log(kv_loc, spark):
+    import os
+
+    kv_loc.put("gone", b"soon")
+    loc = kv_loc.location
+    kv_loc.drop()
+    assert not os.path.exists(loc)
+    assert not os.path.exists(loc.rstrip("/") + "__compact")
+    assert not spark.catalog.tableExists(kv_loc.table)
