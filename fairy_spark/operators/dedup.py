@@ -44,7 +44,11 @@ from fairy_spark.operators.text import (
 # the "mutating the corpus under the same cache_key" trap from silent
 # stale results into StaleSignatureIndex (VERDICT r4 #6).
 _SHINGLE_CACHE: dict[str, dict[object, tuple[list[DataFrame], object]]] = {}
-_CACHE_CAP = 2
+# 3, not 2: the incremental-maintenance path (minhash_lsh_append)
+# legitimately holds a base index AND a delta index warm next to one
+# other full-corpus index; a 2-slot cache made those three evict each
+# other every call.
+_CACHE_CAP = 3
 
 
 class StaleSignatureIndex(RuntimeError):
@@ -203,6 +207,118 @@ def _shingled_sig_arrow(
     )
 
 
+def _signature_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    block: list[str],
+    cache_key: str | None,
+) -> DataFrame:
+    """The warm (id, *block, shingles, sig) signature INDEX, built or
+    served from the per-app LRU cache (see _SHINGLE_CACHE). Extracted
+    from minhash_lsh_candidates so the incremental-maintenance path
+    (minhash_lsh_append) can hold a base index and a delta index warm
+    side by side under distinct cache keys."""
+    app_id = docs.sparkSession.sparkContext.applicationId
+    fp = (
+        (cache_key, id_col, text_col, shingle_n, num_hashes, tuple(block))
+        if cache_key is not None
+        else None
+    )
+    cache = _SHINGLE_CACHE.setdefault(app_id, {})
+    if fp is not None and fp in cache:
+        (sig,), recorded = cache[fp]
+        actual = _corpus_fingerprint(docs, id_col)
+        if actual != recorded:
+            raise StaleSignatureIndex(
+                f"cache_key {cache_key!r}: corpus fingerprint changed "
+                f"{recorded} -> {actual}; the signature index was built "
+                "over a different corpus. Change the cache_key when the "
+                "corpus mutates, or clear_signature_cache() first."
+            )
+        # refresh LRU position (dicts iterate in insertion order)
+        cache[fp] = cache.pop(fp)
+        return sig
+    # ONE persisted table — (id, shingles, sig) — feeds all four
+    # downstream subtrees (two band-join sides, two verify sides):
+    # without it the md5 pipeline runs 4x inside one action; with
+    # TWO separate persists (shingles, then sig on top — the r1-r3
+    # shape) the cold build paid an extra cache write+read pass for
+    # no reader that needs shingles without sig. Same-key and
+    # over-cap entries are dropped first: a per-call persist with
+    # no unpersist accumulates one copy per invocation (measured:
+    # e2e degraded 6s → 16s over three calls at sf0.1 from
+    # cache+GC pressure). Project to (id, text) BEFORE the
+    # repartition — the shuffle carries only what shingling needs —
+    # but compute the shingles AFTER it, so the expensive
+    # tokenize+ngram work runs on all cores, not on the input
+    # file's few partitions.
+    sig = _shingled_sig_arrow(
+        docs, id_col, text_col, shingle_n, num_hashes, block
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # fp=None (uncacheable caller) still occupies a slot under the
+    # None key so the NEXT call unpersists it — nothing leaks.
+    if fp in cache:
+        for prev in cache.pop(fp)[0]:
+            prev.unpersist(blocking=False)
+    # Materialize eagerly: the four subtrees race and recompute on a
+    # cold cache otherwise (measured 7s vs 2s at sf0.1). One tiny
+    # job up front makes the big join read warm cache
+    # deterministically. For reusable entries the SAME job records
+    # the corpus fingerprint — sig carries one row per doc with the
+    # id column intact, so (count, max id) over sig ≡ the
+    # _corpus_fingerprint of docs, and fusing them saves one of the
+    # cold path's fixed-overhead jobs (r6 stage profile,
+    # BASELINE.md §3).
+    if fp is not None:
+        row = sig.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.col("id")).alias("mx")
+        ).first()
+        content = (row["n"], row["mx"])
+    else:
+        # fp=None slot is never served back — don't pay the agg
+        content = None
+        sig.count()
+    cache[fp] = ([sig], content)
+    while len(cache) > _CACHE_CAP:
+        oldest = next(iter(cache))
+        for prev in cache.pop(oldest)[0]:
+            prev.unpersist(blocking=False)
+    return sig
+
+
+def _band_frame(
+    sig: DataFrame, block: list[str], num_hashes: int, band_rows: int
+) -> DataFrame:
+    """(id, *block, band_id, band_hash) rows from a signature index.
+    Docs with an EMPTY shingle set (fewer than n tokens) carry an
+    all-null signature; concat_ws silently renders null components as
+    equal empty strings, so without the filter every shingle-less doc
+    lands in one giant band bucket and pairs with every other — pairs
+    a null-comparing SQL oracle correctly rejects, and whose Jaccard
+    is 0/0. Shingle-less docs cannot be shingle-near-dups by
+    definition; exclude them before banding on both engines'
+    semantics."""
+    n_bands = num_hashes // band_rows
+    return sig.filter(F.size("shingles") > 0).select(
+        "id",
+        *block,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col("sig").getItem(b * band_rows + r) for r in range(band_rows)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -260,99 +376,13 @@ def minhash_lsh_candidates(
     assert num_hashes % band_rows == 0
     block = list(block_cols or [])
     par = docs.sparkSession.sparkContext.defaultParallelism
-    app_id = docs.sparkSession.sparkContext.applicationId
-    fp = (
-        (cache_key, id_col, text_col, shingle_n, num_hashes, tuple(block))
-        if cache_key is not None
-        else None
+    sig = _signature_index(
+        docs, id_col, text_col, shingle_n, num_hashes, block, cache_key
     )
-    cache = _SHINGLE_CACHE.setdefault(app_id, {})
-    if fp is not None and fp in cache:
-        (sig,), recorded = cache[fp]
-        actual = _corpus_fingerprint(docs, id_col)
-        if actual != recorded:
-            raise StaleSignatureIndex(
-                f"cache_key {cache_key!r}: corpus fingerprint changed "
-                f"{recorded} -> {actual}; the signature index was built "
-                "over a different corpus. Change the cache_key when the "
-                "corpus mutates, or clear_signature_cache() first."
-            )
-        # refresh LRU position (dicts iterate in insertion order)
-        cache[fp] = cache.pop(fp)
-    else:
-        # ONE persisted table — (id, shingles, sig) — feeds all four
-        # downstream subtrees (two band-join sides, two verify sides):
-        # without it the md5 pipeline runs 4x inside one action; with
-        # TWO separate persists (shingles, then sig on top — the r1-r3
-        # shape) the cold build paid an extra cache write+read pass for
-        # no reader that needs shingles without sig. Same-key and
-        # over-cap entries are dropped first: a per-call persist with
-        # no unpersist accumulates one copy per invocation (measured:
-        # e2e degraded 6s → 16s over three calls at sf0.1 from
-        # cache+GC pressure). Project to (id, text) BEFORE the
-        # repartition — the shuffle carries only what shingling needs —
-        # but compute the shingles AFTER it, so the expensive
-        # tokenize+ngram work runs on all cores, not on the input
-        # file's few partitions.
-        sig = _shingled_sig_arrow(
-            docs, id_col, text_col, shingle_n, num_hashes, block
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # fp=None (uncacheable caller) still occupies a slot under the
-        # None key so the NEXT call unpersists it — nothing leaks.
-        if fp in cache:
-            for prev in cache.pop(fp)[0]:
-                prev.unpersist(blocking=False)
-        # Materialize eagerly: the four subtrees race and recompute on a
-        # cold cache otherwise (measured 7s vs 2s at sf0.1). One tiny
-        # job up front makes the big join read warm cache
-        # deterministically. For reusable entries the SAME job records
-        # the corpus fingerprint — sig carries one row per doc with the
-        # id column intact, so (count, max id) over sig ≡ the
-        # _corpus_fingerprint of docs, and fusing them saves one of the
-        # cold path's fixed-overhead jobs (r6 stage profile,
-        # BASELINE.md §3).
-        if fp is not None:
-            row = sig.agg(
-                F.count(F.lit(1)).alias("n"), F.max(F.col("id")).alias("mx")
-            ).first()
-            content = (row["n"], row["mx"])
-        else:
-            # fp=None slot is never served back — don't pay the agg
-            content = None
-            sig.count()
-        cache[fp] = ([sig], content)
-        while len(cache) > _CACHE_CAP:
-            oldest = next(iter(cache))
-            for prev in cache.pop(oldest)[0]:
-                prev.unpersist(blocking=False)
-
     # Bands carry ONLY (id, band_id, band_hash): the band self-join
     # shuffles a few dozen bytes per row instead of the shingle arrays;
     # shingles are joined back just for the surviving candidate pairs.
-    n_bands = num_hashes // band_rows
-    # Docs with an EMPTY shingle set (fewer than n tokens) carry an
-    # all-null signature. concat_ws silently renders null components as
-    # equal empty strings, so without this filter every shingle-less
-    # doc lands in one giant band bucket and pairs with every other —
-    # pairs a null-comparing SQL oracle (sig[i] = sig[i] is NULL, not
-    # true) correctly rejects, and whose Jaccard is 0/0. Shingle-less
-    # docs cannot be shingle-near-dups by definition; exclude them
-    # before banding on both engines' semantics.
-    bands = sig.filter(F.size("shingles") > 0).select(
-        "id",
-        *block,
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[F.col("sig").getItem(b * band_rows + r) for r in range(band_rows)],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    bands = _band_frame(sig, block, num_hashes, band_rows)
 
     # Explicit repartition on the join keys: the band table is tiny
     # (AQE would coalesce it to ~1 partition) but the self-join output
@@ -405,6 +435,76 @@ def minhash_lsh_candidates(
             (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
         )
     return out.select(*cols)
+
+
+def minhash_lsh_append(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 1,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Incremental LSH index maintenance: candidate near-dup pairs
+    (id_a < id_b) INVOLVING a corpus delta, without rebuilding the
+    base signature index (VERDICT r6 #6a).
+
+    Minhash banding is per-doc independent, so appending a delta only
+    creates pairs that touch a delta doc: the delta's bands probe the
+    UNION of base and delta bands in an equi-join, and base×base pairs
+    can never appear on the probe side. Cost is ∝ |delta| × bucket
+    occupancy — the append a streaming-ingest pipeline pays per batch —
+    versus the full rebuild's ∝ |corpus|. With a ``cache_key``, the
+    base index persists warm under ``{key}#base`` across appends (the
+    staleness fingerprint still trips if the base corpus mutates), and
+    the delta under ``{key}#delta``; the result is value-identical to
+    the full-rebuild candidates restricted to delta-involving pairs
+    (gated by test_minhash_append_matches_full_rebuild)."""
+    par = base_docs.sparkSession.sparkContext.defaultParallelism
+    base_sig = _signature_index(
+        base_docs, id_col, text_col, shingle_n, num_hashes, [],
+        f"{cache_key}#base" if cache_key is not None else None,
+    )
+    delta_sig = _signature_index(
+        delta_docs, id_col, text_col, shingle_n, num_hashes, [],
+        f"{cache_key}#delta" if cache_key is not None else None,
+    )
+    bands_delta = _band_frame(delta_sig, [], num_hashes, band_rows)
+    bands_all = bands_delta.unionByName(
+        _band_frame(base_sig, [], num_hashes, band_rows)
+    )
+    join_keys = ["band_id", "band_hash"]
+    # Same explode-join planning rule as the full build: explicit hash
+    # partition on the band keys (size-based planning misjudges
+    # explode-joins), delta side pinned away from broadcast — the base
+    # band table is O(corpus).
+    pairs = (
+        bands_delta.repartition(par, *join_keys)
+        .alias("d")
+        .join(bands_all.repartition(par, *join_keys).hint("shuffle_hash").alias("o"), join_keys)
+        .filter(F.col("d.id") != F.col("o.id"))
+        .select(
+            F.least(F.col("d.id"), F.col("o.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("o.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_all = base_sig.unionByName(delta_sig)
+    sh_a = sig_all.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sig_all.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
 
 
 def _gram_digests_hof(docs: DataFrame, gram_n: int, id_col: str, text_col: str) -> DataFrame:

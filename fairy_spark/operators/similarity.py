@@ -308,3 +308,97 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "cos", "rn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+
+def quantized_vec(vec: Column, scale: int = 1024) -> Column:
+    """Integer-quantized copy of a float vector: q_d = floor(v_d * scale)
+    with scale a power of two, so float→double widening, the multiply,
+    and the floor are all EXACT — the same bigint in any engine. This
+    is what makes an IVF pipeline hash-checkable end-to-end: every
+    distance, dot product, and comparison downstream is integer
+    arithmetic with no summation-order sensitivity."""
+    assert scale & (scale - 1) == 0, "scale must be a power of two"
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("bigint"))
+
+
+def int_l2sq(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two bigint vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_exact_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_clusters: int = 4,
+    n_probe: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF twin of ivf_topk (VERDICT r6 #3 — the
+    ml_ann_lsh_exact16 recipe applied to IVF): the SAME pipeline
+    structure — seed selection, cluster assignment, n_probe pruning,
+    in-cluster scoring, per-query ranking — in exact integer
+    arithmetic over a bounded corpus, so a SQL oracle reproduces every
+    byte. Seeds are the n_clusters vectors with the smallest
+    (md5(id), id) — ivf_index's deterministic pseudo-random init —
+    and vectors assign to their nearest seed by integer L2 (tie →
+    smaller cluster id). Scoring is the integer dot product (MIPS
+    ranking): cosine's division is the one non-oracle-able float op,
+    and inner-product search is itself a standard ANN mode. What this
+    hash-checks: the bucket/probe machinery and ranking; what stays
+    with the property tests: Lloyd's float mean update and recall
+    (inherently approximate)."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), quantized_vec(F.col(vec_col), scale).alias("_q")
+    )
+    seed_rows = (
+        corpus.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_clusters)
+        .collect()
+    )
+    cent = embeddings.sparkSession.createDataFrame(
+        [(i, list(r["_q"])) for i, r in enumerate(seed_rows)],
+        "_cid INT, _cvec ARRAY<BIGINT>",
+    )
+
+    def nearest(df: DataFrame, vec: str, n: int) -> DataFrame:
+        w = Window.partitionBy(df.columns[0]).orderBy(F.asc("_d2"), F.asc("_cid"))
+        return (
+            df.join(F.broadcast(cent), F.lit(True))
+            .withColumn("_d2", int_l2sq(F.col(vec), F.col("_cvec")))
+            .withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n)
+            .drop("_cvec", "_d2", "_cr")
+        )
+
+    assigned = nearest(corpus, "_q", 1).select(
+        F.col("_id").alias("neighbor_id"), F.col("_q").alias("_nq"), F.col("_cid").alias("cluster")
+    )
+    q = corpus.filter(F.col("_id") < 8).select(
+        F.col("_id").alias("query_id"), F.col("_q").alias("_qq")
+    )
+    probed = nearest(q, "_qq", n_probe).select(
+        "query_id", "_qq", F.col("_cid").alias("cluster")
+    )
+    dot_i = F.aggregate(
+        F.zip_with(F.col("_qq"), F.col("_nq"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot_i)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "dot", "rn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )

@@ -294,6 +294,53 @@ def dedup_minhash_band2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_MH_INC_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+     AND ({" OR ".join(f"a.sig[{i + 1}] = b.sig[{i + 1}]" for i in range(8))})
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_incremental", oracle=_MH_INC_ORACLE)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental minhash index maintenance (VERDICT r6 #6a): the
+    corpus is split into a base (90%) and a delta (doc_id % 10 = 0 —
+    the append batch); minhash_lsh_append computes the NEW candidate
+    pairs the delta introduces by probing the delta's bands against
+    the base∪delta band union — never rebuilding base signatures, so
+    per-append cost is ∝ |delta|, the contract a streaming-ingest
+    dedup pipeline needs. Banding is per-doc independent, so the
+    result equals the full rebuild's candidates restricted to
+    delta-involving pairs — exactly what the oracle states (the full
+    banded form + the delta predicate), making the maintenance
+    identity itself the checked semantics."""
+    from fairy_spark.operators.dedup import minhash_lsh_append
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    pairs = minhash_lsh_append(
+        base, delta, shingle_n=3, num_hashes=8, band_rows=1, cache_key=sf_dir
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 _SUBSTR_ORACLE = """
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
@@ -566,6 +613,80 @@ def ml_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") <= 10)
     return ivf_topk(e, q, k=5, n_clusters=16, n_probe=4).orderBy("query_id", "rn")
+
+
+_IVF_Q_SQL = (
+    "list_transform(generate_series(1, 64), "
+    "i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT))"
+)
+_IVF_EXACT_ORACLE = f"""
+    WITH c AS (
+      SELECT vec_id, {_IVF_Q_SQL} AS q
+      FROM embeddings WHERE vec_id < 64
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cid,
+             q AS cq
+      FROM c
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 4
+    ), dist AS (
+      SELECT c.vec_id, s.cid,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, 64),
+                                 i -> (c.q[i] - s.cq[i]) * (c.q[i] - s.cq[i]))),
+                  (x, y) -> x + y) AS BIGINT) AS d2
+      FROM c CROSS JOIN seeds s
+    ), assigned AS (
+      SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM dist)
+      WHERE r = 1
+    ), probed AS (
+      SELECT vec_id AS query_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM dist WHERE vec_id < 8)
+      WHERE r <= 2
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, 64), i -> cq.q[i] * cn.q[i])),
+                  (x, y) -> x + y) AS BIGINT) AS dot
+      FROM probed p
+      JOIN assigned a ON p.cluster = a.cluster AND a.neighbor_id != p.query_id
+      JOIN c cq ON cq.vec_id = p.query_id
+      JOIN c cn ON cn.vec_id = a.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id) AS rn
+      FROM (SELECT DISTINCT query_id, neighbor_id, dot FROM scored)
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """
+
+
+@register("ml_ann_ivf_exact", oracle=_IVF_EXACT_ORACLE)
+def ml_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-checked twin of ml_ann_ivf_topk (VERDICT r6
+    #3 — the ml_ann_lsh_exact16 recipe applied to IVF): same pipeline
+    structure (md5-seeded init, nearest-centroid assignment, n_probe=2
+    probe pruning, in-cluster scoring, per-query top-3) over a bounded
+    64-vector corpus, in EXACT integer arithmetic — vectors quantized
+    by a power-of-two scale (operators/similarity.quantized_vec),
+    integer L2 assignment, integer dot-product (MIPS) ranking — so
+    the oracle mirrors every step byte-for-byte. This closes the IVF
+    bucket/probe machinery's external-proof gap; only the Lloyd float
+    mean update and recall (inherently approximate) remain with the
+    property tests in tests/test_similarity.py."""
+    from fairy_spark.operators.similarity import ivf_exact_topk
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    return ivf_exact_topk(e, k=3, n_clusters=4, n_probe=2).orderBy("query_id", "rn")
 
 
 _CC_ORACLE = f"""
@@ -2154,6 +2275,93 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.filter(c >= 0.5)
         .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_CONTAIN_PRE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), s2 AS (
+      SELECT doc_id, sh FROM s WHERE LEN(sh) > 0
+    ), sig AS (
+      SELECT doc_id, [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM s2
+    ), banded AS (
+      SELECT doc_id, b.band_id, sig[b.band_id + 1] AS band_val
+      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_id) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ), both_dir AS (
+      SELECT id_a, id_b FROM cand
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b FROM cand
+    ), pairs AS (
+      SELECT p.id_a, p.id_b,
+             CAST(LEN(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+             LEN(sa.sh) AS n_a
+      FROM both_dir p
+      JOIN s2 sa ON sa.doc_id = p.id_a
+      JOIN s2 sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / n_a >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@register("text_containment_prefiltered", oracle=_CONTAIN_PRE_ORACLE)
+def text_containment_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of text_containment, now a registered default
+    (VERDICT r6 #2): asymmetric containment C(a→b) = |S(a)∩S(b)|/|S(a)|
+    computed ONLY for minhash band-bucket candidate pairs (8 hashes ×
+    1-row bands — ≥80% recall of containment-≥0.5 pairs, CI-gated in
+    tests/test_scale_growth.py). Unlike text_containment's global
+    shingle equi-join (cost ∝ matching shingle pairs, measured ~n^1.6
+    on the synth corpus), this plan is candidate-bound: the banded
+    equi-join generates pairs at Σ|bucket|² cost, both orientations of
+    each candidate join their (bounded, per-doc) shingle SETS back by
+    id, and the intersection is a per-pair array_intersect — corpus-
+    linear for bounded-duplication corpora, and the variant the sf1
+    (10×) audit runs. The prefilter IS part of the semantics: the
+    oracle mirrors the identical 8 band buckets (same md5-window
+    minhash), so recall loss vs the exhaustive form is pinned, not
+    hidden. Shares the warm signature index with dedup_minhash_lsh
+    (same cache_key) — one index, many dedup policies."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        d, shingle_n=3, num_hashes=8, band_rows=1, cache_key=sf_dir
+    )
+    both = cand.select("id_a", "id_b").unionByName(
+        cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    shsets = d.select(
+        "doc_id", shingle_set(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    pairs = both.join(
+        shsets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        shsets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    c = n_inter.cast("double") / F.size("sh_a")
+    return (
+        pairs.filter(c >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            n_inter.alias("n_inter"),
+            F.round(c, 6).alias("containment"),
+        )
         .orderBy("id_a", "id_b")
     )
 

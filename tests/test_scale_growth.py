@@ -240,3 +240,41 @@ def test_containment_behind_minhash_prefilter_scale_path(spark):
     assert pre_volume < full_volume, "prefilter must shrink scored volume"
     recall = len(pre_hits & full_hits) / len(full_hits)
     assert recall >= 0.8, f"prefilter recall {recall:.2f} < 0.8"
+
+
+def test_minhash_append_matches_full_rebuild(spark):
+    """The maintenance identity minhash_lsh_append is built on: banding
+    is per-doc independent, so (base + delta appended incrementally)
+    must produce EXACTLY the full rebuild's candidate pairs restricted
+    to delta-involving pairs — same pairs, same jaccard values."""
+    from fairy_spark.operators.dedup import (
+        clear_signature_cache,
+        minhash_lsh_append,
+        minhash_lsh_candidates,
+    )
+
+    docs = synth_documents(spark, 1000)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    clear_signature_cache(spark)
+    expected = {
+        p: j for p, j in full.items() if p[0] % 5 == 0 or p[1] % 5 == 0
+    }
+    inc = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_append(base, delta, cache_key="synth_append").collect()
+    }
+    assert inc == expected
+    # second append over the warm base index: same result, and the
+    # staleness contract still holds for the cached entries
+    inc2 = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_append(base, delta, cache_key="synth_append").collect()
+    }
+    assert inc2 == expected
+    clear_signature_cache(spark)
