@@ -649,3 +649,58 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "scan_pydatasource_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_orderkey >= 1000 AND l_orderkey <= 2000
+    ORDER BY l_orderkey, l_partkey, qty
+    """,
+)
+def scan_pydatasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown through the Python DataSource boundary
+    (VERDICT r6 #6b): lineitem is rewritten range-partitioned on
+    l_orderkey (4 disjoint files — each file one row group with tight
+    footer stats), then scanned through ``fairy_pqrg_fp``
+    (sources/pydatasource.py PushdownRowGroupReader): Spark pushes
+    the two range filters via pushFilters, the reader evaluates them
+    against row-group min/max statistics at PLANNING time and never
+    plans the provably-empty row groups as partitions — the
+    footer-stats skip of a native parquet scan, demonstrated through
+    the user-pluggable connector. Filters are also re-applied by
+    Spark post-scan (the reader returns them all), so pruning is
+    strictly a planning optimization — the oracle reads the original
+    table with plain SQL. tests/test_pydatasource_pushdown.py
+    asserts the partition count actually shrinks."""
+    from fairy_spark.sources.pydatasource import register_pydatasource_pushdown
+    from fairy_spark.sources.tables import load_table as _lt
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_pydatasource_pushdown(spark)
+    target = _scratch(spark, sf_dir, "pushdown_lineitem")
+    (
+        _lt(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .repartitionByRange(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    df = (
+        spark.read.format("fairy_pqrg_fp")
+        .schema("l_orderkey long, l_partkey long, l_quantity double")
+        .option("path", target)
+        .load()
+    )
+    return (
+        df.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") <= 2000))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .orderBy("l_orderkey", "l_partkey", "qty")
+    )

