@@ -99,3 +99,76 @@ def ntile_from_pos(pos: Column, total: int, k: int) -> Column:
     wide = F.floor((pos - 1) / F.lit(q + 1)) + 1
     narrow = F.lit(r) + F.floor((pos - 1 - F.lit(r * (q + 1))) / F.lit(max(q, 1))) + 1
     return F.when(pos <= r * (q + 1), wide).otherwise(narrow)
+
+
+def sharded_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    n_shards: int = 32,
+) -> DataFrame:
+    """Inclusive global cumulative sums ``cum_<c>`` of each ``sum_cols``
+    entry over the total order ``order_cols`` — the generalization of
+    :func:`sharded_global_row_number` from counting to summing, built
+    for ECDF-style statistics (two-sample KS, Lorenz curves): pass 1
+    aggregates per-shard SUBTOTALS of every sum column (#shards rows to
+    the driver), the driver prefix-sums them, pass 2 runs a PARALLEL
+    per-shard cumulative window and adds the broadcast shard offsets.
+    No SinglePartition exchange at any data-scale stage.
+
+    Preconditions match sharded_global_row_number: ``order_cols[0]``
+    numeric non-null; sum columns should be exact types (bigint /
+    decimal) — the per-shard subtotals and offsets add in arbitrary
+    order, which only exact arithmetic makes deterministic."""
+    spark = df.sparkSession
+
+    bounds = df.agg(
+        F.min(order_cols[0]).alias("lo"), F.max(order_cols[0]).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        for c in sum_cols:
+            df = df.withColumn(f"cum_{c}", F.lit(None))
+        return df
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    span = hi - lo
+    if span <= 0:
+        shard = F.lit(0).cast("bigint")
+    else:
+        shard = F.least(
+            F.lit(n_shards - 1).cast("bigint"),
+            F.floor((F.col(order_cols[0]) - F.lit(lo)) / F.lit(span) * n_shards).cast(
+                "bigint"
+            ),
+        )
+    sharded = df.withColumn("_shard", shard)
+
+    subtotals = (
+        sharded.groupBy("_shard")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    from decimal import Decimal
+
+    running = {c: 0 for c in sum_cols}
+    offsets = []
+    for r in sorted(subtotals, key=lambda r: r["_shard"]):
+        offsets.append(
+            (int(r["_shard"]), *[Decimal(running[c]) for c in sum_cols])
+        )
+        for c in sum_cols:
+            running[c] += int(r[c] or 0)
+    off_schema = "_shard BIGINT, " + ", ".join(f"_off_{c} DECIMAL(38,0)" for c in sum_cols)
+    off_df = spark.createDataFrame(offsets, off_schema)
+
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = sharded.join(F.broadcast(off_df), "_shard")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.sum(c).over(w) + F.col(f"_off_{c}")).cast("decimal(38,0)"),
+        )
+    return out.drop("_shard", *[f"_off_{c}" for c in sum_cols])

@@ -78,6 +78,7 @@ def _load_all() -> None:
         udfs_mm,
         graph,
         analytics,
+        stats,
     )
     # streaming_exec reuses streaming_batch's oracle strings, so it
     # must import after streaming_batch has registered them.
