@@ -882,3 +882,50 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_roundtrip"
         ),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey,
+             'https://shop.example.com/' || lower(c_mktsegment) || '/' ||
+               CAST(c_custkey AS VARCHAR) || '?ref=' || CAST(c_nationkey AS VARCHAR)
+               || '&page=2' AS url
+      FROM customer WHERE c_custkey <= 500
+    )
+    SELECT c_custkey,
+           'shop.example.com' AS host,
+           '/' || regexp_extract(url, 'https://[^/]+(/[^?]*)', 1)[2:] AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param
+    FROM u
+    ORDER BY c_custkey
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via Spark's parse_url (HOST / PATH / QUERY /
+    single-parameter extraction) over URLs constructed from customer
+    attributes — the clickstream-normalization primitive. The oracle
+    reconstructs each component from the SAME construction (regexp on
+    the built string), so the check proves parse_url inverts the URL
+    grammar rather than trusting one engine's parser. Pure per-row
+    codegen expressions — zero shuffle beyond the final sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.lower("c_mktsegment"),
+        F.lit("/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?ref="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&page=2"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    ).orderBy("c_custkey")

@@ -472,3 +472,273 @@ def graph_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "n", p.alias("p"))
         .orderBy("src", "dst")
     )
+
+
+_COPURCHASE_PAIRS_SQL = """
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges (u < v), the graph family's shared
+    edge extraction (see graph_triangles): order-local self-join —
+    corpus-linear for bounded basket size — then pair-distinct."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH pairs AS (
+      {_COPURCHASE_PAIRS_SQL}
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), tri_per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.d AS degree,
+           COALESCE(t.t, 0) AS triangles,
+           ROUND(CASE WHEN deg.d >= 2
+                      THEN 2.0 * COALESCE(t.t, 0) / (deg.d * (deg.d - 1))
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg LEFT JOIN tri_per_node t USING (node)
+    ORDER BY node
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2·tri(v)/(deg(v)·
+    (deg(v)−1)) — on the part co-purchase graph, via the SAME
+    degree-ordered triangle enumeration as graph_triangles (each
+    triangle materializes once as (a,b,c)); per-node triangle counts
+    come from exploding the three corners into one hash-agg. Scale
+    inherits the orientation bound (wedges O(m^1.5), hub-degree
+    capped at O(√m)); the coefficient itself is an exact rational of
+    two integers, rounded only for display. This is the graph-quality
+    profile (community density) next to graph_triangles' global
+    count."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    oriented = _persist_edges(oriented)
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    coeff = F.when(
+        F.col("d") >= 2,
+        2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(coeff, 6).alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )
+
+
+def _bfs_oracle(hops: int = 3) -> str:
+    prev = "d0"
+    its = []
+    for i in range(1, hops + 1):
+        its.append(
+            f"""d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + 1 AS dist
+        FROM edges e JOIN {prev} p ON e.src = p.node
+      ) GROUP BY node
+    )"""
+        )
+        prev = f"d{i}"
+    return f"""
+    WITH pairs AS (
+      {_COPURCHASE_PAIRS_SQL}
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v, u FROM pairs
+    ), d0 AS (
+      SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist FROM pairs WHERE u < 3
+      UNION
+      SELECT DISTINCT v, 0 FROM pairs WHERE v < 3
+    ),
+    {", ".join(its)}
+    SELECT node, CAST(dist AS BIGINT) AS dist
+    FROM {prev}
+    ORDER BY node
+    """
+
+
+@register("graph_shortest_paths", oracle=_bfs_oracle())
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest paths (hop distance ≤ 3) from the
+    seed part set {u < 3} over the co-purchase graph — the bounded
+    frontier-expansion Pregel shape: each round is one edges⋈frontier
+    equi-join plus a min-dist hash agg, distances are small exact
+    integers, and the round count (graph diameter cap) bounds the
+    shuffle count, not the corpus. The oracle unrolls the identical
+    rounds as CTEs (the graph_pagerank pattern) — same min-plateau
+    semantics, declarative form."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    edges = _persist_edges(edges)
+    seeds = (
+        pairs.filter(F.col("u") < 3)
+        .select(F.col("u").alias("node"))
+        .unionAll(pairs.filter(F.col("v") < 3).select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+    )
+    d = seeds
+    for _ in range(3):
+        expanded = edges.join(
+            d.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        d = (
+            d.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return d.select("node", F.col("dist").cast("bigint").alias("dist")).orderBy("node")
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    prev = "l0"
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""c{i} AS (
+      SELECT e.dst AS node, p.label, COUNT(*) AS cnt
+      FROM edges e JOIN {prev} p ON e.src = p.node
+      GROUP BY e.dst, p.label
+    ), l{i} AS (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label,
+               RANK() OVER (PARTITION BY node ORDER BY cnt DESC) AS r
+        FROM c{i}
+      ) WHERE r = 1 GROUP BY node
+    )"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH pairs AS (
+      {_COPURCHASE_PAIRS_SQL}
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v, u FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    ),
+    {", ".join(its)}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM {prev}
+    GROUP BY label
+    ORDER BY community
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection, 3 rounds, DETERMINISTIC tiebreak: each round
+    every node adopts the most frequent label among its neighbors,
+    ties broken toward the smallest label — the rule that makes LPA
+    reproducible (textbook LPA breaks ties randomly and is
+    unbenchable). Each round is one edges⋈labels join + two hash aggs
+    (count per (node,label), then arg-max with min tiebreak) — the
+    Pregel message shape with bounded rounds; community summary
+    (size + min member) keeps the output stable and inspection-
+    friendly. Oracle: identical rounds unrolled as CTEs."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    edges = _persist_edges(edges)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        counts = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"))
+        labels = (
+            counts.withColumn("r", F.rank().over(w))
+            .filter(F.col("r") == 1)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").cast("bigint").alias("min_node"),
+        )
+        .orderBy("community")
+    )

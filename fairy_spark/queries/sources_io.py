@@ -704,3 +704,47 @@ def scan_pydatasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_partkey", "qty")
     )
+
+
+@register(
+    "sink_csv_compressed",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sink_csv_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-codec sink/scan round-trip: orders → GZIP CSV →
+    explicit-schema read-back → exact-cents aggregate. The codec is
+    part of the checked path (Spark auto-detects .gz on read — the
+    splittability trade-off every 100 TB pipeline weighs: gzip parts
+    are whole-file splits, so part-file COUNT, set by the upstream
+    partitioning, is the read parallelism; a production sink sizes
+    parts accordingly or picks a splittable codec). A unit test pins
+    the .csv.gz extension so a silently-uncompressed sink fails."""
+    path = _scratch(spark, sf_dir, "orders_csv_gz")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(*cols)
+        .write.mode("overwrite")
+        .options(header=True, compression="gzip")
+        .csv(path)
+    )
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    ).options(header=True).csv(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0).alias(
+                "total"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

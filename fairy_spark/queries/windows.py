@@ -540,3 +540,49 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TIME_RANGE_SQL)
+
+
+@register(
+    "win_percent_rank_cume",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    )
+    SELECT c_custkey, c_nationkey, bal_cents,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY bal_cents), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY bal_cents), 6)
+             AS cume,
+           NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
+             AS quartile
+    FROM c
+    ORDER BY c_nationkey, bal_cents, c_custkey
+    """,
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions — PERCENT_RANK ((rank−1)/
+    (n−1)), CUME_DIST (#≤/n), NTILE(4) — per nation over exact
+    balance cents. Tie semantics are part of the contract: equal
+    balances share pct_rank/cume (so those order only on the value),
+    while NTILE needs a total order for determinism — c_custkey
+    breaks ties. The ratios are exact rationals of partition counts,
+    rounded for display. Windows are PARTITIONED by nation (parallel);
+    for a global version the sharded two-pass helpers
+    (operators/ranking.py) replace the SinglePartition plan."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    w_val = Window.partitionBy("c_nationkey").orderBy("bal_cents")
+    w_tot = Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_cents",
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cume"),
+        F.ntile(4).over(w_tot).alias("quartile"),
+    ).orderBy("c_nationkey", "bal_cents", "c_custkey")

@@ -427,6 +427,11 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "events_dau_wau",  # calendar-day grid broadcast (~365 rows/yr) band join
         "text_bigram_lm",  # 1-row vocab-size and OOV-logprob frames
         "events_power_curve",  # 1-row total-spend frame for decile shares
+        # r7 additions — each broadcast side is a bounded stat frame
+        "stats_chi_square",  # 1-row N frame + |types|/|cohorts| marginals
+        "stats_ks_two_sample",  # 1-row (n1,n2) totals + 1-row max-deviation frame
+        "stats_benford_digits",  # 9-row expected grid + 1-row total frame
+        "ml_ann_ivf_exact",  # n_clusters-row centroid broadcast (k=4 by design)
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
