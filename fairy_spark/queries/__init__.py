@@ -21,6 +21,10 @@ CORRECTNESS_r*.json row yet ("debt"); additions that round are capped
 at max(0, 50 - debt). Round 5 added 97 queries against a 50-slot
 window and created 56 rows of verification debt — round 6 therefore
 adds zero and lets the tier rotation below surface the debt first.
+Round 7: debt entering the round was 7, the cap 43; 19 new queries
+registered, so the 50-slot window holds flagship + 16 pins + 19 new +
+7 debt = 43 rows with headroom — every registered query will have
+external proof (or its pin re-check) after the r7 window runs.
 """
 
 from __future__ import annotations

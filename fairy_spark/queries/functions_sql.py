@@ -929,3 +929,58 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_timezone_dst",
+    oracle="""
+    SELECT CAST(o_orderdate AS VARCHAR) AS utc_ts,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+                AS VARCHAR) AS ny_wall,
+           CAST(o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'
+                AS VARCHAR) AS berlin_wall,
+           date_diff('hour',
+                     o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                     o_orderdate) AS ny_offset_hours
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01' AND TIMESTAMP '1995-12-31'
+    GROUP BY o_orderdate
+    ORDER BY utc_ts
+    """,
+)
+def fn_timezone_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DST-aware timezone conversion: order timestamps (UTC wall
+    clock) converted to America/New_York and Europe/Berlin local wall
+    time across a year that crosses BOTH DST transitions (offsets
+    −5/−4 and +1/+2 flip at different dates) — the correctness trap
+    every event-time pipeline hits. Spark's convert_timezone(src, tgt,
+    ts) against DuckDB's AT TIME ZONE composition: two independent
+    IANA tzdata consumers must agree on every boundary; the offset
+    column makes a silent off-by-one-hour visible directly. Per-row
+    codegen — no shuffle beyond the distinct-date agg in front."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-03-01")
+        & (F.col("o_orderdate") <= "1995-12-31")
+    )
+    ny = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), F.col("o_orderdate")
+    )
+    berlin = F.convert_timezone(
+        F.lit("UTC"), F.lit("Europe/Berlin"), F.col("o_orderdate")
+    )
+    offset = (
+        F.unix_timestamp(F.col("o_orderdate")) - F.unix_timestamp(ny)
+    ) / 3600
+    return (
+        o.groupBy("o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("o_orderdate").cast("string").alias("utc_ts"),
+            "n",
+            ny.cast("string").alias("ny_wall"),
+            berlin.cast("string").alias("berlin_wall"),
+            offset.cast("bigint").alias("ny_offset_hours"),
+        )
+        .orderBy("utc_ts")
+    )

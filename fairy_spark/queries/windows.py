@@ -586,3 +586,82 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_val), 6).alias("cume"),
         F.ntile(4).over(w_tot).alias("quartile"),
     ).orderBy("c_nationkey", "bal_cents", "c_custkey")
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list({'ts': ts, 'event_id': event_id, 'et': event_type})),
+               x -> x.et) AS types
+      FROM events GROUP BY user_id
+    ), pos AS (
+      SELECT user_id, types,
+             COALESCE(list_position(types, 'signup'), 0) AS s
+      FROM seq
+    ), rel AS (
+      SELECT user_id, s,
+             CASE WHEN s > 0 THEN types[s+1:] ELSE [] END AS rest
+      FROM pos
+    ), flags AS (
+      SELECT user_id, s,
+             COALESCE(list_position(rest, 'purchase'), 0) AS p,
+             COALESCE(list_position(rest, 'error'), 0) AS e
+      FROM rel
+    )
+    SELECT user_id % 4 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN s > 0 AND p > 0 AND (e = 0 OR e > p)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM flags
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE shape (signup, then purchase, with NO error in
+    between) expressed in portable relational algebra: one ordered
+    collect per user (sort_array over (ts, event_id, type) structs —
+    the deterministic-collect discipline), then pure ARRAY-position
+    logic for the pattern (array_position + slice), no regex — regex
+    lookahead is engine-specific, array positions are not. One
+    user-keyed exchange total; pattern evaluation is per-row codegen
+    over bounded per-user arrays. The funnel/abandonment counterpart
+    to events_funnel's time-window join."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ).alias("types")
+    )
+    s = F.array_position(F.col("types"), "signup")
+    rel = seq.select(
+        "user_id",
+        s.alias("s"),
+        F.when(
+            s > 0, F.slice(F.col("types"), (s + 1).cast("int"), F.size("types"))
+        ).otherwise(F.array().cast("array<string>")).alias("rest"),
+    )
+    flags = rel.select(
+        "user_id",
+        "s",
+        F.array_position(F.col("rest"), "purchase").alias("p"),
+        F.array_position(F.col("rest"), "error").alias("e"),
+    )
+    matched = (
+        (F.col("s") > 0)
+        & (F.col("p") > 0)
+        & ((F.col("e") == 0) | (F.col("e") > F.col("p")))
+    )
+    return (
+        flags.groupBy((F.col("user_id") % 4).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias("n_matched"),
+        )
+        .orderBy("cohort")
+    )

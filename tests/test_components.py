@@ -100,10 +100,11 @@ def test_block_cols_partition_candidates(spark):
     assert got == {(1, 2)}, got
 
 
-def test_signature_cache_holds_two_indexes_lru(spark):
-    """The warm-index cache keeps up to two DISTINCT indexes (plain +
-    block-keyed over the same corpus) and reuses, not rebuilds, on a
-    repeat call; a third distinct index evicts the least-recent."""
+def test_signature_cache_holds_cap_indexes_lru(spark):
+    """The warm-index cache keeps up to _CACHE_CAP DISTINCT indexes
+    (cap is 3 since r7 so the incremental path's base+delta indexes
+    fit next to one full index) and reuses, not rebuilds, on a repeat
+    call; one index past the cap evicts the least-recent."""
     from fairy_spark.operators import dedup
 
     rows = [(i, "s", f"tok{i} alpha beta gamma delta tok{i}") for i in range(8)]
@@ -118,7 +119,11 @@ def test_signature_cache_holds_two_indexes_lru(spark):
     after = {k: id(v[0]) for k, v in dedup._SHINGLE_CACHE[app].items()}
     assert before == after  # repeat call reused both warm entries
     dedup.minhash_lsh_candidates(docs, cache_key="k2").count()
-    assert len(dedup._SHINGLE_CACHE[app]) == 2  # LRU evicted, cap held
+    assert len(dedup._SHINGLE_CACHE[app]) == dedup._CACHE_CAP  # at cap
+    keys_at_cap = set(dedup._SHINGLE_CACHE[app])
+    dedup.minhash_lsh_candidates(docs, cache_key="k3").count()
+    assert len(dedup._SHINGLE_CACHE[app]) == dedup._CACHE_CAP  # LRU held
+    assert set(dedup._SHINGLE_CACHE[app]) != keys_at_cap  # oldest evicted
     dedup.clear_signature_cache(spark)
     assert app not in dedup._SHINGLE_CACHE
 
