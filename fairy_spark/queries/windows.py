@@ -551,10 +551,10 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT c_custkey, c_nationkey, bal_cents,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY bal_cents), 6)
-             AS pct_rank,
-           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY bal_cents), 6)
-             AS cume,
+           CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY bal_cents)
+                      * 1048576) AS BIGINT) AS pct_rank_q20,
+           CAST(FLOOR(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY bal_cents)
+                      * 1048576) AS BIGINT) AS cume_q20,
            NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
              AS quartile
     FROM c
@@ -567,9 +567,14 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance cents. Tie semantics are part of the contract: equal
     balances share pct_rank/cume (so those order only on the value),
     while NTILE needs a total order for determinism — c_custkey
-    breaks ties. The ratios are exact rationals of partition counts,
-    rounded for display. Windows are PARTITIONED by nation (parallel);
-    for a global version the sharded two-pass helpers
+    breaks ties. The ratios are quantized by FLOOR(x·2^20), not
+    ROUND(x, 6): both engines IEEE-divide the same integers to the
+    SAME double, the power-of-two multiply is exact, and a rational
+    k/m (m < 2^32) sits ≥ 1/(m·2^20) ≫ 1 ulp from any non-coincident
+    2^-20 boundary — whereas decimal rounding hit a genuine half-way
+    knife-edge at sf0.1 (k/6400 ending in …62.5 millionths; caught by
+    the r7 sf0.1 audit, 3 cells). Windows are PARTITIONED by nation
+    (parallel); for a global version the sharded two-pass helpers
     (operators/ranking.py) replace the SinglePartition plan."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -582,8 +587,12 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "bal_cents",
-        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w_val), 6).alias("cume"),
+        F.floor(F.percent_rank().over(w_val) * 1048576)
+        .cast("bigint")
+        .alias("pct_rank_q20"),
+        F.floor(F.cume_dist().over(w_val) * 1048576)
+        .cast("bigint")
+        .alias("cume_q20"),
         F.ntile(4).over(w_tot).alias("quartile"),
     ).orderBy("c_nationkey", "bal_cents", "c_custkey")
 
