@@ -21,10 +21,13 @@ CORRECTNESS_r*.json row yet ("debt"); additions that round are capped
 at max(0, 50 - debt). Round 5 added 97 queries against a 50-slot
 window and created 56 rows of verification debt — round 6 therefore
 adds zero and lets the tier rotation below surface the debt first.
-Round 7: debt entering the round was 7, the cap 43; 19 new queries
-registered, so the 50-slot window holds flagship + 16 pins + 19 new +
-7 debt = 43 rows with headroom — every registered query will have
-external proof (or its pin re-check) after the r7 window runs.
+Round 7: debt entering the round was 7, the cap 43; 26 new queries
+registered (19 early-round + the 7-query r7 growth batch: geo_cell_knn,
+geo_morton_density, merge_cdc_apply, ml_roc_auc, ml_ndcg_at_k,
+agg_gini_lorenz, stream_exec_watermark_late), so the 50-slot window
+holds flagship + 16 pins + 26 new + 7 debt = exactly 50 rows — every
+registered query will have external proof (or its pin re-check) after
+the r7 window runs, with zero slack left deliberately unspent.
 """
 
 from __future__ import annotations
@@ -83,6 +86,7 @@ def _load_all() -> None:
         graph,
         analytics,
         stats,
+        geo,
     )
     # streaming_exec reuses streaming_batch's oracle strings, so it
     # must import after streaming_batch has registered them.

@@ -1123,3 +1123,83 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     ).orderBy("flag")
+
+
+_GINI_ORACLE = """
+    WITH u AS (
+      SELECT c_mktsegment AS segment, c_custkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 100000 AS units
+      FROM customer
+    ), ranked AS (
+      SELECT segment, units,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY units, c_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM u
+    ), agg AS (
+      SELECT segment, MAX(n) AS n, SUM(units) AS sx,
+             SUM(i * units) AS s1,
+             SUM(CASE WHEN i <= n // 2 THEN units ELSE 0 END) AS bh
+      FROM ranked GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_cust,
+           CAST(sx AS BIGINT) AS sum_units,
+           CAST(FLOOR(CAST(2 * s1 - (n + 1) * sx AS DOUBLE)
+                      / CAST(n * sx AS DOUBLE) * 1048576) AS BIGINT)
+             AS gini_q20,
+           CAST(bh * 1000000 // sx AS BIGINT) AS bottom_half_ppm
+    FROM agg ORDER BY segment
+    """
+
+
+@register("agg_gini_lorenz", oracle=_GINI_ORACLE)
+def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + Lorenz bottom-half share per market segment
+    — the inequality/concentration statistic a corpus-curation
+    pipeline runs on per-source token counts to spot domination (here
+    over shifted-positive account-balance units). Uses the exact
+    rank identity G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) on
+    the ascending sort; equal values make the sum invariant to tie
+    order so the (units, key) ordering is purely for determinism.
+    All accumulation is BIGINT; the single final division runs in
+    IEEE doubles on bit-identical operands in both engines and is
+    floor-quantized at 2^-20. Plan: one rank window per segment
+    partition + one map-side-combinable groupBy — no global sort,
+    no per-pair work (the O(n^2) mean-absolute-difference definition
+    would never survive scale)."""
+    u = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100, 0).cast("bigint") + F.lit(100000)).alias(
+            "units"
+        ),
+    )
+    wi = Window.partitionBy("segment").orderBy("units", "c_custkey")
+    wn = Window.partitionBy("segment")
+    ranked = u.select(
+        "segment",
+        "units",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        F.sum("units").alias("sx"),
+        F.sum(F.col("i") * F.col("units")).alias("s1"),
+        F.sum(
+            F.when(F.col("i") <= F.expr("n DIV 2"), F.col("units")).otherwise(F.lit(0))
+        ).alias("bh"),
+    )
+    return agg.select(
+        "segment",
+        F.col("n").alias("n_cust"),
+        F.col("sx").alias("sum_units"),
+        F.floor(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+            * F.lit(1048576)
+        )
+        .cast("bigint")
+        .alias("gini_q20"),
+        F.expr("bh * 1000000 DIV sx").alias("bottom_half_ppm"),
+    ).orderBy("segment")

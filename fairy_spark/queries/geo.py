@@ -1,0 +1,227 @@
+"""Geospatial operators over the star schema (SURVEY.md §2.B growth
+surface, r7): grid-cell-bucketed nearest-neighbor join and Z-order
+(Morton) cell density — the two primitives a 100 TB point workload
+needs first. Spark has no native spatial join; the scale path is the
+classic grid-blocking decomposition: band every point into a fixed
+lat/lon cell, expand the probe side to its 3x3 cell neighborhood
+(bounded 9x fan-out, broadcast of a 9-row literal — NOT a cross
+join), then equi-join on the cell id so Catalyst plans an ordinary
+shuffled/broadcast hash join. At 1000 executors the join stays
+key-partitioned on cell id; no operator sees more than one
+neighborhood's candidates.
+
+Coordinates: the testdata has no lat/lon, so both engines derive
+deterministic synthetic coordinates from the integer keys with pure
+modular arithmetic (key * prime mod span, centi-degrees) — the same
+exact-integer-twin recipe as ml_ann_lsh_exact16. The distance metric
+is squared centi-degree distance with longitude wraparound, all
+BIGINT: zero transcendental calls, zero knife-edge cells. Production
+would swap in haversine at the one marked expression; the PLAN (cell
+banding, neighborhood expansion, equi-join, per-probe argmin) is the
+operator under test.
+
+Reference parity note: the reference engine (beinan/fairy, Rust KV
+cache) has no spatial surface at all — this family is part of the
+beyond-reference pipeline coverage the build plan calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fairy_spark.queries import register
+from fairy_spark.sources.tables import load_table
+
+# centi-degree synthetic coordinate spans
+_LAT_SPAN = 18_000  # 0..17999 == -90..+89.99 shifted to unsigned
+_LON_SPAN = 36_000  # 0..35999
+_CELL = 1_000  # 10-degree cells: lat cells 0..17, lon cells 0..35
+_N_LON_CELLS = _LON_SPAN // _CELL
+
+# key -> coordinate primes (distinct per table so the point sets are
+# uncorrelated)
+_CUST_LAT_P, _CUST_LON_P = 7_919, 104_729
+_SUPP_LAT_P, _SUPP_LON_P = 6_151, 9_973
+
+
+def _coords(key_col: str, lat_p: int, lon_p: int) -> tuple:
+    lat_u = (F.col(key_col) * F.lit(lat_p)) % F.lit(_LAT_SPAN)
+    lon_u = (F.col(key_col) * F.lit(lon_p)) % F.lit(_LON_SPAN)
+    return lat_u, lon_u
+
+
+_KNN_ORACLE = f"""
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey * {_SUPP_LAT_P}) % {_LAT_SPAN} AS lat_u,
+             (s_suppkey * {_SUPP_LON_P}) % {_LON_SPAN} AS lon_u
+      FROM supplier
+    ), c AS (
+      SELECT c_custkey,
+             (c_custkey * {_CUST_LAT_P}) % {_LAT_SPAN} AS lat_u,
+             (c_custkey * {_CUST_LON_P}) % {_LON_SPAN} AS lon_u
+      FROM customer
+    ), cand AS (
+      SELECT s.s_suppkey, c.c_custkey,
+             ABS(s.lat_u - c.lat_u) AS dlat,
+             LEAST(ABS(s.lon_u - c.lon_u),
+                   {_LON_SPAN} - ABS(s.lon_u - c.lon_u)) AS dlon
+      FROM s
+      CROSS JOIN (VALUES (-1), (0), (1)) AS ox(d_lat)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS oy(d_lon)
+      JOIN c
+        ON c.lat_u // {_CELL} = s.lat_u // {_CELL} + ox.d_lat
+       AND c.lon_u // {_CELL} =
+           (s.lon_u // {_CELL} + oy.d_lon + {_N_LON_CELLS}) % {_N_LON_CELLS}
+    ), ranked AS (
+      SELECT s_suppkey, c_custkey,
+             dlat * dlat + dlon * dlon AS dist2_cd,
+             ROW_NUMBER() OVER (
+               PARTITION BY s_suppkey
+               ORDER BY dlat * dlat + dlon * dlon, c_custkey) AS rn
+      FROM cand
+    )
+    SELECT s_suppkey, c_custkey AS nn_custkey,
+           CAST(dist2_cd AS BIGINT) AS dist2_cd
+    FROM ranked WHERE rn = 1
+    ORDER BY s_suppkey
+    """
+
+
+@register("geo_cell_knn", oracle=_KNN_ORACLE)
+def geo_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest customer per supplier via grid-cell blocking: each
+    supplier probes only the 3x3 neighborhood of 10-degree cells
+    around its own cell (9-row broadcast expansion + cell equi-join),
+    then argmin by (distance, key) — min over a (dist2, custkey)
+    struct, so the tie-break is part of the aggregation, not a second
+    window pass. A probe whose neighborhood holds no point drops out
+    (inner-join semantics, identical in the oracle). Candidate volume
+    is |probe| * E[points per 9 cells] — linear in both tables at any
+    scale, vs the quadratic cross join the naive form takes. Swap the
+    integer dist2 expression for haversine in production; everything
+    else is scale-ready as-is."""
+    s_lat, s_lon = _coords("s_suppkey", _SUPP_LAT_P, _SUPP_LON_P)
+    c_lat, c_lon = _coords("c_custkey", _CUST_LAT_P, _CUST_LON_P)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", s_lat.alias("s_lat"), s_lon.alias("s_lon")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        c_lat.alias("c_lat"),
+        c_lon.alias("c_lon"),
+        F.expr(f"(c_custkey * {_CUST_LAT_P}) % {_LAT_SPAN} DIV {_CELL}").alias(
+            "c_cell_lat"
+        ),
+        F.expr(f"(c_custkey * {_CUST_LON_P}) % {_LON_SPAN} DIV {_CELL}").alias(
+            "c_cell_lon"
+        ),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "d_lat long, d_lon long",
+    )
+    probes = supp.crossJoin(F.broadcast(offsets)).select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        (F.expr(f"s_lat DIV {_CELL}") + F.col("d_lat")).alias("n_lat"),
+        (
+            (F.expr(f"s_lon DIV {_CELL}") + F.col("d_lon") + F.lit(_N_LON_CELLS))
+            % F.lit(_N_LON_CELLS)
+        ).alias("n_lon"),
+    )
+    dlat = F.abs(F.col("s_lat") - F.col("c_lat"))
+    dlon_raw = F.abs(F.col("s_lon") - F.col("c_lon"))
+    dlon = F.least(dlon_raw, F.lit(_LON_SPAN) - dlon_raw)
+    cand = probes.join(
+        cust,
+        (F.col("n_lat") == F.col("c_cell_lat"))
+        & (F.col("n_lon") == F.col("c_cell_lon")),
+    ).select(
+        "s_suppkey",
+        "c_custkey",
+        (dlat * dlat + dlon * dlon).alias("dist2_cd"),
+    )
+    best = cand.groupBy("s_suppkey").agg(
+        F.min(F.struct("dist2_cd", "c_custkey")).alias("m")
+    )
+    return best.select(
+        "s_suppkey",
+        F.col("m.c_custkey").alias("nn_custkey"),
+        F.col("m.dist2_cd").alias("dist2_cd"),
+    ).orderBy("s_suppkey")
+
+
+def _morton_sql(lat_c: str, lon_c: str) -> str:
+    """DuckDB-side Morton interleave of a 5-bit lat cell and 6-bit lon
+    cell (lon bits at even positions, lat bits at odd)."""
+    terms = [f"((({lon_c}) >> {b}) & 1) * {1 << (2 * b)}" for b in range(6)]
+    terms += [f"((({lat_c}) >> {b}) & 1) * {1 << (2 * b + 1)}" for b in range(5)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton_col(lat_c, lon_c):
+    """Spark-side Morton interleave — same bit plan as _morton_sql."""
+    out = F.lit(0)
+    for b in range(6):
+        out = out + F.shiftright(lon_c, b).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * b))
+    for b in range(5):
+        out = out + F.shiftright(lat_c, b).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * b + 1)
+        )
+    return out
+
+
+_DENSITY_ORACLE = f"""
+    WITH pts AS (
+      SELECT ((c_custkey * {_CUST_LAT_P}) % {_LAT_SPAN}) // {_CELL} AS lat_c,
+             ((c_custkey * {_CUST_LON_P}) % {_LON_SPAN}) // {_CELL} AS lon_c
+      FROM customer
+    ), cells AS (
+      SELECT CAST({_morton_sql('lat_c', 'lon_c')} AS BIGINT) AS morton,
+             lat_c, lon_c
+      FROM pts
+    )
+    SELECT morton, CAST(lat_c AS BIGINT) AS lat_cell,
+           CAST(lon_c AS BIGINT) AS lon_cell,
+           COUNT(*) AS n_points
+    FROM cells
+    GROUP BY morton, lat_c, lon_c
+    ORDER BY n_points DESC, morton
+    LIMIT 20
+    """
+
+
+@register("geo_morton_density", oracle=_DENSITY_ORACLE)
+def geo_morton_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 densest 10-degree cells under a Z-order (Morton) cell
+    encoding — the locality-preserving key a 100 TB point table sorts
+    or buckets by so that spatial range scans touch contiguous key
+    ranges (the same idea sink_zorder_layout applies to file layout).
+    The interleave is pure bit arithmetic on both engines; density is
+    one map-side-combinable groupBy on the encoded key; ties on count
+    are broken by the Morton code itself so the top-20 cut is
+    deterministic."""
+    lat_u, lon_u = _coords("c_custkey", _CUST_LAT_P, _CUST_LON_P)
+    pts = load_table(spark, sf_dir, "customer").select(
+        (lat_u / F.lit(_CELL)).cast("bigint").alias("lat_c"),
+        (lon_u / F.lit(_CELL)).cast("bigint").alias("lon_c"),
+    )
+    cells = pts.select(
+        _morton_col(F.col("lat_c"), F.col("lon_c")).cast("bigint").alias("morton"),
+        "lat_c",
+        "lon_c",
+    )
+    return (
+        cells.groupBy("morton", "lat_c", "lon_c")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "morton",
+            F.col("lat_c").alias("lat_cell"),
+            F.col("lon_c").alias("lon_cell"),
+            "n_points",
+        )
+        .orderBy(F.desc("n_points"), "morton")
+        .limit(20)
+    )

@@ -2899,3 +2899,196 @@ def text_rouge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc_id", "n_grams", "n_hits", ratio.alias("rouge2_precision")
     ).orderBy("doc_id")
+
+
+# --- retrieval / classifier evaluation metrics (r7 growth surface) -------
+
+# NDCG log2 discounts in micro-units, hardcoded as integer literals so
+# both engines share the exact table (no libm in the hash path):
+# w[rn] = round(1e6 / log2(rn + 1)), rn = 1..10, and its prefix sums.
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_NDCG_PW = [sum(_NDCG_W[: i + 1]) for i in range(10)]
+
+_INT8_SQL = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> CAST(FLOOR(x * 127) AS BIGINT))"
+)
+
+_NDCG_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, {_INT8_SQL} AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id AS cand_id, label AS c_label, {_INT8_SQL} AS cv
+      FROM embeddings WHERE vec_id >= 8
+    ), scored AS (
+      SELECT q.query_id, q.q_label, c.cand_id, c.c_label,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 64),
+                 i -> qv[i] * cv[i])), (a, b) -> a + b) AS score
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, q_label, c_label, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS rn
+      FROM scored
+    ), weights(rn, w) AS (
+      VALUES {', '.join(f'({i + 1}, {w})' for i, w in enumerate(_NDCG_W))}
+    ), prefix(k, pw) AS (
+      VALUES {', '.join(f'({i + 1}, {p})' for i, p in enumerate(_NDCG_PW))}
+    ), dcg AS (
+      SELECT r.query_id, r.q_label,
+             SUM(CASE WHEN r.c_label = r.q_label THEN 1 ELSE 0 END)
+               AS n_rel_top10,
+             SUM(CASE WHEN r.c_label = r.q_label THEN w.w ELSE 0 END)
+               AS dcg_u
+      FROM ranked r JOIN weights w ON r.rn = w.rn
+      WHERE r.rn <= 10
+      GROUP BY r.query_id, r.q_label
+    ), nrel AS (
+      SELECT c_label, COUNT(*) AS n_rel_corpus FROM c GROUP BY c_label
+    )
+    SELECT d.query_id, CAST(d.n_rel_top10 AS BIGINT) AS n_rel_top10,
+           CAST(d.dcg_u * 1000000 // p.pw AS BIGINT) AS ndcg_ppm
+    FROM dcg d
+    JOIN nrel nr ON nr.c_label = d.q_label
+    JOIN prefix p ON p.k = LEAST(nr.n_rel_corpus, 10)
+    ORDER BY d.query_id
+    """
+
+
+@register("ml_ndcg_at_k", oracle=_NDCG_ORACLE)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 for the embedding retrieval path — the eval metric that
+    closes the similarity-search loop (is the ANN ranking any good?).
+    Queries are vec_id < 8, candidates the rest of the corpus, score =
+    integer dot product of globally-quantized int8 vectors (floor(x *
+    127): exact in both engines, no per-vector scale division in the
+    hash path), relevance = label match. Discounts are a hardcoded
+    micro-unit log2 table shared verbatim with the oracle; IDCG uses
+    the corpus-wide relevant count capped at k. Plan: the 8-row query
+    side broadcasts against one linear corpus scan (same shape as
+    sim_cosine_topk); ranking is a per-query top-10 window over the
+    bounded candidate set; everything downstream is integer
+    arithmetic. At 100 TB the corpus scan stays one pass and the
+    per-query state is 10 rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    int8 = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 127).cast("bigint")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        int8.alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        int8.alias("cv"),
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "q_label", "cand_id", "c_label", score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    rel = (F.col("c_label") == F.col("q_label")).cast("bigint")
+    w_arr = F.array(*[F.lit(x) for x in _NDCG_W])
+    dcg = ranked.groupBy("query_id", "q_label").agg(
+        F.sum(rel).alias("n_rel_top10"),
+        F.sum(rel * F.element_at(w_arr, F.col("rn"))).alias("dcg_u"),
+    )
+    nrel = c.groupBy("c_label").agg(F.count(F.lit(1)).alias("n_rel_corpus"))
+    pw_arr = F.array(*[F.lit(x) for x in _NDCG_PW])
+    idcg = F.element_at(pw_arr, F.least(F.col("n_rel_corpus"), F.lit(10)).cast("int"))
+    return (
+        dcg.join(F.broadcast(nrel), dcg.q_label == nrel.c_label)
+        .select(
+            "query_id",
+            "n_rel_top10",
+            F.expr("dcg_u * 1000000").cast("bigint").alias("num"),
+            idcg.alias("idcg_u"),
+        )
+        .select(
+            "query_id",
+            "n_rel_top10",
+            F.expr("num DIV idcg_u").alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_AUC_ORACLE = """
+    WITH scored AS (
+      SELECT user_id % 5 AS cohort,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS su
+      FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+      SELECT cohort, label, su,
+             RANK() OVER (PARTITION BY cohort ORDER BY su) AS rk,
+             COUNT(*) OVER (PARTITION BY cohort, su) AS nt
+      FROM scored
+    ), agg AS (
+      SELECT cohort,
+             SUM(label) AS p,
+             SUM(1 - label) AS n,
+             SUM(CASE WHEN label = 1 THEN 2 * rk + nt - 1 ELSE 0 END) AS s2
+      FROM ranked GROUP BY cohort
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(p AS BIGINT) AS pos_n, CAST(n AS BIGINT) AS neg_n,
+           CAST((s2 - p * (p + 1)) * 1048576 // (2 * p * n) AS BIGINT)
+             AS auc_q20
+    FROM agg ORDER BY cohort
+    """
+
+
+@register("ml_roc_auc", oracle=_AUC_ORACLE)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC per cohort via the tie-aware Mann-Whitney rank-sum
+    identity: AUC = (S - P(P+1)/2) / (P*N) where S is the sum of
+    average ranks of the positives. Average ranks are kept exact by
+    working in doubled units (2*avg_rank = 2*min_rank + ties - 1, an
+    integer), scores are fixed-point micro-units, and the final ratio
+    is floor-quantized at 2^-20 — the whole metric is BIGINT
+    arithmetic, no float accumulation (the win_percent_rank_cume
+    knife-edge lesson). Plan: one rank window per cohort partition +
+    one map-side-combinable groupBy — no per-pair join, so the metric
+    is O(n log n) per cohort, not the O(P*N) naive comparison count;
+    at 1000 executors each cohort's rank runs inside its own hash
+    partition. Overflow margin: s2 * 2^20 stays under 2^63 up to
+    ~10^5x the sf1 event volume."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("user_id") % 5).alias("cohort"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("label"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("su"),
+    )
+    wr = Window.partitionBy("cohort").orderBy("su")
+    wt = Window.partitionBy("cohort", "su")
+    ranked = scored.select(
+        "cohort",
+        "label",
+        F.rank().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("nt"),
+    )
+    agg = ranked.groupBy("cohort").agg(
+        F.sum("label").alias("p"),
+        F.sum(F.lit(1) - F.col("label")).alias("n"),
+        F.sum(
+            F.when(F.col("label") == 1, 2 * F.col("rk") + F.col("nt") - 1).otherwise(
+                F.lit(0)
+            )
+        ).alias("s2"),
+    )
+    return agg.select(
+        "cohort",
+        F.col("p").alias("pos_n"),
+        F.col("n").alias("neg_n"),
+        F.expr("(s2 - p * (p + 1)) * 1048576 DIV (2 * p * n)").alias("auc_q20"),
+    ).orderBy("cohort")

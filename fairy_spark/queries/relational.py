@@ -329,6 +329,91 @@ def kv_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), log AS (
+      SELECT o_orderkey, 1 AS seq, 'U' AS op, 'U1' AS status,
+             cents + 1000 AS cents
+      FROM base WHERE o_orderkey % 10 IN (0, 1)
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'U2', cents + 2000
+      FROM base WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 1, 'D', NULL, NULL
+      FROM base WHERE o_orderkey % 10 IN (2, 3)
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 1, 'I', 'N', cents + 5
+      FROM base WHERE o_orderkey % 10 = 4
+    ), latest AS (
+      SELECT o_orderkey, op, status, cents
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM log)
+      WHERE rn = 1
+    ), applied AS (
+      SELECT CASE WHEN s.op IS NOT NULL THEN s.status
+                  ELSE t.status END AS status,
+             CASE WHEN s.op IS NOT NULL THEN s.cents
+                  ELSE t.cents END AS cents
+      FROM base t FULL OUTER JOIN latest s
+        ON t.o_orderkey = s.o_orderkey
+      WHERE s.op IS NULL OR s.op != 'D'
+    )
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM applied GROUP BY status ORDER BY status
+    """,
+)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture log application (operators/merge.apply_cdc)
+    — the change-feed replay a table-format consumer runs: per key the
+    highest-seq entry wins (superseding an earlier same-key update), a
+    final 'D' deletes, 'I'/'U' replace-or-create, untouched snapshot
+    rows pass through. The log is derived deterministically from
+    orders (two-version updates for %10==0 keys so latest-wins is
+    actually exercised, single updates, deletes, and out-of-keyspace
+    inserts); money is integer cents end-to-end. The applied table is
+    aggregated by status so update/supersede/delete/insert/passthrough
+    rows all land in distinct oracle-checked groups. Plan: one
+    map-side-combinable max_by collapse + one full-outer key join —
+    shuffles on the key only, exchange-free when snapshot and log are
+    bucketed on the key."""
+    from fairy_spark.operators.merge import apply_cdc
+
+    key = F.col("o_orderkey")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    def entry(pred, seq, op, status, cents, keyshift=0):
+        return base.filter(pred).select(
+            (key + F.lit(keyshift)).alias("o_orderkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            (F.lit(status) if status is not None
+             else F.lit(None).cast("string")).alias("status"),
+            (F.col("cents") + F.lit(cents) if cents is not None
+             else F.lit(None).cast("bigint")).alias("cents"),
+        )
+    log = (
+        entry((key % 10) <= 1, 1, "U", "U1", 1000)
+        .unionByName(entry((key % 10) == 0, 2, "U", "U2", 2000))
+        .unionByName(entry((key % 10).isin(2, 3), 1, "D", None, None))
+        .unionByName(entry((key % 10) == 4, 1, "I", "N", 5, keyshift=1000000000))
+    )
+    applied = apply_cdc(base, log, key="o_orderkey")
+    return (
+        applied.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+        .orderBy("status")
+    )
+
+
+@register(
     "merge_scd2",
     oracle="""
     WITH cur AS (

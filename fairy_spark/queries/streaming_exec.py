@@ -346,3 +346,103 @@ def stream_exec_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Replay dir with DELIBERATE late arrivals: chunk 0 = on-time
+    first half, chunk 1 = second half (advancing the watermark to
+    max event time), chunk 2 = a withheld slice of WEEK-1 rows that
+    now arrives ~3 weeks late. Built once per application x sf, like
+    _replay_dir."""
+    app_id = spark.sparkContext.applicationId
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "fairy_spark_stream",
+        app_id,
+        "late_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("t0")).first()["t0"]
+    late = (F.col("event_id") % 7 == 3) & (
+        F.col("ts") < F.lit(t0) + F.expr("INTERVAL 7 DAYS")
+    )
+    cut = F.lit(t0) + F.expr("INTERVAL 15 DAYS")
+    chunks = [
+        ev.filter(~late & (F.col("ts") < cut)),
+        ev.filter(~late & (F.col("ts") >= cut)),
+        ev.filter(late),
+    ]
+    os.makedirs(d, exist_ok=True)
+    for i, ch in enumerate(chunks):
+        (
+            ch.sort("ts", "event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, f"chunk_{i:03d}"))
+        )
+    with open(marker, "w"):
+        pass
+    return d
+
+
+@register(
+    "stream_exec_watermark_late",
+    oracle="""
+    WITH b AS (SELECT MIN(ts) AS t0 FROM events),
+    kept AS (
+      SELECT e.ts, e.event_type, e.value
+      FROM events e, b
+      WHERE NOT (e.event_id % 7 = 3 AND e.ts < b.t0 + INTERVAL 7 DAY)
+    )
+    SELECT date_trunc('day', ts)
+             + (CAST(EXTRACT(hour FROM ts) AS INTEGER) // 6) * INTERVAL 6 HOUR
+             AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_units
+    FROM kept
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type
+    """,
+)
+def stream_exec_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP through the live engine — the one
+    streaming semantic the other stream_exec_* queries can't show,
+    because their replay arrives in event-time order. Here a slice of
+    week-1 events is withheld until after the replay's final chunk has
+    advanced the watermark to (max event time - 1h); when the slice
+    finally arrives, every row targets a 6h window whose end is weeks
+    behind the watermark, so the engine MUST drop all of them (their
+    state is already evicted). The oracle is the batch aggregate over
+    events EXCLUDING the withheld slice — a green row proves the drop
+    happened and nothing on-time was lost. Update output mode (the
+    mode where eviction actually runs; complete mode never drops);
+    per-key counts are monotone across update emissions, so max_by(n)
+    over the sink picks each key's final state independent of
+    insertion order. Windows that straddle the chunk-1 boundary are
+    updated across micro-batches, exercising the state-merge path
+    too."""
+    stream = read_event_stream(spark, _late_replay_dir(spark, sf_dir))
+    units = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(units).alias("value_units"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "value_units"
+        )
+    )
+    sink = run_to_table(agg, mode="update")
+    final = sink.groupBy("w_start", "event_type").agg(
+        F.max_by(F.struct("n", "value_units"), F.col("n")).alias("s")
+    )
+    return final.select(
+        "w_start",
+        "event_type",
+        F.col("s.n").alias("n"),
+        F.col("s.value_units").alias("value_units"),
+    ).orderBy("w_start", "event_type")
