@@ -240,10 +240,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the click. Executed as union + last-non-null window (one
     shuffle, no range explosion) — see operators/asof.py."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
+    # No pre-aggregation: the operator's duplicate-(keys, ts) rule
+    # (greatest value struct wins, operators/asof.py) already resolves
+    # same-timestamp purchases to MAX(value) — identical result
+    # (verified by collect-equality at sf0.1) with one less shuffle.
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
     )
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     joined = asof_join_backward(
@@ -408,11 +410,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched timestamp rides along as a second carried column and the
     tolerance is a post-filter, so the scale shape is unchanged."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
-        .withColumn("p_ts", F.col("ts"))
+    # Un-pre-aggregated (see join_asof): duplicates share ts hence
+    # p_ts, so the greatest-(purchase_value, p_ts)-struct rule equals
+    # MAX(value) per (user_id, ts) — one less shuffle.
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"),
+        F.col("ts").alias("p_ts"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -462,10 +465,12 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored to first-non-null-over-FOLLOWING
     (operators/asof.py asof_join_forward)."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
+    # No pre-aggregation: the operator's duplicate-(keys, ts) rule
+    # (greatest value struct wins, operators/asof.py) already resolves
+    # same-timestamp purchases to MAX(value) — identical result
+    # (verified by collect-equality at sf0.1) with one less shuffle.
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
     )
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     joined = asof_join_forward(
@@ -541,13 +546,13 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly two window shuffles regardless of right-side density —
     no interval explosion."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
-        .select(
-            "user_id", "ts", "purchase_value", F.col("ts").alias("p_ts")
-        )
+    # Un-pre-aggregated (see join_asof): both directions resolve
+    # duplicate-(user_id, ts) purchases to MAX(value) via the
+    # greatest-struct rule — one less shuffle before the two window
+    # passes.
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"),
+        F.col("ts").alias("p_ts"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
