@@ -426,6 +426,8 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "events_rfm_segmentation",  # 1-row corpus-max-ts anchor frame
         "events_dau_wau",  # calendar-day grid broadcast (~365 rows/yr) band join
         "text_bigram_lm",  # 1-row vocab-size and OOV-logprob frames
+        "geo_cell_knn",  # 9-row cell-offset frame broadcast (3x3 neighborhood)
+        "ml_ndcg_at_k",  # 8-row query-vector broadcast vs one corpus scan
         "events_power_curve",  # 1-row total-spend frame for decile shares
         # r7 additions — each broadcast side is a bounded stat frame
         "stats_chi_square",  # 1-row N frame + |types|/|cohorts| marginals
