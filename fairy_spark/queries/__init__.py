@@ -21,13 +21,15 @@ CORRECTNESS_r*.json row yet ("debt"); additions that round are capped
 at max(0, 50 - debt). Round 5 added 97 queries against a 50-slot
 window and created 56 rows of verification debt — round 6 therefore
 adds zero and lets the tier rotation below surface the debt first.
-Round 7: debt entering the round was 7, the cap 43; 26 new queries
-registered (19 early-round + the 7-query r7 growth batch: geo_cell_knn,
+Round 7: debt entering the round was 7, the cap 43; 28 new queries
+registered (21 early-round + the 7-query r7 growth batch: geo_cell_knn,
 geo_morton_density, merge_cdc_apply, ml_roc_auc, ml_ndcg_at_k,
-agg_gini_lorenz, stream_exec_watermark_late), so the 50-slot window
-holds flagship + 16 pins + 26 new + 7 debt = exactly 50 rows — every
-registered query will have external proof (or its pin re-check) after
-the r7 window runs, with zero slack left deliberately unspent.
+agg_gini_lorenz, stream_exec_watermark_late). The 50-slot window holds
+flagship + 16 pins + 33 of the 35 never-checked rows; 2 rows
+(ml_roc_auc, stats_pca_2d — measured via _driver_verified_counts)
+carry into r8 as that round's entering debt, well under the next cap.
+Every new query is already green against the local sf0.01 oracle gate
+and the sf0.1 audit before registration.
 """
 
 from __future__ import annotations
