@@ -2994,8 +2994,23 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "q_label", "cand_id", "c_label", score.alias("score")
     )
+    # Two-phase top-k: a per-(query, salt) pre-rank keeps the heavy
+    # window's parallelism at |Q| x 64 partitions instead of |Q| (the
+    # corpus-sized pair stream would otherwise funnel into 8 reducer
+    # partitions at 100 TB); the global top-10 is a subset of the
+    # per-salt top-10 union, so phase 2 ranks <= |Q|*640 survivors.
+    salt = F.pmod(F.xxhash64("cand_id"), F.lit(64))
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    pre = (
+        scored.withColumn("salt", salt)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= 10)
+        .drop("salt", "rn1")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    ranked = pre.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
     rel = (F.col("c_label") == F.col("q_label")).cast("bigint")
     w_arr = F.array(*[F.lit(x) for x in _NDCG_W])
     dcg = ranked.groupBy("query_id", "q_label").agg(
