@@ -2,13 +2,23 @@
 surface, r7): grid-cell-bucketed nearest-neighbor join and Z-order
 (Morton) cell density — the two primitives a 100 TB point workload
 needs first. Spark has no native spatial join; the scale path is the
-classic grid-blocking decomposition: band every point into a fixed
-lat/lon cell, expand the probe side to its 3x3 cell neighborhood
-(bounded 9x fan-out, broadcast of a 9-row literal — NOT a cross
-join), then equi-join on the cell id so Catalyst plans an ordinary
-shuffled/broadcast hash join. At 1000 executors the join stays
-key-partitioned on cell id; no operator sees more than one
-neighborhood's candidates.
+classic grid-blocking decomposition: band every point into a lat/lon
+cell, expand the probe side to its 3x3 cell neighborhood (bounded 9x
+fan-out, broadcast of a 9-row literal — NOT a cross join), then
+equi-join on the cell id so Catalyst plans an ordinary shuffled hash
+join. At 1000 executors the join stays key-partitioned on cell id.
+
+DENSITY-ADAPTIVE CELLS (the 100 TB part): a fixed grid makes the
+candidate count quadratic in the corpus — measured on this exact
+query before the fix: 2.0k / 200k / 20.1M candidate pairs at
+sf0.01 / 0.1 / 1 (SCALE.md "geo grid join"). The cell side therefore
+steps down a fixed integer ladder as the point count grows (side
+halves ≈ every 4x points), keeping E[candidates per probe] bounded —
+the same reasoning dedicated engines apply when they pick a quadtree
+level. The ladder is a CASE over the EXACT customer count with
+integer thresholds, computed identically in the oracle: no float, no
+knife-edge, and every ladder value divides both spans so the grid
+tiles exactly.
 
 Coordinates: the testdata has no lat/lon, so both engines derive
 deterministic synthetic coordinates from the integer keys with pure
@@ -35,13 +45,51 @@ from fairy_spark.sources.tables import load_table
 # centi-degree synthetic coordinate spans
 _LAT_SPAN = 18_000  # 0..17999 == -90..+89.99 shifted to unsigned
 _LON_SPAN = 36_000  # 0..35999
-_CELL = 1_000  # 10-degree cells: lat cells 0..17, lon cells 0..35
-_N_LON_CELLS = _LON_SPAN // _CELL
+_CELL = 1_000  # base 10-degree cell (least-dense rung of the ladder)
 
 # key -> coordinate primes (distinct per table so the point sets are
 # uncorrelated)
 _CUST_LAT_P, _CUST_LON_P = 7_919, 104_729
 _SUPP_LAT_P, _SUPP_LON_P = 6_151, 9_973
+
+# Density ladder: (min point count, cell side). Side ~halves every ~4x
+# points so cell density — and with it candidates per probe — stays
+# O(1). Every side divides 18000 AND 36000 (exact tiling, exact lon
+# wraparound). Thresholds are integers compared against an exact
+# COUNT(*): deterministic on both engines by construction.
+_CELL_LADDER: list[tuple[int, int]] = [
+    (2_000_000_000, 1),
+    (500_000_000, 2),
+    (80_000_000, 5),
+    (20_000_000, 10),
+    (3_200_000, 25),
+    (800_000, 50),
+    (128_000, 125),
+    (32_000, 250),
+    (8_000, 500),
+]
+
+
+def cell_side_for(n: int) -> int:
+    """Python mirror of the ladder (tests, docs)."""
+    for thresh, side in _CELL_LADDER:
+        if n >= thresh:
+            return side
+    return _CELL
+
+
+def _cell_sql(n_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {n_expr} >= {t} THEN {s}" for t, s in _CELL_LADDER
+    )
+    return f"CASE {arms} ELSE {_CELL} END"
+
+
+def _cell_col(n_col):
+    out = F.lit(_CELL)
+    for thresh, side in reversed(_CELL_LADDER):
+        out = F.when(n_col >= F.lit(thresh), F.lit(side)).otherwise(out)
+    return out
 
 
 def _coords(key_col: str, lat_p: int, lon_p: int) -> tuple:
@@ -51,7 +99,9 @@ def _coords(key_col: str, lat_p: int, lon_p: int) -> tuple:
 
 
 _KNN_ORACLE = f"""
-    WITH s AS (
+    WITH cell AS (
+      SELECT {_cell_sql('COUNT(*)')} AS cell FROM customer
+    ), s AS (
       SELECT s_suppkey,
              (s_suppkey * {_SUPP_LAT_P}) % {_LAT_SPAN} AS lat_u,
              (s_suppkey * {_SUPP_LON_P}) % {_LON_SPAN} AS lon_u
@@ -67,12 +117,14 @@ _KNN_ORACLE = f"""
              LEAST(ABS(s.lon_u - c.lon_u),
                    {_LON_SPAN} - ABS(s.lon_u - c.lon_u)) AS dlon
       FROM s
+      CROSS JOIN cell
       CROSS JOIN (VALUES (-1), (0), (1)) AS ox(d_lat)
       CROSS JOIN (VALUES (-1), (0), (1)) AS oy(d_lon)
       JOIN c
-        ON c.lat_u // {_CELL} = s.lat_u // {_CELL} + ox.d_lat
-       AND c.lon_u // {_CELL} =
-           (s.lon_u // {_CELL} + oy.d_lon + {_N_LON_CELLS}) % {_N_LON_CELLS}
+        ON c.lat_u // cell.cell = s.lat_u // cell.cell + ox.d_lat
+       AND c.lon_u // cell.cell =
+           (s.lon_u // cell.cell + oy.d_lon + {_LON_SPAN} // cell.cell)
+             % ({_LON_SPAN} // cell.cell)
     ), ranked AS (
       SELECT s_suppkey, c_custkey,
              dlat * dlat + dlon * dlon AS dist2_cd,
@@ -90,32 +142,43 @@ _KNN_ORACLE = f"""
 
 @register("geo_cell_knn", oracle=_KNN_ORACLE)
 def geo_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest customer per supplier via grid-cell blocking: each
-    supplier probes only the 3x3 neighborhood of 10-degree cells
-    around its own cell (9-row broadcast expansion + cell equi-join),
-    then argmin by (distance, key) — min over a (dist2, custkey)
-    struct, so the tie-break is part of the aggregation, not a second
-    window pass. A probe whose neighborhood holds no point drops out
-    (inner-join semantics, identical in the oracle). Candidate volume
-    is |probe| * E[points per 9 cells] — linear in both tables at any
-    scale, vs the quadratic cross join the naive form takes. Swap the
+    """Nearest customer per supplier via density-adaptive grid-cell
+    blocking: the cell side comes from the ladder above (1-row
+    broadcast count frame, so the plan stays collect-free), each
+    supplier probes only the 3x3 neighborhood around its cell (9-row
+    broadcast expansion + cell equi-join), then argmin by (distance,
+    key) — min over a (dist2, custkey) struct, so the tie-break is
+    part of the aggregation, not a second window pass. A probe whose
+    neighborhood holds no point drops out (inner-join semantics,
+    identical in the oracle). Candidate volume is |probe| x E[points
+    per 9 cells], and the ladder pins that expectation to O(1) —
+    measured: 2.0k / 51k / 323k candidates at sf0.01 / 0.1 / 1
+    versus 2.0k / 200k / 20.1M with a fixed grid (SCALE.md). Swap the
     integer dist2 expression for haversine in production; everything
     else is scale-ready as-is."""
+    cust_raw = load_table(spark, sf_dir, "customer")
+    cellfr = cust_raw.agg(F.count(F.lit(1)).alias("n_cust")).select(
+        _cell_col(F.col("n_cust")).alias("cell")
+    )
     s_lat, s_lon = _coords("s_suppkey", _SUPP_LAT_P, _SUPP_LON_P)
     c_lat, c_lon = _coords("c_custkey", _CUST_LAT_P, _CUST_LON_P)
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", s_lat.alias("s_lat"), s_lon.alias("s_lon")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", s_lat.alias("s_lat"), s_lon.alias("s_lon"))
+        .crossJoin(F.broadcast(cellfr))
     )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        c_lat.alias("c_lat"),
-        c_lon.alias("c_lon"),
-        F.expr(f"(c_custkey * {_CUST_LAT_P}) % {_LAT_SPAN} DIV {_CELL}").alias(
-            "c_cell_lat"
-        ),
-        F.expr(f"(c_custkey * {_CUST_LON_P}) % {_LON_SPAN} DIV {_CELL}").alias(
-            "c_cell_lon"
-        ),
+    cust = (
+        cust_raw.select(
+            "c_custkey", c_lat.alias("c_lat"), c_lon.alias("c_lon")
+        )
+        .crossJoin(F.broadcast(cellfr))
+        .select(
+            "c_custkey",
+            "c_lat",
+            "c_lon",
+            F.expr("c_lat DIV cell").alias("c_cell_lat"),
+            F.expr("c_lon DIV cell").alias("c_cell_lon"),
+        )
     )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
@@ -125,10 +188,10 @@ def geo_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "s_lat",
         "s_lon",
-        (F.expr(f"s_lat DIV {_CELL}") + F.col("d_lat")).alias("n_lat"),
+        (F.expr("s_lat DIV cell") + F.col("d_lat")).alias("n_lat"),
         (
-            (F.expr(f"s_lon DIV {_CELL}") + F.col("d_lon") + F.lit(_N_LON_CELLS))
-            % F.lit(_N_LON_CELLS)
+            (F.expr("s_lon DIV cell") + F.col("d_lon") + F.expr(f"{_LON_SPAN} DIV cell"))
+            % F.expr(f"{_LON_SPAN} DIV cell")
         ).alias("n_lon"),
     )
     dlat = F.abs(F.col("s_lat") - F.col("c_lat"))
@@ -199,10 +262,12 @@ def geo_morton_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding — the locality-preserving key a 100 TB point table sorts
     or buckets by so that spatial range scans touch contiguous key
     ranges (the same idea sink_zorder_layout applies to file layout).
-    The interleave is pure bit arithmetic on both engines; density is
-    one map-side-combinable groupBy on the encoded key; ties on count
-    are broken by the Morton code itself so the top-20 cut is
-    deterministic."""
+    The grid stays FIXED here deliberately: a density report over a
+    reporting grid is one map-side-combinable groupBy on the encoded
+    key — linear at any corpus size, unlike the NN join above which
+    needs the adaptive ladder. The interleave is pure bit arithmetic
+    on both engines; ties on count are broken by the Morton code
+    itself so the top-20 cut is deterministic."""
     lat_u, lon_u = _coords("c_custkey", _CUST_LAT_P, _CUST_LON_P)
     pts = load_table(spark, sf_dir, "customer").select(
         (lat_u / F.lit(_CELL)).cast("bigint").alias("lat_c"),

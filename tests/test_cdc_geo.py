@@ -76,14 +76,13 @@ def _brute_force_knn(sf_dir):
     import duckdb
 
     from fairy_spark.queries.geo import (
-        _CELL,
         _CUST_LAT_P,
         _CUST_LON_P,
         _LAT_SPAN,
         _LON_SPAN,
-        _N_LON_CELLS,
         _SUPP_LAT_P,
         _SUPP_LON_P,
+        cell_side_for,
     )
 
     con = duckdb.connect()
@@ -93,10 +92,12 @@ def _brute_force_knn(sf_dir):
     cus = con.sql(
         f"SELECT c_custkey FROM read_parquet('{sf_dir}/customer.parquet')"
     ).fetchall()
+    side = cell_side_for(len(cus))
+    n_lon_cells = _LON_SPAN // side
     cells: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
     for (ck,) in cus:
         la, lo = (ck * _CUST_LAT_P) % _LAT_SPAN, (ck * _CUST_LON_P) % _LON_SPAN
-        cells.setdefault((la // _CELL, lo // _CELL), []).append((ck, la, lo))
+        cells.setdefault((la // side, lo // side), []).append((ck, la, lo))
     out = {}
     for (sk,) in sup:
         la, lo = (sk * _SUPP_LAT_P) % _LAT_SPAN, (sk * _SUPP_LON_P) % _LON_SPAN
@@ -104,8 +105,8 @@ def _brute_force_knn(sf_dir):
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 cell = (
-                    la // _CELL + dx,
-                    (lo // _CELL + dy + _N_LON_CELLS) % _N_LON_CELLS,
+                    la // side + dx,
+                    (lo // side + dy + n_lon_cells) % n_lon_cells,
                 )
                 for ck, cla, clo in cells.get(cell, []):
                     dlat = abs(la - cla)
