@@ -389,22 +389,31 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
+    # ONE scan derives all four log branches (a 4-way filter union
+    # would rescan orders per branch): each row emits an array of
+    # conditional entry structs, nulls compacted away, then explodes.
     def entry(pred, seq, op, status, cents, keyshift=0):
-        return base.filter(pred).select(
-            (key + F.lit(keyshift)).alias("o_orderkey"),
-            F.lit(seq).alias("seq"),
-            F.lit(op).alias("op"),
-            (F.lit(status) if status is not None
-             else F.lit(None).cast("string")).alias("status"),
-            (F.col("cents") + F.lit(cents) if cents is not None
-             else F.lit(None).cast("bigint")).alias("cents"),
+        return F.when(
+            pred,
+            F.struct(
+                (key + F.lit(keyshift)).alias("o_orderkey"),
+                F.lit(seq).cast("bigint").alias("seq"),
+                F.lit(op).alias("op"),
+                (F.lit(status) if status is not None
+                 else F.lit(None)).cast("string").alias("status"),
+                (F.col("cents") + F.lit(cents) if cents is not None
+                 else F.lit(None)).cast("bigint").alias("cents"),
+            ),
         )
-    log = (
-        entry((key % 10) <= 1, 1, "U", "U1", 1000)
-        .unionByName(entry((key % 10) == 0, 2, "U", "U2", 2000))
-        .unionByName(entry((key % 10).isin(2, 3), 1, "D", None, None))
-        .unionByName(entry((key % 10) == 4, 1, "I", "N", 5, keyshift=1000000000))
+    entries = F.array_compact(
+        F.array(
+            entry((key % 10) <= 1, 1, "U", "U1", 1000),
+            entry((key % 10) == 0, 2, "U", "U2", 2000),
+            entry((key % 10).isin(2, 3), 1, "D", None, None),
+            entry((key % 10) == 4, 1, "I", "N", 5, keyshift=1000000000),
+        )
     )
+    log = base.select(F.explode(entries).alias("e")).select("e.*")
     applied = apply_cdc(base, log, key="o_orderkey")
     return (
         applied.groupBy("status")
