@@ -519,10 +519,11 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN oriented e2 ON e1.dst = e2.src
       JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
     ), tri_per_node AS (
+      -- single reference to tri: a 3x UNION ALL re-inlines the whole
+      -- triangle enumeration per branch (3x the join memory — this
+      -- oracle ran DuckDB out of spill disk at sf1 before the change)
       SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
-        SELECT a AS node FROM tri
-        UNION ALL SELECT b FROM tri
-        UNION ALL SELECT c FROM tri
+        SELECT unnest([a, b, c]) AS node FROM tri
       ) GROUP BY node
     )
     SELECT deg.node, deg.d AS degree,
@@ -570,10 +571,10 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # one pass over the triangle stream (explode), not three unionAll
+    # branches that each recompute the enumeration join
     tri_per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )
