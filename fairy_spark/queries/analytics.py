@@ -1586,3 +1586,64 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) % 1000000 AS p_u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(p_u // 100000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_u) // COUNT(*) AS BIGINT) AS mean_pred_ppm,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS frac_pos_ppm,
+           CAST(FLOOR(CAST(SUM(CAST(p_u - y * 1000000 AS HUGEINT)
+                               * (p_u - y * 1000000)) AS DOUBLE)
+                      / COUNT(*) / 1000000 + 0.5) AS BIGINT) AS brier_ppm
+    FROM scored
+    GROUP BY p_u // 100000
+    ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration reliability diagram + per-bin Brier score —
+    the metric companion to ml_roc_auc: a predicted probability in
+    micro-units (deterministically derived from the event value's
+    fractional part) is equal-width-binned into 10 deciles; each bin
+    reports its mean predicted probability vs the empirical positive
+    rate (the calibration gap) and the mean squared error (Brier) in
+    ppm. All accumulation is integer: probabilities are micro-unit
+    BIGINTs and the squared-error sum runs in decimal(38,0) (sum of
+    1e12-scale squares overflows BIGINT past ~9e6 rows — at sf1 the
+    events table is already 1e7). One map-side-combinable hash agg
+    over one scan; 10 output groups, so the exchange carries 10 rows
+    per partition regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p_u = (
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint") % 1000000
+    ).alias("p_u")
+    y = (F.col("event_type") == "purchase").cast("bigint").alias("y")
+    scored = ev.select(p_u, y)
+    err = (F.col("p_u") - F.col("y") * 1000000).cast(_DEC)
+    agg = scored.groupBy(
+        F.expr("p_u DIV 100000").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_u").alias("sp"),
+        F.sum("y").alias("sy"),
+        F.sum(err * err).alias("sq"),
+    )
+    return agg.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("sp DIV n").cast("bigint").alias("mean_pred_ppm"),
+        F.expr("(sy * 1000000) DIV n").cast("bigint").alias("frac_pos_ppm"),
+        F.floor(
+            F.col("sq").cast("double") / F.col("n") / 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("brier_ppm"),
+    ).orderBy("bin")

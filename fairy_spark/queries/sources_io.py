@@ -748,3 +748,70 @@ def sink_csv_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sink_compaction_plan",
+    oracle="""
+    WITH manifest AS (
+      SELECT source, CAST(doc_id // 100 AS BIGINT) AS chunk,
+             CAST(SUM(n_chars) AS BIGINT) AS file_bytes
+      FROM documents GROUP BY source, doc_id // 100
+    ), seq AS (
+      SELECT source, chunk, file_bytes,
+             SUM(file_bytes) OVER (
+               PARTITION BY source ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM manifest
+    )
+    SELECT source, CAST((cum - file_bytes) // 65536 AS BIGINT) AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(file_bytes) AS BIGINT) AS group_bytes,
+           CAST(MIN(chunk) AS BIGINT) AS first_chunk,
+           CAST(MAX(chunk) AS BIGINT) AS last_chunk
+    FROM seq
+    GROUP BY source, group_id
+    ORDER BY source, group_id
+    """,
+)
+def sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance op every
+    100-TB table needs (Delta OPTIMIZE / Iceberg rewrite_data_files
+    analog): given a per-partition file manifest (modeled here as one
+    row per (source, 100-doc chunk) with its byte size), assign files
+    to target-sized compaction groups (64 KiB target) by a running-sum
+    bin: a file starts a new group when the bytes before it cross the
+    next target boundary. The cumulative sum is windowed PER PARTITION
+    DIRECTORY (partitionBy source) — exactly how table formats compact
+    (within a partition, never across), and what keeps the plan free of
+    a SinglePartition global window at any manifest size. Group
+    boundaries are a pure function of the deterministic (source, chunk)
+    order, so the plan is reproducible run-over-run — a compaction
+    scheduler can diff plans across snapshots. Output: one row per
+    compaction group with its file count, payload bytes, and chunk
+    span (the rewrite job's input split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.groupBy(
+        "source", F.expr("doc_id DIV 100").cast("bigint").alias("chunk")
+    ).agg(F.sum("n_chars").cast("bigint").alias("file_bytes"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = manifest.withColumn("cum", F.sum("file_bytes").over(w))
+    return (
+        seq.groupBy(
+            "source",
+            F.expr("(cum - file_bytes) DIV 65536").cast("bigint").alias("group_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("file_bytes").cast("bigint").alias("group_bytes"),
+            F.min("chunk").cast("bigint").alias("first_chunk"),
+            F.max("chunk").cast("bigint").alias("last_chunk"),
+        )
+        .orderBy("source", "group_id")
+    )

@@ -430,3 +430,63 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fn(F.col("text")).alias("bpeish_tokens")).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "udf_group_apply_arrow",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(MIN(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(MAX(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def udf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupedData.applyInArrow (Spark 4) — the Arrow-native grouped-map
+    twin of udf_group_zscore's applyInPandas: each market segment's rows
+    arrive as ONE pyarrow.Table (zero pandas conversion overhead) and the
+    per-group stats are computed with pyarrow.compute kernels over an
+    int64 cents column prepared JVM-side, so the custom-operator path is
+    bit-exact against the declarative GROUP BY oracle. This is the API a
+    100-TB pipeline wants for group-wise Python that touches large
+    groups: Arrow record batches stream straight into C++ kernels with
+    no per-row Python and no pandas materialization. Parallelism is one
+    task per group (5 segments here) — real deployments key by a
+    higher-cardinality column; the contract under test is the Arrow
+    fold, not the fan-out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+
+    def seg_stats(table: "pa.Table") -> "pa.Table":
+        cents = table.column("cents")
+        return pa.table(
+            {
+                "c_mktsegment": [table.column("c_mktsegment")[0].as_py()],
+                "n_cust": pa.array([table.num_rows], pa.int64()),
+                "bal_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    out_schema = (
+        "c_mktsegment string, n_cust bigint, bal_cents bigint, "
+        "min_cents bigint, max_cents bigint"
+    )
+    return (
+        cust.groupBy("c_mktsegment")
+        .applyInArrow(seg_stats, schema=out_schema)
+        .orderBy("c_mktsegment")
+    )
