@@ -1203,3 +1203,152 @@ def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gini_q20"),
         F.expr("bh * 1000000 DIV sx").alias("bottom_half_ppm"),
     ).orderBy("segment")
+
+
+_KMV_K = 128
+_KMV_M = 1152921504606846976  # 2^60 — the portable-hash value space
+
+
+_KMV_ORACLE = f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(concat('kmv', ':',
+               CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+      FROM du
+    ), c AS (SELECT hv FROM h WHERE event_type = 'click'),
+    p AS (SELECT hv FROM h WHERE event_type = 'purchase'),
+    u AS (SELECT DISTINCT hv FROM h),
+    skc AS (SELECT hv FROM c ORDER BY hv LIMIT {_KMV_K}),
+    skp AS (SELECT hv FROM p ORDER BY hv LIMIT {_KMV_K}),
+    sku AS (SELECT hv FROM u ORDER BY hv LIMIT {_KMV_K}),
+    kc AS (SELECT MAX(hv) AS kth FROM skc),
+    kp AS (SELECT MAX(hv) AS kth FROM skp),
+    ku AS (SELECT MAX(hv) AS kth FROM sku),
+    m AS (
+      SELECT COUNT(*) AS m FROM sku
+      WHERE hv IN (SELECT hv FROM c) AND hv IN (SELECT hv FROM p)
+    ), ex AS (
+      SELECT (SELECT COUNT(*) FROM c) AS exact_click,
+             (SELECT COUNT(*) FROM p) AS exact_purchase,
+             (SELECT COUNT(*) FROM u) AS exact_union,
+             (SELECT COUNT(*) FROM c WHERE hv IN (SELECT hv FROM p))
+               AS exact_inter
+    ), est AS (
+      SELECT
+        CAST(({_KMV_K} - 1) * CAST({_KMV_M} AS HUGEINT) // kc.kth AS BIGINT)
+          AS est_click,
+        CAST(({_KMV_K} - 1) * CAST({_KMV_M} AS HUGEINT) // kp.kth AS BIGINT)
+          AS est_purchase,
+        CAST(({_KMV_K} - 1) * CAST({_KMV_M} AS HUGEINT) // ku.kth AS BIGINT)
+          AS est_union
+      FROM kc, kp, ku
+    ), inter AS (
+      SELECT CAST(m.m * CAST(est.est_union AS HUGEINT) // {_KMV_K} AS BIGINT)
+               AS est_inter
+      FROM m, est
+    )
+    SELECT * FROM (
+      SELECT 'click' AS set_name, est.est_click AS est_nd,
+             CAST(ex.exact_click AS BIGINT) AS exact_nd FROM est, ex
+      UNION ALL
+      SELECT 'purchase', est.est_purchase, CAST(ex.exact_purchase AS BIGINT)
+      FROM est, ex
+      UNION ALL
+      SELECT 'union', est.est_union, CAST(ex.exact_union AS BIGINT)
+      FROM est, ex
+      UNION ALL
+      SELECT 'intersection', inter.est_inter, CAST(ex.exact_inter AS BIGINT)
+      FROM inter, ex
+    ) ORDER BY set_name
+    """
+
+
+@register("sketch_kmv_setops", oracle=_KMV_ORACLE)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with SET
+    ALGEBRA — the capability HLL lacks: because a KMV sketch is just
+    the k smallest hash values of a set, the union sketch is the
+    bottom-k of the merged sketches, and intersections follow from the
+    Jaccard ratio inside the union sketch (Beyer et al., SIGMOD'07 —
+    the same estimator family as Theta sketches). Distinct-user sets
+    for two event types are sketched (k=128 over the portable 60-bit
+    hash), then |A|, |B|, |A∪B| are estimated as (k-1)*2^60/h_(k) and
+    |A∩B| as (matches-in-union-sketch/k)*|A∪B| — every estimate an
+    exact integer (decimal(38,0) intermediate: 127*2^60 overflows
+    BIGINT), reported beside the exact cardinality. Scale shape: each
+    bottom-k is a TakeOrderedAndProject (per-partition heaps, no
+    global sort); the union/intersection arithmetic touches ≤3k
+    sketch rows broadcast-side — at 100 TB the full-table work is two
+    distinct-aggregates, and sketch merge replaces any re-scan."""
+    from fairy_spark.operators.text import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        portable_hash64(F.col("user_id").cast("string"), seed="kmv").alias("hv"),
+    )
+    c = h.filter(F.col("event_type") == "click").select("hv")
+    p = h.filter(F.col("event_type") == "purchase").select("hv")
+    u = h.select("hv").distinct()
+    skc = c.orderBy("hv").limit(_KMV_K)
+    skp = p.orderBy("hv").limit(_KMV_K)
+    sku = u.orderBy("hv").limit(_KMV_K)
+
+    kc = skc.agg(F.max("hv").alias("kth_c"))
+    kp = skp.agg(F.max("hv").alias("kth_p"))
+    ku = sku.agg(F.max("hv").alias("kth_u"))
+    m = (
+        sku.join(c.hint("broadcast"), "hv", "left_semi")
+        .join(p.hint("broadcast"), "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    ex = (
+        c.agg(F.count(F.lit(1)).alias("exact_click"))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("exact_purchase"))))
+        .crossJoin(F.broadcast(u.agg(F.count(F.lit(1)).alias("exact_union"))))
+        .crossJoin(
+            F.broadcast(
+                c.join(p, "hv", "left_semi").agg(
+                    F.count(F.lit(1)).alias("exact_inter")
+                )
+            )
+        )
+    )
+    big = f"CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {_KMV_M}"
+    wide = (
+        kc.crossJoin(F.broadcast(kp))
+        .crossJoin(F.broadcast(ku))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(ex))
+        .selectExpr(
+            f"CAST(({big}) DIV kth_c AS BIGINT) AS est_click",
+            f"CAST(({big}) DIV kth_p AS BIGINT) AS est_purchase",
+            f"CAST(({big}) DIV kth_u AS BIGINT) AS est_union",
+            "m",
+            "exact_click",
+            "exact_purchase",
+            "exact_union",
+            "exact_inter",
+        )
+        .withColumn(
+            "est_inter",
+            F.expr(
+                "CAST((CAST(m AS DECIMAL(38,0)) * est_union)"
+                f" DIV {_KMV_K} AS BIGINT)"
+            ),
+        )
+    )
+    return wide.selectExpr(
+        """stack(4,
+             'click',        est_click,    CAST(exact_click AS BIGINT),
+             'purchase',     est_purchase, CAST(exact_purchase AS BIGINT),
+             'union',        est_union,    CAST(exact_union AS BIGINT),
+             'intersection', est_inter,    CAST(exact_inter AS BIGINT)
+           ) AS (set_name, est_nd, exact_nd)"""
+    ).orderBy("set_name")

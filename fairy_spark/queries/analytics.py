@@ -1647,3 +1647,177 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("brier_ppm"),
     ).orderBy("bin")
+
+
+@register(
+    "ml_quantile_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    ), g AS (
+      SELECT n_chars AS qv,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pos
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM documents),
+    mapped AS (
+      SELECT r.source,
+             CAST((CAST(r.rn - 1 AS HUGEINT) * (tot.n - 1))
+                  // (r.n_src - 1) + 1 AS BIGINT) AS idx
+      FROM r CROSS JOIN tot
+      WHERE r.n_src > 1
+    )
+    SELECT m.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(g.qv) AS BIGINT) AS sum_norm,
+           CAST(MIN(g.qv) AS BIGINT) AS min_norm,
+           CAST(MAX(g.qv) AS BIGINT) AS max_norm
+    FROM mapped m JOIN g ON m.idx = g.pos
+    GROUP BY m.source
+    ORDER BY m.source
+    """,
+)
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (the microarray-era
+    transform, Bolstad et al. 2003, now standard for making feature
+    distributions comparable across heterogeneous corpus sources):
+    each document's n_chars is replaced by the GLOBAL empirical
+    quantile at its within-source percent rank, so every source ends
+    up with an identical value distribution. Rank mapping is exact
+    integer: idx = (rn-1)(N-1) DIV (n_src-1) + 1 (decimal(38,0)
+    product — rn*N overflows BIGINT at ~3e9×3e9 rows). The global
+    order statistic table comes from operators/ranking.py's sharded
+    two-pass row number — NO SinglePartition window at any corpus
+    size; the within-source rank windows partition by source. The
+    idx→value join shuffles on a bigint key, both sides
+    corpus-linear. Output: per-source aggregates of the normalized
+    column (count/sum/min/max) — equal sums across sources IS the
+    property the transform promises, so the output is the proof."""
+    from pyspark.sql import Window
+
+    from fairy_spark.operators.ranking import sharded_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    w_rn = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        F.row_number().over(w_rn).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n_src"),
+    )
+    g, total = sharded_global_row_number(
+        docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], pos_col="pos"
+    )
+    g = g.select(F.col("n_chars").alias("qv"), F.col("pos").cast("bigint"))
+    mapped = r.filter(F.col("n_src") > 1).select(
+        "source",
+        F.expr(
+            f"CAST((CAST(rn - 1 AS DECIMAL(38,0)) * {total - 1})"
+            " DIV (n_src - 1) + 1 AS BIGINT)"
+        ).alias("idx"),
+    )
+    return (
+        mapped.join(g, mapped.idx == g.pos)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("qv").cast("bigint").alias("sum_norm"),
+            F.min("qv").cast("bigint").alias("min_norm"),
+            F.max("qv").cast("bigint").alias("max_norm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "ml_record_linkage",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             substr(c_name, -3) AS name_sfx
+      FROM customer
+    ), pairs AS (
+      SELECT a.c_nationkey,
+             CASE WHEN a.name_sfx = b.name_sfx THEN 25 ELSE -5 END
+               + CASE WHEN ABS(a.cents - b.cents) < 1000 THEN 40 ELSE -10 END
+               AS score
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.cents // 10000 = b.cents // 10000
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN score >= 65 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matches,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM pairs
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def ml_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (Fellegi-Sunter scoring shape): candidate
+    duplicate customer records are generated ONLY within a composite
+    blocking key (nation, segment, $100 balance bucket) — the standard
+    entity-resolution blocking that keeps candidate pairs near-linear
+    in corpus size (within-block pairs are O(b²) but b is bounded by
+    the bucket width, the same discipline as dedup_ngram_jaccard's
+    length-bucket blocking; an unblocked linkage is the all-pairs
+    cross join the plan gates forbid). Each candidate pair scores
+    field-agreement weights (name-suffix agreement +25/−5, balance
+    within $10 +40/−10 — integer log-likelihood-ratio stand-ins) and
+    pairs reaching the match threshold (both fields agree, ≥65) are
+    counted. The self-join is an equi-join on the block key — shuffle
+    co-partitioned, no broadcast of the corpus. Output: per-nation
+    candidate-pair count, match count, and total score."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_sfx"),
+    )
+    a, b = [
+        c.select([F.col(x).alias(f"{p}_{x}") for x in c.columns])
+        for p in ("a", "b")
+    ]
+    pairs = a.join(
+        b,
+        (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+        & (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
+        & (F.expr("a_cents DIV 10000") == F.expr("b_cents DIV 10000"))
+        & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+    ).select(
+        F.col("a_c_nationkey").alias("nationkey"),
+        (
+            F.when(F.col("a_name_sfx") == F.col("b_name_sfx"), 25).otherwise(-5)
+            + F.when(
+                F.abs(F.col("a_cents") - F.col("b_cents")) < 1000, 40
+            ).otherwise(-10)
+        ).alias("score"),
+    )
+    return (
+        pairs.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("score") >= 65).cast("bigint"))
+            .cast("bigint")
+            .alias("n_matches"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .select(
+            F.col("nationkey").cast("bigint").alias("nationkey"),
+            "n_pairs",
+            "n_matches",
+            "sum_score",
+        )
+        .orderBy("nationkey")
+    )
