@@ -402,3 +402,85 @@ def ivf_exact_topk(
         .select("query_id", "neighbor_id", "dot", "rn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_sub: int = 8,
+    n_codes: int = 4,
+    n_queries: int = 8,
+    dims: int = 64,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-Quantization ADC search (Jégou, Douze, Schmid, TPAMI
+    2011): the 64-dim vector splits into ``n_sub`` subvectors; each
+    subspace has a tiny codebook (here: the subvectors of the same
+    md5-seeded rows ivf_exact_topk uses as seeds), and every corpus
+    vector is ENCODED as n_sub small codes — at scale this is the
+    memory move that makes billion-vector search possible (8 bytes/
+    vector instead of 256). Search is Asymmetric Distance Computation:
+    the query precomputes an (n_sub × n_codes) table of subspace
+    distances once, then every corpus vector's approximate distance is
+    n_sub TABLE LOOKUPS — expressed relationally as the corpus code
+    rows equi-joined against the broadcast ADC table and summed per
+    (query, neighbor). All arithmetic is exact integer (quantized_vec),
+    so a SQL oracle reproduces every byte. Scale shape: codebook and
+    ADC table are bounded broadcasts; the corpus side is one narrow
+    scan producing n_sub code rows per vector, one broadcast equi-join,
+    one map-side-combinable sum — no corpus×corpus pair ever forms."""
+    sub = dims // n_sub
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), quantized_vec(F.col(vec_col), scale).alias("_q")
+    )
+    seed_rows = (
+        corpus.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_codes)
+        .collect()
+    )
+    book = embeddings.sparkSession.createDataFrame(
+        [
+            (m, cid, list(r["_q"])[m * sub : (m + 1) * sub])
+            for m in range(n_sub)
+            for cid, r in enumerate(seed_rows)
+        ],
+        "m INT, cid INT, cv ARRAY<BIGINT>",
+    )
+    subs = corpus.select(
+        "_id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("_q"), m * sub + 1, sub) for m in range(n_sub)])
+        ).alias("m", "sv"),
+    )
+    wd = Window.partitionBy("_id", "m").orderBy(F.asc("_d2"), F.asc("cid"))
+    codes = (
+        subs.join(F.broadcast(book), "m")
+        .withColumn("_d2", int_l2sq(F.col("sv"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(wd))
+        .filter(F.col("_r") == 1)
+        .select(F.col("_id").alias("neighbor_id"), "m", F.col("cid").alias("code"))
+    )
+    adc = (
+        subs.filter(F.col("_id") < n_queries)
+        .join(F.broadcast(book), "m")
+        .select(
+            F.col("_id").alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            int_l2sq(F.col("sv"), F.col("cv")).alias("dq2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dq2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rn")
+    )

@@ -1303,10 +1303,15 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     kc = skc.agg(F.max("hv").alias("kth_c"))
     kp = skp.agg(F.max("hv").alias("kth_p"))
     ku = sku.agg(F.max("hv").alias("kth_u"))
-    m = (
-        sku.join(c.hint("broadcast"), "hv", "left_semi")
-        .join(p.hint("broadcast"), "hv", "left_semi")
-        .agg(F.count(F.lit(1)).alias("m"))
+    # Membership test orientation matters at scale: the BROADCAST side
+    # must be the k-row union sketch, never the corpus-sized hash sets
+    # (c/p are distinct users — O(corpus)). Stream each set once,
+    # keep its ≤k rows that land in the sketch, then the final
+    # intersection is a k-row × k-row semi-join.
+    in_c = c.join(F.broadcast(sku), "hv", "left_semi")
+    in_p = p.join(F.broadcast(sku), "hv", "left_semi")
+    m = in_c.join(F.broadcast(in_p), "hv", "left_semi").agg(
+        F.count(F.lit(1)).alias("m")
     )
     ex = (
         c.agg(F.count(F.lit(1)).alias("exact_click"))

@@ -1821,3 +1821,304 @@ def ml_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "ts_holt_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COALESCE(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)), 0) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), seq AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ), rec AS (
+      SELECT event_type, rn, n_days, l, b FROM (
+        SELECT event_type, rn, n_days, x AS l, CAST(0 AS BIGINT) AS b
+        FROM seq WHERE rn = 1
+      )
+      UNION ALL
+      SELECT s.event_type, s.rn, s.n_days,
+             (s.x + r.l + r.b) // 2 AS l,
+             ((s.x + r.l + r.b) // 2 - r.l + r.b) // 2 AS b
+      FROM rec r JOIN seq s
+        ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level6, CAST(b AS BIGINT) AS trend6,
+           CAST(l + b AS BIGINT) AS f1,
+           CAST(l + 2 * b AS BIGINT) AS f2,
+           CAST(l + 3 * b AS BIGINT) AS f3
+    FROM rec WHERE rn = n_days
+    ORDER BY event_type
+    """,
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend; Holt 1957 /
+    Hyndman's fpp — α=β=1/2) per event type over the daily value
+    series, with a 3-step-ahead forecast f_h = level + h·trend. The
+    recurrence l_t = (x_t + l + b)/2, b_t = (l_t − l + b)/2 is an
+    inherently SEQUENTIAL per-key fold no window frame expresses, so
+    it runs as an Arrow-batched applyInPandas over event_type groups —
+    one pass over each key's day vector in Python ints (exact; the
+    smoothing weights are powers of two so every state is an integer
+    micro-unit after truncating division, mirrored by DuckDB's
+    recursive CTE whose `//` truncates toward zero — NOT Python
+    floor, hence the explicit trunc-div helper). Scale shape: the
+    corpus-size work is the daily pre-aggregation (map-side-combined
+    hash agg); the Python stage sees one row PER KEY-DAY (365 rows/key
+    /year), so a 100-TB event log folds thousands of keys in parallel
+    with bounded memory per group."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")),
+            F.lit(0),
+        ).alias("x")
+    )
+
+    def _tdiv2(n: int) -> int:
+        # DuckDB's // truncates toward zero; Python's floors.
+        return n // 2 if n >= 0 else -((-n) // 2)
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        xs = [int(v) for v in pdf["x"]]
+        lvl, b = xs[0], 0
+        for x in xs[1:]:
+            nl = _tdiv2(x + lvl + b)
+            b = _tdiv2(nl - lvl + b)
+            lvl = nl
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(xs)],
+                "level6": [lvl],
+                "trend6": [b],
+                "f1": [lvl + b],
+                "f2": [lvl + 2 * b],
+                "f3": [lvl + 3 * b],
+            }
+        )
+
+    out_schema = (
+        "event_type string, n_days bigint, level6 bigint, trend6 bigint, "
+        "f1 bigint, f2 bigint, f3 bigint"
+    )
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(holt, schema=out_schema)
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_sax_symbols",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COALESCE(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)), 0) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), seq AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS rn0,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), segs AS (
+      SELECT event_type, (rn0 * 8) // n AS seg,
+             SUM(x) AS s, COUNT(*) AS c, MAX(n) AS n
+      FROM seq GROUP BY event_type, (rn0 * 8) // n
+    ), sym AS (
+      SELECT event_type, seg, n,
+             NTILE(4) OVER (PARTITION BY event_type ORDER BY s // c, seg) AS q
+      FROM segs
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+           string_agg(substr('abcd', q, 1), '' ORDER BY seg) AS sax_word
+    FROM sym GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization (Lin, Keogh et al., DMKD 2007) of
+    each event type's daily value series: the series is PAA-compressed
+    into 8 equal-count segments (seg = ⌊(rn−1)·8/n⌋ — exact integer,
+    no float boundaries), each segment's mean is taken in integer
+    micro-units (truncating DIV, identical in both engines), and
+    segments are mapped to a 4-letter alphabet by EMPIRICAL quartile
+    (NTILE over the series' own segment means — the equi-depth variant
+    of SAX's Gaussian breakpoints, chosen because it is exactly
+    reproducible with no std-dev float). The resulting 8-char word is
+    the series' shape fingerprint — the standard index key for motif
+    discovery / whole-series matching. Scale shape: the corpus-sized
+    work is the daily hash-agg; everything after runs on ≤8 rows per
+    key inside key-partitioned windows — thousands of series
+    discretize in parallel, no global sort, no single-partition
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")),
+            F.lit(0),
+        ).alias("x")
+    )
+    wseq = Window.partitionBy("event_type").orderBy("d")
+    wcnt = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "x",
+        (F.row_number().over(wseq) - 1).alias("rn0"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    segs = (
+        seq.withColumn("seg", F.expr("(rn0 * 8) DIV n"))
+        .groupBy("event_type", "seg")
+        .agg(
+            F.sum("x").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.max("n").alias("n"),
+        )
+    )
+    wq = Window.partitionBy("event_type").orderBy(F.expr("s DIV c"), "seg")
+    sym = segs.withColumn("q", F.ntile(4).over(wq)).withColumn(
+        "sym", F.expr("substr('abcd', q, 1)")
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg", "sym"))),
+                    lambda s: s["sym"],
+                ),
+            ).alias("sax_word"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM pts
+    ), binned AS (
+      SELECT ((p.cents - b.lo) * 16) // (b.hi - b.lo + 1) AS bin, p.y
+      FROM pts p CROSS JOIN bounds b
+    ), bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(p) AS BIGINT) AS p_tot
+      FROM bins
+    ), cand AS (
+      SELECT k, CAST(SUM(n) AS BIGINT) AS nl, CAST(SUM(p) AS BIGINT) AS pl
+      FROM (SELECT UNNEST(generate_series(bin, 14)) AS k, n, p
+            FROM bins WHERE bin <= 14)
+      GROUP BY k
+    ), scored AS (
+      SELECT c.k, c.nl, c.pl,
+             t.n_tot - c.nl AS nr, t.p_tot - c.pl AS pr,
+             CAST((
+               (CAST(c.pl AS HUGEINT) * c.pl
+                + CAST(c.nl - c.pl AS HUGEINT) * (c.nl - c.pl))
+                 * (t.n_tot - c.nl)
+               + (CAST(t.p_tot - c.pl AS HUGEINT) * (t.p_tot - c.pl)
+                  + CAST((t.n_tot - c.nl) - (t.p_tot - c.pl) AS HUGEINT)
+                    * ((t.n_tot - c.nl) - (t.p_tot - c.pl)))
+                 * c.nl
+             ) * 1000000 // (CAST(c.nl AS HUGEINT) * (t.n_tot - c.nl))
+             AS BIGINT) AS purity_score
+      FROM cand c CROSS JOIN tot t
+      WHERE c.nl > 0 AND c.nl < t.n_tot
+    )
+    SELECT k AS split_bin, nl, pl, nr, pr, purity_score
+    FROM scored ORDER BY purity_score DESC, k LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training (the 1-split CART/AdaBoost base
+    learner) as pure relational algebra: label = is-purchase, feature
+    = event value in cents, candidate splits = the 15 boundaries of 16
+    equal-width bins between the global min/max. The split quality is
+    the weighted Gini purity, maximized EXACTLY: minimizing weighted
+    impurity Σ n_s·gini_s is algebraically maximizing
+    ((pl²+ql²)·nr + (pr²+qr²)·nl) / (nl·nr), which is compared across
+    candidates as one integer scaled by 1e6 (quotient stays under
+    int64 up to ~10^12 rows; Spark-side numerators run in
+    decimal(38,0), DuckDB mirrors in HUGEINT). The distributed shape
+    is the classic two-pass histogram trainer (XGBoost/LightGBM's
+    approx mode): pass 1 = 1-row min/max frame (broadcast); pass 2 =
+    one map-side-combinable groupBy into ≤16 sufficient-stat rows;
+    cumulative left-stats come from an explode(sequence(bin..14))
+    re-aggregation — equi-ops only, no global window, no sort. The
+    16-row candidate frame then scores driver-free and TakeOrdered
+    picks the argmax (ties → smaller bin)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bounds = ev.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((cents - lo) * 16) DIV (hi - lo + 1)").alias("bin"), "y"
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("p").cast("bigint").alias("p_tot"),
+    )
+    cand = (
+        bins.filter(F.col("bin") <= 14)
+        .select(F.explode(F.expr("sequence(bin, 15)")).alias("k"), "n", "p")
+        .filter(F.col("k") <= 14)
+        .groupBy("k")
+        .agg(
+            F.sum("n").cast("bigint").alias("nl"),
+            F.sum("p").cast("bigint").alias("pl"),
+        )
+    )
+    d = "DECIMAL(38,0)"
+    scored = (
+        cand.crossJoin(F.broadcast(tot))
+        .filter((F.col("nl") > 0) & (F.col("nl") < F.col("n_tot")))
+        .selectExpr(
+            "k",
+            "nl",
+            "pl",
+            "n_tot - nl AS nr",
+            "p_tot - pl AS pr",
+            f"""CAST((
+              (CAST(pl AS {d}) * pl + CAST(nl - pl AS {d}) * (nl - pl))
+                * (n_tot - nl)
+              + (CAST(p_tot - pl AS {d}) * (p_tot - pl)
+                 + CAST((n_tot - nl) - (p_tot - pl) AS {d})
+                   * ((n_tot - nl) - (p_tot - pl)))
+                * nl
+            ) * 1000000 DIV (CAST(nl AS {d}) * (n_tot - nl))
+            AS BIGINT) AS purity_score""",
+        )
+    )
+    return (
+        scored.orderBy(F.desc("purity_score"), F.asc("k"))
+        .limit(1)
+        .select(
+            F.col("k").alias("split_bin"), "nl", "pl", "nr", "pr", "purity_score"
+        )
+    )

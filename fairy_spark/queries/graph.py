@@ -743,3 +743,211 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled peel-round CTE chain (the _pagerank_oracle pattern):
+    DuckDB replays the identical bounded iteration."""
+    prev = "e0"
+    its = []
+    for i in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: each round references the
+        # previous round's CTE 3× — left to DuckDB's default inlining
+        # the chain re-evaluates the base self-join 3^R times.
+        its.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+      ) GROUP BY node
+    ), k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT u, v FROM {prev}
+      WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+    )"""
+        )
+        prev = f"e{i}"
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e0 AS (SELECT u, v FROM pairs),
+    n0 AS (
+      SELECT COUNT(DISTINCT node) AS n FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+      )
+    ),
+    {", ".join(its)},
+    core AS (SELECT node FROM k{rounds})
+    SELECT (SELECT CAST(n AS BIGINT) FROM n0) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM core) AS n_core,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {prev}) AS n_core_edges,
+           (SELECT CAST(COALESCE(SUM(node), 0) AS BIGINT) FROM core)
+             AS core_checksum
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983; k=3) of the part
+    co-purchase graph by BOUNDED iterative peeling: each round drops
+    nodes with degree < k and the edges touching them; after R=6
+    rounds (fixed on BOTH engines — the bounded-iteration determinism
+    contract graph_pagerank uses) the survivors are the 3-core
+    approximation, exact wherever peeling has converged. Each round is
+    two corpus-linear ops — a degree hash-agg and two semi-joins
+    filtering the edge list — and the edge frame SHRINKS
+    monotonically, so round r costs at most round r-1. The
+    load-bearing move is LINEAGE TRUNCATION: each round's logical plan
+    references the previous round's 3× (degree agg twice + the semi
+    filter), so without truncation the analyzed plan grows ~3^r and
+    the DRIVER hangs in analysis long before any executor works
+    (measured: round 3 alone 42 s at sf0.01; the DuckDB oracle needed
+    the identical fix via AS MATERIALIZED — default CTE inlining
+    re-evaluates the base self-join 3^R times). `localCheckpoint
+    (eager=True)` materializes each round once and cuts the plan at a
+    leaf, making per-round analysis O(1); persist() alone does NOT —
+    cache substitution happens after analysis walks the full tree. On
+    a multi-executor cluster the same loop would use a reliable
+    `checkpoint()` (HDFS dir) since localCheckpoint blocks are
+    unreplicated executor-local. The peel would run to fixpoint with a
+    convergence check per round (count unchanged → stop); the fixed R
+    keeps the oracle an unrolled CTE chain instead."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    n_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .agg(F.countDistinct("node").alias("n_nodes"))
+    )
+    cur = edges
+    keep = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        cur = cur.join(
+            keep.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        cur = cur.localCheckpoint(eager=True)
+    core_stats = keep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core"),
+        F.coalesce(F.sum("node"), F.lit(0)).cast("bigint").alias("core_checksum"),
+    )
+    edge_count = cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_core_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(core_stats))
+        .crossJoin(F.broadcast(edge_count))
+        .select("n_nodes", "n_core", "n_core_edges", "core_checksum")
+    )
+
+
+def _hits_oracle(rounds: int = 2) -> str:
+    """Unrolled HITS iterations (the _pagerank_oracle pattern)."""
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), h0 AS (
+      SELECT c, CAST(1000000 AS BIGINT) AS h FROM (SELECT DISTINCT c FROM e)
+    )"""
+    ]
+    prev_h = "h0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i}r AS MATERIALIZED (
+      SELECT e.p, SUM({prev_h}.h) AS a
+      FROM e JOIN {prev_h} ON e.c = {prev_h}.c GROUP BY e.p
+    ), a{i} AS MATERIALIZED (
+      SELECT p, (a * 1000000) // (SELECT MAX(a) FROM a{i}r) AS a FROM a{i}r
+    ), h{i}r AS MATERIALIZED (
+      SELECT e.c, SUM(a{i}.a) AS h
+      FROM e JOIN a{i} ON e.p = a{i}.p GROUP BY e.c
+    ), h{i} AS MATERIALIZED (
+      SELECT c, (h * 1000000) // (SELECT MAX(h) FROM h{i}r) AS h FROM h{i}r
+    )"""
+        )
+        prev_h = f"h{i}"
+    return f"""
+    WITH {", ".join(parts)}
+    SELECT * FROM (
+      SELECT 'auth' AS side, p AS node_id, a AS score
+      FROM a{rounds} ORDER BY a DESC, p LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS side, c AS node_id, h AS score
+      FROM h{rounds} ORDER BY h DESC, c LIMIT 10
+    )
+    ORDER BY side, score DESC, node_id
+    """
+
+
+_HITS_ROUNDS = 2
+
+
+@register("graph_hits", oracle=_hits_oracle(_HITS_ROUNDS))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over the
+    bipartite customer→part purchase graph, 2 bounded mutual-
+    reinforcement rounds: authority(p) = Σ hub(c) over buyers,
+    hub(c) = Σ authority(p) over purchases, renormalized each round to
+    1e6 micro-units by integer DIV against the round's max (the same
+    fixed-point discipline as graph_pagerank, so DuckDB replays the
+    identical arithmetic in an unrolled CTE chain). Each half-round is
+    one edge-table equi-join + map-side-combinable SUM — corpus-linear
+    — and the 1-row max frame rides a broadcast crossJoin. The edge
+    list is built once and persisted (it feeds all 2R half-rounds);
+    top-10 per side comes from TakeOrdered, not a global window."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select("c").distinct().withColumn("h", F.lit(1000000).cast("bigint"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        ar = e.join(h, "c").groupBy("p").agg(F.sum("h").alias("a"))
+        amax = ar.agg(F.max("a").alias("mx"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "p", F.expr("(a * 1000000) DIV mx").alias("a")
+        )
+        hr = e.join(a, "p").groupBy("c").agg(F.sum("a").alias("h"))
+        hmax = hr.agg(F.max("h").alias("mx"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "c", F.expr("(h * 1000000) DIV mx").alias("h")
+        )
+    auth = (
+        a.orderBy(F.desc("a"), F.asc("p"))
+        .limit(10)
+        .select(F.lit("auth").alias("side"), F.col("p").alias("node_id"),
+                F.col("a").alias("score"))
+    )
+    hub = (
+        h.orderBy(F.desc("h"), F.asc("c"))
+        .limit(10)
+        .select(F.lit("hub").alias("side"), F.col("c").alias("node_id"),
+                F.col("h").alias("score"))
+    )
+    return auth.unionAll(hub).orderBy("side", F.desc("score"), "node_id")

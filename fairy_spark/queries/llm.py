@@ -3107,3 +3107,208 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("neg_n"),
         F.expr("(s2 - p * (p + 1)) * 1048576 DIV (2 * p * n)").alias("auc_q20"),
     ).orderBy("cohort")
+
+
+_PQ_M_SQL = "(SELECT UNNEST(generate_series(0, 7)) AS m)"
+_PQ_ADC_ORACLE = f"""
+    WITH c AS (
+      SELECT vec_id, {_IVF_Q_SQL} AS q
+      FROM embeddings WHERE vec_id < 128
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cid,
+             q AS cq
+      FROM c
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 4
+    ), book AS (
+      SELECT m.m, s.cid, (s.cq)[m.m * 8 + 1 : m.m * 8 + 8] AS cv
+      FROM {_PQ_M_SQL} m CROSS JOIN seeds s
+    ), subs AS (
+      SELECT c.vec_id, m.m, (c.q)[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+      FROM c CROSS JOIN {_PQ_M_SQL} m
+    ), dist AS (
+      SELECT s.vec_id, s.m, b.cid,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, 8),
+                                 i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))),
+                  (x, y) -> x + y) AS BIGINT) AS d2
+      FROM subs s JOIN book b ON s.m = b.m
+    ), codes AS (
+      SELECT vec_id AS neighbor_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS r
+        FROM dist)
+      WHERE r = 1
+    ), adc AS (
+      SELECT vec_id AS query_id, m, cid AS code, d2 AS dq2
+      FROM dist WHERE vec_id < 8
+    ), scored AS (
+      SELECT a.query_id, cd.neighbor_id, CAST(SUM(a.dq2) AS BIGINT) AS adc_d2
+      FROM codes cd
+      JOIN adc a ON a.m = cd.m AND a.code = cd.code
+                AND a.query_id <> cd.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT query_id, neighbor_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, neighbor_id) AS rn
+      FROM scored) WHERE rn <= 3
+    ORDER BY query_id, rn
+    """
+
+
+@register("ml_ann_pq_adc", oracle=_PQ_ADC_ORACLE)
+def ml_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ADC top-k (Jégou et al., TPAMI 2011) —
+    the third leg of the ANN stack beside LSH (hash buckets) and IVF
+    (coarse partitions): PQ attacks the MEMORY axis, encoding each
+    vector as n_sub=8 one-byte-class codes so a 100-TB embedding
+    corpus fits a fraction of the footprint, and queries score
+    candidates with a precomputed 8×4 subspace distance table (ADC)
+    instead of touching raw vectors. Relationally: the codebook and
+    per-query ADC table are bounded broadcasts; encoding is one narrow
+    corpus scan (posexplode into 8 subvectors, broadcast argmin join);
+    scoring is a broadcast equi-join on (subspace, code) + a
+    map-side-combinable SUM — no corpus×corpus pair, no raw-vector
+    re-read at query time. Exact integer arithmetic end-to-end
+    (quantized_vec), so the DuckDB oracle reproduces codes, tables,
+    and ranking byte-for-byte over the bounded 128-vector twin corpus;
+    recall properties live in tests/test_similarity.py."""
+    from fairy_spark.operators.similarity import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 128)
+    return pq_adc_topk(e, k=3).orderBy("query_id", "rn")
+
+
+_PREFIX_JACCARD_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, UNNEST(toks) AS token FROM t
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), ordered AS (
+      SELECT tok.doc_id, list(tok.token ORDER BY df.df, tok.token) AS ord
+      FROM tok JOIN df ON tok.token = df.token
+      GROUP BY tok.doc_id
+    ), pre AS (
+      SELECT doc_id,
+             (ord)[1 : len(ord) - ((9 * len(ord) + 9) // 10) + 1] AS prefix
+      FROM ordered
+    ), ptok AS (
+      SELECT doc_id, UNNEST(prefix) AS token FROM pre
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM ptok a JOIN ptok b ON a.token = b.token AND a.doc_id < b.doc_id
+    ), ver AS (
+      SELECT c.ida, c.idb,
+             CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS i,
+             CAST(len(list_distinct(ta.toks || tb.toks)) AS BIGINT) AS u
+      FROM cand c
+      JOIN t ta ON ta.doc_id = c.ida
+      JOIN t tb ON tb.doc_id = c.idb
+    ), pairs AS (
+      SELECT ida, idb, (i * 1000000) // u AS ppm FROM ver WHERE 10 * i >= 9 * u
+    ), sym AS (
+      SELECT ida AS doc_id, idb AS partner, ppm FROM pairs
+      UNION ALL
+      SELECT idb, ida, ppm FROM pairs
+    )
+    SELECT doc_id, n_dups, partner AS best_partner, ppm AS best_jacc_ppm FROM (
+      SELECT doc_id, partner, ppm,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_dups,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY ppm DESC, partner) AS r
+      FROM sym) WHERE r = 1
+    ORDER BY doc_id
+    """
+
+
+@register("dedup_prefix_jaccard", oracle=_PREFIX_JACCARD_ORACLE)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity self-join (SSJoin/PPJoin family
+    — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) at Jaccard ≥ 0.9:
+    tokens are globally ordered RAREST-FIRST by document frequency,
+    each document exposes only its prefix (the first
+    n − ceil(0.9·n) + 1 ordered tokens), and candidate pairs form
+    ONLY via an equi-join on shared prefix tokens — the pigeonhole
+    guarantee that two sets meeting the threshold must collide in
+    their prefixes, with zero false negatives (unlike minhash-LSH,
+    which trades recall). The frequency ordering is the scale lever:
+    prefixes hold each document's rarest tokens, so join fan-out per
+    token is minimal by construction; the verify step re-checks exact
+    Jaccard as the integer cross-multiplication 10·|∩| ≥ 9·|∪|.
+    Output folds pairs into per-doc stats (n_dups + best partner) so
+    the result stays corpus-bounded. Complements dedup_ngram_jaccard
+    (length-bucket blocking — recall-lossy across buckets) as the
+    exact-recall member of the near-dup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("toks")
+    )
+    tok = t.select("doc_id", F.explode("toks").alias("token"))
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(df, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("ord")
+        )
+    )
+    n = F.size("ord")
+    p = n - ((F.lit(9) * n + F.lit(9)) / F.lit(10)).cast("int") + F.lit(1)
+    pre = ordered.select("doc_id", F.slice("ord", F.lit(1), p).alias("prefix"))
+    ptok = pre.select("doc_id", F.explode("prefix").alias("token"))
+    a, b = ptok.alias("a"), ptok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("ida"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("idb"), F.col("toks").alias("toks_b"))
+    ver = (
+        cand.join(ta, "ida")
+        .join(tb, "idb")
+        .select(
+            "ida",
+            "idb",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint").alias("i"),
+            F.size(F.array_distinct(F.concat("toks_a", "toks_b")))
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    pairs = ver.filter(F.lit(10) * F.col("i") >= F.lit(9) * F.col("u")).select(
+        "ida", "idb", F.expr("(i * 1000000) DIV u").alias("ppm")
+    )
+    sym = pairs.select(
+        F.col("ida").alias("doc_id"), F.col("idb").alias("partner"), "ppm"
+    ).unionAll(
+        pairs.select(
+            F.col("idb").alias("doc_id"), F.col("ida").alias("partner"), "ppm"
+        )
+    )
+    w = Window.partitionBy("doc_id")
+    wr = w.orderBy(F.desc("ppm"), F.asc("partner"))
+    return (
+        sym.withColumn("n_dups", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "doc_id",
+            "n_dups",
+            F.col("partner").alias("best_partner"),
+            F.col("ppm").alias("best_jacc_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -446,3 +446,108 @@ def stream_exec_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n").alias("n"),
         F.col("s.value_units").alias("value_units"),
     ).orderBy("w_start", "event_type")
+
+
+def _outer_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Replay dir for the OUTER stream-stream join: 4 event-time
+    quantile chunks of real data, then TWO sentinel chunks (one
+    purchase + one click row each, user_id = -1, at max_ts + 10h/11h).
+    The sentinels advance BOTH sides' watermarks past every real
+    row's join-window expiry, and the second sentinel batch runs with
+    the first's watermark already applied — so the engine provably
+    evicts all real left-side state and emits the null-padded outer
+    rows before the replay ends (outer emission happens a batch AFTER
+    the watermark advance; one sentinel alone would strand the tail).
+    Built once per application × sf, like _replay_dir."""
+    import datetime
+
+    app_id = spark.sparkContext.applicationId
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "fairy_spark_stream",
+        app_id,
+        "outer_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    from fairy_spark.streaming.pipeline import replay_dir_from_events
+
+    replay_dir_from_events(spark, sf_dir, d, n_chunks=4)
+    ev = load_table(spark, sf_dir, "events")
+    t_max = ev.agg(F.max("ts").alias("t")).first()["t"]
+    for i, hours in ((4, 10), (5, 11)):
+        t_s = t_max + datetime.timedelta(hours=hours)
+        sent = spark.createDataFrame(
+            [
+                (-(2 * i), t_s, -1, "purchase", 0.0, "{}"),
+                (-(2 * i + 1), t_s, -1, "click", 0.0, "{}"),
+            ],
+            schema=ev.schema,
+        )
+        sent.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"chunk_{i:03d}")
+        )
+    with open(marker, "w"):
+        pass
+    return d
+
+
+@register(
+    "stream_exec_stream_outer",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS l_ts, event_id AS l_event
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS r_ts, event_id AS r_event
+      FROM events WHERE event_type <> 'purchase'
+    ), m AS (
+      SELECT p.user_id, p.l_event, c.r_event
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.r_ts >= p.l_ts
+       AND c.r_ts <= p.l_ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id, l_event, r_event FROM m
+    UNION ALL
+    SELECT p.user_id, p.l_event, CAST(NULL AS BIGINT) AS r_event
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.l_event = p.l_event)
+    ORDER BY user_id, l_event, r_event
+    """,
+)
+def stream_exec_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-bounded join through the live
+    engine — the semantics the inner variant (stream_exec_stream_join)
+    cannot show: a purchase with no click within its 2h window emits a
+    null-padded row only when the watermark passes its join-window
+    expiry and the state store evicts it. Outer correctness is
+    therefore a statement about WATERMARK-DRIVEN EVICTION, not just
+    pairing: the oracle is matched-pairs UNION unmatched-left, and the
+    row counts agree only if the engine evicted (and emitted) every
+    real left row — proven here by the two sentinel chunks in
+    _outer_replay_dir that push both sides' watermarks past every real
+    expiry before the finite replay ends (outer results surface one
+    batch after the watermark moves — the documented delayed-emission
+    behavior; the second sentinel batch is what flushes them). State
+    stays bounded on both sides (watermark 4h > window 2h), the
+    condition is an equi-key + time-range join — the only
+    stream-stream join shape that scales, because state is hash-
+    partitioned by key and pruned by event time."""
+    replay = _outer_replay_dir(spark, sf_dir)
+    from fairy_spark.streaming.pipeline import (
+        read_event_stream as _res,
+        run_to_table as _rtt,
+        stream_stream_join as _ssj,
+    )
+
+    left = _res(spark, replay).filter(F.col("event_type") == "purchase")
+    right = _res(spark, replay).filter(F.col("event_type") != "purchase")
+    joined = _ssj(left, right, key="user_id", within="2 hours", how="leftOuter")
+    sink = _rtt(joined, mode="append")
+    return (
+        sink.filter(F.col("user_id") >= 0)
+        .select("user_id", "l_event", "r_event")
+        .orderBy("user_id", "l_event", "r_event")
+    )

@@ -181,12 +181,16 @@ def stream_stream_join(
     key: str = "user_id",
     within: str = "2 hours",
     watermark: str = "4 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: rows pair when keys match and the
+    """Stream-stream join: rows pair when keys match and the
     right event lands within [left.ts, left.ts + within]. Both sides
     carry watermarks + the time-range condition, so Spark can bound
     the join STATE on both sides — without them stream-stream join
-    state grows forever (the non-negotiable contract at stream scale)."""
+    state grows forever (the non-negotiable contract at stream scale).
+    ``how="leftOuter"`` additionally emits null-padded rows for left
+    events that found no partner, once the watermark passes their
+    join-window expiry and their state is evicted."""
     l = left.select(
         F.col(key).alias("k"),
         F.col("ts").alias("l_ts"),
@@ -204,6 +208,7 @@ def stream_stream_join(
             (F.col("l.k") == F.col("r.k"))
             & (F.col("r.r_ts") >= F.col("l.l_ts"))
             & (F.col("r.r_ts") <= F.col("l.l_ts") + F.expr(f"INTERVAL {within}")),
+            how,
         )
         .select(F.col("l.k").alias(key), "l_event", "r_event", "l_ts", "r_ts")
     )

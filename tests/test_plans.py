@@ -434,6 +434,10 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "stats_ks_two_sample",  # 1-row (n1,n2) totals + 1-row max-deviation frame
         "stats_benford_digits",  # 9-row expected grid + 1-row total frame
         "ml_ann_ivf_exact",  # n_clusters-row centroid broadcast (k=4 by design)
+        "graph_kcore",  # 1-row node/core/edge count summary frames
+        "sketch_kmv_setops",  # 1-row kth-value/exact-count stat frames
+        "graph_hits",  # 1-row per-round max frame for integer renormalization
+        "ml_decision_stump",  # 1-row min/max bounds + totals frames
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
