@@ -3184,7 +3184,8 @@ def ml_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PREFIX_JACCARD_ORACLE = f"""
     WITH t AS (
-      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks
+      FROM documents WHERE doc_id < 2000
     ), tok AS (
       SELECT doc_id, UNNEST(toks) AS token FROM t
     ), df AS (
@@ -3194,14 +3195,16 @@ _PREFIX_JACCARD_ORACLE = f"""
       FROM tok JOIN df ON tok.token = df.token
       GROUP BY tok.doc_id
     ), pre AS (
-      SELECT doc_id,
+      SELECT doc_id, len(ord) AS n,
              (ord)[1 : len(ord) - ((9 * len(ord) + 9) // 10) + 1] AS prefix
       FROM ordered
     ), ptok AS (
-      SELECT doc_id, UNNEST(prefix) AS token FROM pre
+      SELECT doc_id, n, UNNEST(prefix) AS token FROM pre
     ), cand AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-      FROM ptok a JOIN ptok b ON a.token = b.token AND a.doc_id < b.doc_id
+      FROM ptok a JOIN ptok b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+       AND 10 * LEAST(a.n, b.n) >= 9 * GREATEST(a.n, b.n)
     ), ver AS (
       SELECT c.ida, c.idb,
              CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS i,
@@ -3243,8 +3246,21 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output folds pairs into per-doc stats (n_dups + best partner) so
     the result stays corpus-bounded. Complements dedup_ngram_jaccard
     (length-bucket blocking — recall-lossy across buckets) as the
-    exact-recall member of the near-dup family."""
-    docs = load_table(spark, sf_dir, "documents")
+    exact-recall member of the near-dup family.
+
+    Two scale caveats, both standard: (1) the LENGTH filter
+    (10·min(n_a,n_b) ≥ 9·max — a necessary condition for J ≥ 0.9)
+    rides the candidate join, pruning cross-length pairs before any
+    set intersection; (2) prefix filtering's pruning power is
+    vocabulary-dependent — on a corpus whose vocabulary is SMALLER
+    than its document count (this synthetic fixture: shared template
+    tokens), even rarest-first prefixes collide almost everywhere and
+    the join degenerates toward all-pairs, so the registered instance
+    runs on a bounded 2000-doc twin corpus (the ml_ann_*_exact
+    discipline); at open-web scale the prefix join prunes as
+    published, and the minhash prefilter (dedup_minhash_lsh) remains
+    the recall-trading fallback for adversarial vocabularies."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     t = docs.select(
         "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("toks")
     )
@@ -3262,14 +3278,20 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("ord")
     p = n - ((F.lit(9) * n + F.lit(9)) / F.lit(10)).cast("int") + F.lit(1)
-    pre = ordered.select("doc_id", F.slice("ord", F.lit(1), p).alias("prefix"))
-    ptok = pre.select("doc_id", F.explode("prefix").alias("token"))
+    pre = ordered.select(
+        "doc_id", n.alias("n"), F.slice("ord", F.lit(1), p).alias("prefix")
+    )
+    ptok = pre.select("doc_id", "n", F.explode("prefix").alias("token"))
     a, b = ptok.alias("a"), ptok.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(10) * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(9) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .distinct()
@@ -3311,4 +3333,122 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ppm").alias("best_jacc_ppm"),
         )
         .orderBy("doc_id")
+    )
+
+
+_RAKE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos,
+             regexp_replace(toks[i], '[^a-z0-9]', '', 'g') AS word
+      FROM t CROSS JOIN UNNEST(generate_series(1, len(toks))) AS u(i)
+    ), marked AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN word = '' OR list_contains({_STOPWORDS_SQL}, word)
+                  THEN 1 ELSE 0 END AS brk
+      FROM pos
+    ), grouped AS (
+      SELECT doc_id, pos, word, brk,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM marked
+    ), members AS (
+      SELECT doc_id, phrase_id, pos, word FROM grouped WHERE brk = 0
+    ), ph AS (
+      SELECT doc_id, phrase_id, COUNT(*) AS len,
+             string_agg(word, ' ' ORDER BY pos) AS phrase
+      FROM members GROUP BY doc_id, phrase_id
+      HAVING COUNT(*) <= 4
+    ), m2 AS (
+      SELECT m.word, m.doc_id, m.phrase_id, p.len, p.phrase
+      FROM members m JOIN ph p
+        ON m.doc_id = p.doc_id AND m.phrase_id = p.phrase_id
+    ), wstats AS (
+      SELECT word,
+             (CAST(SUM(len) AS BIGINT) * 1000000) // COUNT(*) AS wscore
+      FROM m2 GROUP BY word
+    ), pscore AS (
+      SELECT m2.doc_id, m2.phrase_id, m2.phrase,
+             CAST(SUM(w.wscore) AS BIGINT) AS score
+      FROM m2 JOIN wstats w ON m2.word = w.word
+      GROUP BY m2.doc_id, m2.phrase_id, m2.phrase
+    )
+    SELECT phrase, MAX(score) AS score_ppm, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pscore GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase LIMIT 20
+    """
+
+
+@register("text_keyword_rake", oracle=_RAKE_ORACLE)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, 'Automatic keyword
+    extraction from individual documents'): candidate phrases are the
+    maximal runs of content words between stopword/punctuation breaks
+    (gaps-and-islands via a per-doc running break count — partitioned
+    window, never global), capped at 4 words; each word scores
+    degree/frequency where degree sums the lengths of every phrase the
+    word appears in, and a phrase scores the sum of its words' scores.
+    All scoring is integer ppm (truncating DIV) so both engines agree
+    byte-for-byte. Scale shape: two corpus-hash-aggs (word stats,
+    phrase collapse) + one equi-join of phrase members against the
+    vocabulary — all map-side-combinable; the only ordered operation
+    is within-doc position windows; global top-20 is TakeOrdered.
+    Complements text_tfidf (corpus-statistical) with the
+    document-local graph-degree signal RAKE is known for."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    pos = t.select(
+        "doc_id", F.posexplode("toks").alias("p0", "token")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.regexp_replace(F.col("token"), "[^a-z0-9]", "").alias("word"),
+    )
+    marked = pos.withColumn(
+        "brk",
+        F.when(
+            (F.col("word") == "") | F.col("word").isin(*EN_STOPWORDS), 1
+        ).otherwise(0),
+    )
+    wb = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    members = (
+        marked.withColumn("phrase_id", F.sum("brk").over(wb))
+        .filter(F.col("brk") == 0)
+        .select("doc_id", "phrase_id", "pos", "word")
+    )
+    ph = (
+        members.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("phrase"),
+        )
+        .filter(F.col("len") <= 4)
+    )
+    m2 = members.join(ph, ["doc_id", "phrase_id"])
+    wstats = m2.groupBy("word").agg(
+        F.expr("(CAST(SUM(len) AS BIGINT) * 1000000) DIV COUNT(*)").alias("wscore")
+    )
+    pscore = (
+        m2.join(wstats, "word")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum("wscore").cast("bigint").alias("score"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.max("score").alias("score_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("phrase"))
+        .limit(20)
     )

@@ -194,3 +194,90 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("kf").desc(), "doc_id")
         .limit(20)
     )
+
+
+# Poisson(1) CDF breakpoints scaled to 2^60 (floor(P(X<=k) * 2^60) for
+# k = 0..5), precomputed once and embedded as identical literals in
+# both engines — the stats_benford_digits shared-literal precedent.
+# P(X>5) mass (~0.06%) is clamped to weight 6.
+_POIS1_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+)
+_POIS_B = 16
+
+
+def _poisson_bootstrap_oracle() -> str:
+    from fairy_spark.operators.text import portable_hash_sql
+
+    u = portable_hash_sql("concat(CAST(o_orderkey AS VARCHAR), '#', CAST(b AS VARCHAR))", seed="boot")
+    w = " + ".join(f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POIS1_T)
+    return f"""
+    WITH r AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             UNNEST(generate_series(0, {_POIS_B - 1})) AS b
+      FROM orders
+    ), h AS (
+      SELECT b, cents, {u} AS u FROM r
+    ), wtd AS (
+      SELECT b, cents, CAST({w} AS BIGINT) AS w FROM h
+    )
+    SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * cents) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS mean_cents
+    FROM wtd GROUP BY b ORDER BY b
+    """
+
+
+@register("sample_poisson_bootstrap", oracle=_poisson_bootstrap_oracle())
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012 — 'Estimating
+    uncertainty for massive data streams'): the resampling scheme that
+    actually works distributed, because each of the B=16 replicas
+    draws an INDEPENDENT Poisson(1) weight per row from a pure hash of
+    (row id, replica) — no global n needed, no coordination, one
+    corpus scan fanned out ×B by an explode, then a map-side-combined
+    weighted mean per replica. The spread of the 16 replica means IS
+    the sampling distribution of the mean order value (CI half-width ≈
+    2σ of these); weights come from inverse-CDF lookup against
+    Poisson(1) breakpoints precomputed to 2^60 fixed-point and
+    embedded as identical literals in both engines, so every replica
+    mean is an exact integer (truncating DIV). rand() is never used —
+    determinism across engines, retries, and partitionings is the
+    whole point (the sample_hash_mod discipline at replica scale)."""
+    from fairy_spark.operators.text import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    r = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_POIS_B - 1))).alias("b"),
+    )
+    u = portable_hash64(
+        F.concat(
+            F.col("o_orderkey").cast("string"), F.lit("#"), F.col("b").cast("string")
+        ),
+        seed="boot",
+    )
+    w = sum(
+        (F.when(u >= F.lit(t), 1).otherwise(0) for t in _POIS1_T),
+        F.lit(0),
+    )
+    wtd = r.select("b", "cents", w.cast("bigint").alias("w"))
+    return (
+        wtd.groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.expr("CAST(SUM(w * cents) AS BIGINT) DIV CAST(SUM(w) AS BIGINT)").alias(
+                "mean_cents"
+            ),
+        )
+        .orderBy("b")
+    )

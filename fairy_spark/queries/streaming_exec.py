@@ -551,3 +551,77 @@ def stream_exec_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "l_event", "r_event")
         .orderBy("user_id", "l_event", "r_event")
     )
+
+
+@register(
+    "stream_exec_python_source",
+    oracle="""
+    WITH feed AS (
+      SELECT i AS id, (i * i) % 97 AS val
+      FROM (SELECT UNNEST(generate_series(0, 999)) AS i)
+    )
+    SELECT val % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM feed GROUP BY val % 10 ORDER BY bucket
+    """,
+)
+def stream_exec_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PYTHON DataSource through the live engine
+    (SimpleDataSourceStreamReader, Spark 4) + incremental availableNow
+    RESTARTS: the synthetic feed serves 1000 deterministic rows in
+    250-row offset batches, and the driver loop below starts a fresh
+    availableNow run against the SAME checkpoint until the sink stops
+    growing — each restart resumes from the offset the previous run
+    committed to the WAL, so the final parquet sink holding exactly
+    one copy of every row is a live proof of offset-checkpoint
+    exactly-once across restarts (the cross-restart analog of
+    kv_time_travel's durability story, on the streaming plane). The
+    source's readBetweenOffsets replays any committed range
+    bit-identically — the property recovery relies on. Scale shape:
+    the feed is a stand-in for any external system (queue, CDC tap)
+    attached via the Python source API; offsets are the contract that
+    makes a 1000-executor ingest restartable. The final aggregation
+    runs batch over the sink."""
+    import uuid
+
+    from fairy_spark.sources.pydatasource import register_pydatasource_stream
+
+    register_pydatasource_stream(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "fairy_spark_stream",
+        spark.sparkContext.applicationId,
+        f"pysrc_{uuid.uuid4().hex[:8]}",
+    )
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    n_total = 1000
+    seen, rounds = -1, 0
+    while rounds < 12:
+        q = (
+            spark.readStream.format("fairy_feed")
+            .option("n_total", str(n_total))
+            .option("batch", "250")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rounds += 1
+        now = spark.read.parquet(sink).count()
+        if now == seen:
+            break
+        seen = now
+    return (
+        spark.read.parquet(sink)
+        .groupBy((F.col("val") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("id").cast("bigint").alias("sum_id"),
+        )
+        .orderBy("bucket")
+    )

@@ -490,3 +490,65 @@ def udf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInArrow(seg_stats, schema=out_schema)
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "mm_frame_extract",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             LEAST(CAST(LENGTH(text) / 10 AS INT) + 1, 4) AS n_frames
+      FROM documents WHERE doc_id <= 30
+    )
+    SELECT media_id, CAST(u.i AS INTEGER) AS frame_index,
+           CAST(LENGTH(substring(text, u.i * 10 + 1, 16)) AS BIGINT) AS frame_bytes,
+           md5(substring(text, u.i * 10 + 1, 16)) AS frame_md5
+    FROM m, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+    ORDER BY media_id, frame_index
+    """,
+)
+def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes the frame-sampling plan mm_frame_plan only computes:
+    each scheduled (media_id, frame_index, byte_offset) row slices its
+    16-byte 'frame' out of the opaque binary payload inside an
+    Arrow-batched mapInPandas stage — the exact plumbing a real video
+    pipeline needs (binary column in, per-frame rows out, byte-exact
+    offsets), with the codec itself stubbed per the multimodal
+    contract (operators/multimodal.py). The payload rides the explode
+    JVM-side so each Python batch already holds (offset, payload)
+    pairs — no second join, ≤4 frame rows per asset. Verification:
+    frame length + md5 of the sliced bytes; the oracle mirrors with
+    VARCHAR substring, valid because these stand-in payloads are the
+    documents' ASCII text (asserted by the pure-ASCII fixture; real
+    media would compare against a binary-capable oracle or the
+    rows-only gate)."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 30)
+    media = media_table_from_documents(docs)
+    n_frames = F.least(
+        (F.col("meta.n_bytes") / 10).cast("int") + 1, F.lit(4)
+    )
+    plan = media.select(
+        "media_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
+    ).withColumn("byte_offset", F.col("frame_index") * 10)
+
+    def slice_frames(batches):
+        for pdf in batches:
+            out = pdf[["media_id", "frame_index"]].copy()
+            sliced = [
+                bytes(p)[o : o + 16]
+                for p, o in zip(pdf["payload"], pdf["byte_offset"])
+            ]
+            out["frame_bytes"] = [len(s) for s in sliced]
+            out["frame_md5"] = [hashlib.md5(s).hexdigest() for s in sliced]
+            yield out
+
+    schema = "media_id long, frame_index int, frame_bytes long, frame_md5 string"
+    return (
+        plan.mapInPandas(slice_frames, schema=schema)
+        .withColumn("frame_index", F.col("frame_index").cast("int"))
+        .orderBy("media_id", "frame_index")
+    )

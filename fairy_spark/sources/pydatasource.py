@@ -208,9 +208,82 @@ class PushdownParquetRowGroupDataSource(DataSource):
         return PushdownRowGroupReader(schema, self.options)
 
 
+def _ship_module_by_value() -> None:
+    # Python workers deserialize DataSource classes; when the driver is
+    # launched from outside the repo (the external-driver case) this
+    # module is not importable worker-side, so ship its classes BY
+    # VALUE instead of by reference.
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
 def register_pydatasource(spark) -> None:
+    _ship_module_by_value()
     spark.dataSource.register(ParquetRowGroupDataSource)
 
 
 def register_pydatasource_pushdown(spark) -> None:
+    _ship_module_by_value()
     spark.dataSource.register(PushdownParquetRowGroupDataSource)
+
+
+class DeterministicFeedStreamReader:
+    """Offset-based micro-batch reader for the synthetic feed source
+    (SimpleDataSourceStreamReader contract): offsets are plain row
+    indices, each read() serves the next ``batch`` rows and advances
+    the offset, and readBetweenOffsets() replays any committed range
+    deterministically — the property exactly-once recovery depends on.
+    Row content is a pure function of the row index (val = i² mod 97),
+    so ANY offset range re-serves identical bytes on retry/replay."""
+
+    def __init__(self, options):
+        self.n_total = int(options.get("n_total", "1000"))
+        self.batch = int(options.get("batch", "250"))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, s: int, e: int):
+        return iter([(i, (i * i) % 97) for i in range(s, e)])
+
+    def read(self, start):
+        s = start["i"]
+        e = min(s + self.batch, self.n_total)
+        return self._rows(s, e), {"i": e}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["i"], end["i"])
+
+    def commit(self, end):
+        pass
+
+
+class DeterministicFeedDataSource(DataSource):
+    """Streaming Python DataSource (Spark 4): a deterministic feed
+    served through the SIMPLE stream-reader API (driver-side reads,
+    engine handles offset tracking + WAL). The batch twin is
+    ParquetRowGroupDataSource; this is the readStream side of the
+    same extension surface."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fairy_feed"
+
+    def schema(self) -> str:
+        return "id long, val long"
+
+    def simpleStreamReader(self, schema):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        class _Reader(DeterministicFeedStreamReader, SimpleDataSourceStreamReader):
+            pass
+
+        return _Reader(self.options)
+
+
+def register_pydatasource_stream(spark) -> None:
+    _ship_module_by_value()
+    spark.dataSource.register(DeterministicFeedDataSource)
