@@ -2122,3 +2122,156 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("split_bin"), "nl", "pl", "nr", "pr", "purity_score"
         )
     )
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pt
+      FROM events
+    ), gaps AS (
+      SELECT user_id, t - pt AS g FROM ev WHERE pt IS NOT NULL
+    ), st AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             SUM(CAST(g AS HUGEINT)) AS s,
+             SUM(CAST(g AS HUGEINT) * g) AS q
+      FROM gaps GROUP BY user_id HAVING COUNT(*) >= 5
+    )
+    SELECT user_id, n_gaps,
+           CAST(s // n_gaps AS BIGINT) AS mean_gap_us,
+           CAST(((n_gaps * q - s * s) * 1000000) // (s * s) AS BIGINT) AS cv2_ppm
+    FROM st ORDER BY cv2_ppm, user_id LIMIT 20
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automation detection by inter-event REGULARITY (the
+    classic behavioral signal: scripted clients fire on timers, humans
+    are bursty — low squared coefficient of variation of inter-event
+    gaps flags the timers): per user, gaps between consecutive events
+    in exact microseconds, then CV² = (n·Σg² − (Σg)²)/(Σg)² computed
+    from two mergeable sufficient statistics and reported in ppm (one
+    truncating DIV at the end — quotient bounded, intermediates in
+    decimal(38,0)/HUGEINT since (Σg)² reaches ~1e27). The 20
+    most-regular users surface via TakeOrdered. Scale shape: one
+    per-user-partitioned LAG window + one map-side-combinable hash
+    agg — both corpus-linear and skew-tolerant (a user's row count
+    bounds its window frame); the sufficient-stat pair (Σg, Σg²) is
+    the same mergeable-moment discipline as agg_stats_moments, so the
+    scan parallelizes without accumulation-order sensitivity. At
+    extreme per-user volumes (10^6+ events × decade spans) rescale
+    gaps to milliseconds to keep n·Σg²·10^6 inside 38 digits."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — with the
+    # session pinned to UTC the cast is wall-clock identity, matching
+    # DuckDB's epoch_us on the naive timestamp.
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select("user_id", (t - F.lag(t).over(w)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    st = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum(F.col("g").cast(_DEC)).alias("s"),
+            F.sum(F.col("g").cast(_DEC) * F.col("g")).alias("q"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    return (
+        st.selectExpr(
+            "user_id",
+            "n_gaps",
+            "CAST(s DIV n_gaps AS BIGINT) AS mean_gap_us",
+            "CAST(((n_gaps * q - s * s) * 1000000) DIV (s * s) AS BIGINT)"
+            " AS cv2_ppm",
+        )
+        .orderBy("cv2_ppm", "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "ml_item_cf",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    ), ic AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS ci FROM op GROUP BY i
+    ), pairs AS (
+      SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS cij
+      FROM op a JOIN op b ON a.o = b.o AND a.i < b.i
+      GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+    ), sym AS (
+      SELECT ia AS item, ib AS rec, cij FROM pairs
+      UNION ALL
+      SELECT ib, ia, cij FROM pairs
+    ), scored AS (
+      SELECT s.item, s.rec, s.cij,
+             CAST((CAST(s.cij AS HUGEINT) * s.cij * 1000000)
+                  // (CAST(c1.ci AS HUGEINT) * c2.ci) AS BIGINT) AS sim_ppm
+      FROM sym s
+      JOIN ic c1 ON s.item = c1.i
+      JOIN ic c2 ON s.rec = c2.i
+    )
+    SELECT item, CAST(rn AS INTEGER) AS rn, rec, cij AS c_pair, sim_ppm FROM (
+      SELECT item, rec, cij, sim_ppm,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY sim_ppm DESC, cij DESC, rec) AS rn
+      FROM scored) WHERE rn <= 3
+    ORDER BY item, rn
+    """,
+)
+def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., WWW 2001 /
+    the Amazon item-to-item patent family): co-purchase counts become
+    per-item top-3 recommendations ranked by squared-cosine similarity
+    cij²/(ci·cj), carried in exact integer ppm (decimal(38,0)/HUGEINT
+    intermediates — cij²·10^6 passes int64 once pair counts reach
+    ~10^6). The c_ij ≥ 2 support floor is the standard noise cut. The
+    distributed shape is the one that scales: pair generation is the
+    per-order self-join (fan-out bounded by basket size, never a
+    corpus×corpus product — the graph_triangles discipline), counts
+    are map-side-combinable hash aggs, similarity attaches via two
+    equi-joins against the item-count table, and ranking is a per-item
+    window. This is the neighborhood-method complement to
+    ml_assoc_rules (support/confidence/lift on the same baskets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    ).distinct()
+    ic = op.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("ci"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cij"))
+        .filter(F.col("cij") >= 2)
+    )
+    sym = pairs.select(
+        F.col("ia").alias("item"), F.col("ib").alias("rec"), "cij"
+    ).unionAll(pairs.select(F.col("ib").alias("item"), F.col("ia").alias("rec"), "cij"))
+    scored = (
+        sym.join(ic.withColumnRenamed("i", "item").withColumnRenamed("ci", "c1"), "item")
+        .join(ic.withColumnRenamed("i", "rec").withColumnRenamed("ci", "c2"), "rec")
+        .selectExpr(
+            "item",
+            "rec",
+            "cij",
+            "CAST((CAST(cij AS DECIMAL(38,0)) * cij * 1000000)"
+            " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT) AS sim_ppm",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("sim_ppm"), F.desc("cij"), F.asc("rec")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("item", "rn", "rec", F.col("cij").alias("c_pair"), "sim_ppm")
+        .orderBy("item", "rn")
+    )

@@ -984,3 +984,48 @@ def fn_timezone_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("utc_ts")
     )
+
+
+@register(
+    "fn_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_units,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's |> operator chain, from Google's
+    'SQL Has Problems' pipe-SQL proposal): the Q1 pricing shape
+    written as a linear dataflow — FROM |> WHERE |> EXTEND (computed
+    column) |> AGGREGATE ... GROUP BY |> WHERE (post-agg filter) |>
+    ORDER BY — the syntax surface a reference user migrating
+    imperative pipelines onto the engine would reach for first.
+    Catalyst lowers each pipe stage to the same logical operators as
+    classic SQL (the oracle is the classic form; a hash match proves
+    the lowering is semantics-preserving), so pushdown, codegen, and
+    partial aggregation are unchanged. Money stays in exact integer
+    basis-point units per the repo-wide fixed-point convention."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT) AS rev_units
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                     CAST(SUM(rev_units) AS BIGINT) AS revenue_units,
+                     CAST(COUNT(*) AS BIGINT) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 10
+        |> SELECT l_returnflag, l_linestatus, sum_qty, revenue_units, n
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
