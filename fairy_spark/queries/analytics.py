@@ -2275,3 +2275,255 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "rn", "rec", F.col("cij").alias("c_pair"), "sim_ppm")
         .orderBy("item", "rn")
     )
+
+
+@register(
+    "ts_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COALESCE(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)), 0) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tr AS (
+      SELECT event_type, d, x,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN SUM(x) OVER w // 7 END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, isodow(d) AS dow, x - trend AS dt
+      FROM tr WHERE trend IS NOT NULL
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(dt) AS BIGINT) // COUNT(*) AS seasonal_micro
+    FROM det GROUP BY event_type, dow
+    ORDER BY event_type, dow
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal decomposition, the classical-decomposition
+    core (Cleveland et al. 1990's loess replaced by its moving-average
+    ancestor so every step is exact integer): trend = 7-day CENTERED
+    moving average (emitted only where the frame is full — the
+    standard edge rule), detrended = x − trend, weekly seasonal index
+    = per-(series, ISO weekday) mean of the detrended values, in
+    micro-units with one truncating DIV per output cell. Complements
+    ts_seasonal_baseline (hour-of-day level means) by separating trend
+    from seasonality instead of folding both into the baseline. Scale
+    shape: the corpus-sized work is the daily hash-agg; the MA window
+    is key-partitioned with a 7-row frame (bounded memory per key, no
+    global sort), and the seasonal agg is map-side combinable — the
+    whole decomposition is two shuffles regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")),
+            F.lit(0),
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.expr("SUM(x) OVER (PARTITION BY event_type ORDER BY d "
+                   "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"),
+        ).alias("tsum"),
+    ).withColumn("trend", F.expr("tsum DIV 7"))
+    det = tr.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        (F.weekday("d") + 1).alias("dow"),
+        (F.col("x") - F.col("trend")).alias("dt"),
+    )
+    return (
+        det.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("CAST(SUM(dt) AS BIGINT) DIV COUNT(*)").alias("seasonal_micro"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            "seasonal_micro",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_ADA_SCORE = """CAST((
+      (CAST(pl AS {w}) * pl + CAST(nl - pl AS {w}) * (nl - pl)) * (n_tot - nl)
+      + (CAST(p_tot - pl AS {w}) * (p_tot - pl)
+         + CAST((n_tot - nl) - (p_tot - pl) AS {w})
+           * ((n_tot - nl) - (p_tot - pl))) * nl
+    ) * 1000000 {div} (CAST(nl AS {w}) * (n_tot - nl)) AS BIGINT)"""
+
+
+def _ada_round_sql(src: str, r: int) -> str:
+    """One weighted-stump round as a DuckDB CTE block (bins → explode
+    candidates → score → argmax best + side predictions)."""
+    score = _ADA_SCORE.format(w="HUGEINT", div="//")
+    return f"""r{r}bins AS (
+      SELECT bin, CAST(SUM(w) AS BIGINT) AS n, CAST(SUM(w * y) AS BIGINT) AS p
+      FROM {src} GROUP BY bin
+    ), r{r}tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(p) AS BIGINT) AS p_tot
+      FROM r{r}bins
+    ), r{r}cand AS (
+      SELECT k, CAST(SUM(n) AS BIGINT) AS nl, CAST(SUM(p) AS BIGINT) AS pl
+      FROM (SELECT UNNEST(generate_series(bin, 14)) AS k, n, p
+            FROM r{r}bins WHERE bin <= 14)
+      GROUP BY k
+    ), r{r}best AS (
+      SELECT c.k, c.nl, c.pl, t.n_tot, t.p_tot, {score} AS purity
+      FROM r{r}cand c CROSS JOIN r{r}tot t
+      WHERE c.nl > 0 AND c.nl < t.n_tot
+      ORDER BY purity DESC, c.k LIMIT 1
+    ), r{r}pred AS (
+      SELECT k, n_tot,
+             CASE WHEN 2 * pl >= nl THEN 1 ELSE 0 END AS pred_l,
+             CASE WHEN 2 * (p_tot - pl) >= (n_tot - nl) THEN 1 ELSE 0 END
+               AS pred_r
+      FROM r{r}best
+    ), r{r}out AS (
+      SELECT {r} AS round, b.k AS split_bin, p.pred_l, p.pred_r,
+             CAST(SUM(CASE WHEN s.y <> (CASE WHEN s.bin <= b.k THEN p.pred_l
+                                             ELSE p.pred_r END)
+                           THEN s.w ELSE 0 END) * 1000000
+                  // SUM(s.w) AS BIGINT) AS err_ppm
+      FROM {src} s CROSS JOIN r{r}best b CROSS JOIN r{r}pred p
+      GROUP BY b.k, p.pred_l, p.pred_r
+    )"""
+
+
+@register(
+    "ml_adaboost_stumps",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM pts
+    ), b0 AS (
+      SELECT ((p.cents - b.lo) * 16) // (b.hi - b.lo + 1) AS bin, p.y,
+             CAST(1 AS BIGINT) AS w
+      FROM pts p CROSS JOIN bounds b
+    ), {_ada_round_sql("b0", 1)}, b1 AS (
+      SELECT s.bin, s.y,
+             CASE WHEN s.y <> (CASE WHEN s.bin <= b.k THEN p.pred_l
+                                    ELSE p.pred_r END)
+                  THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS w
+      FROM b0 s CROSS JOIN r1best b CROSS JOIN r1pred p
+    ), {_ada_round_sql("b1", 2)}
+    SELECT * FROM r1out UNION ALL SELECT * FROM r2out ORDER BY round
+    """,
+)
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two AdaBoost rounds over decision stumps (Freund & Schapire
+    1997), entirely in relational algebra with integer arithmetic:
+    round 1 trains the histogram stump (the ml_decision_stump
+    machinery, weight-generalized), assigns each SIDE its weighted
+    majority label, then misclassified rows get weight ×3 (the
+    integer-exact stand-in for the e^α reweight) and round 2 retrains
+    on the reweighted corpus — the boosted learner provably shifts its
+    split toward round 1's mistakes, and each round reports its
+    weighted training error in ppm. Distributed shape per round: one
+    map-side-combinable (bin → Σw, Σwy) hash agg over the corpus +
+    bounded 16-row candidate scoring; the round-1 model (one row) is
+    collected driver-side and embedded as literals in round 2's
+    weight expression — the bounded-model-collect discipline of
+    ivf_exact_topk's seeds. N rounds = N linear scans, no shuffle
+    growth."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bounds = ev.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b0 = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((cents - lo) * 16) DIV (hi - lo + 1)").alias("bin"),
+        "y",
+        F.lit(1).cast("bigint").alias("w"),
+    )
+    score = _ADA_SCORE.format(w="DECIMAL(38,0)", div="DIV")
+
+    def stump_round(rows: DataFrame):
+        bins = rows.groupBy("bin").agg(
+            F.sum("w").cast("bigint").alias("n"),
+            F.sum(F.col("w") * F.col("y")).cast("bigint").alias("p"),
+        )
+        tot = bins.agg(
+            F.sum("n").cast("bigint").alias("n_tot"),
+            F.sum("p").cast("bigint").alias("p_tot"),
+        )
+        cand = (
+            bins.filter(F.col("bin") <= 14)
+            .select(F.explode(F.expr("sequence(bin, 15)")).alias("k"), "n", "p")
+            .filter(F.col("k") <= 14)
+            .groupBy("k")
+            .agg(
+                F.sum("n").cast("bigint").alias("nl"),
+                F.sum("p").cast("bigint").alias("pl"),
+            )
+        )
+        best = (
+            cand.crossJoin(F.broadcast(tot))
+            .filter((F.col("nl") > 0) & (F.col("nl") < F.col("n_tot")))
+            .selectExpr("k", "nl", "pl", "n_tot", "p_tot", f"{score} AS purity")
+            .orderBy(F.desc("purity"), F.asc("k"))
+            .limit(1)
+            .collect()[0]
+        )
+        pred_l = 1 if 2 * best["pl"] >= best["nl"] else 0
+        pred_r = (
+            1
+            if 2 * (best["p_tot"] - best["pl"]) >= (best["n_tot"] - best["nl"])
+            else 0
+        )
+        return best, pred_l, pred_r
+
+    best1, pl1, pr1 = stump_round(b0)
+    err1 = b0.agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN y <> (CASE WHEN bin <= {int(best1['k'])} "
+            f"THEN {pl1} ELSE {pr1} END) THEN w ELSE 0 END) * 1000000"
+            " DIV SUM(w) AS BIGINT)"
+        ).alias("err_ppm")
+    )
+    b1 = b0.select(
+        "bin",
+        "y",
+        F.expr(
+            f"CAST(CASE WHEN y <> (CASE WHEN bin <= {int(best1['k'])} "
+            f"THEN {pl1} ELSE {pr1} END) THEN 3 ELSE 1 END AS BIGINT)"
+        ).alias("w"),
+    )
+    best2, pl2, pr2 = stump_round(b1)
+    err2 = b1.agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN y <> (CASE WHEN bin <= {int(best2['k'])} "
+            f"THEN {pl2} ELSE {pr2} END) THEN w ELSE 0 END) * 1000000"
+            " DIV SUM(w) AS BIGINT)"
+        ).alias("err_ppm")
+    )
+    r1 = err1.select(
+        F.lit(1).cast("int").alias("round"),
+        F.lit(int(best1["k"])).cast("bigint").alias("split_bin"),
+        F.lit(pl1).cast("int").alias("pred_l"),
+        F.lit(pr1).cast("int").alias("pred_r"),
+        "err_ppm",
+    )
+    r2 = err2.select(
+        F.lit(2).cast("int").alias("round"),
+        F.lit(int(best2["k"])).cast("bigint").alias("split_bin"),
+        F.lit(pl2).cast("int").alias("pred_l"),
+        F.lit(pr2).cast("int").alias("pred_r"),
+        "err_ppm",
+    )
+    return r1.unionAll(r2).orderBy("round")

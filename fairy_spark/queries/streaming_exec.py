@@ -625,3 +625,63 @@ def stream_exec_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "stream_exec_stream_full",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS l_ts, event_id AS l_event
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS r_ts, event_id AS r_event
+      FROM events WHERE event_type <> 'purchase'
+    ), m AS (
+      SELECT p.user_id, p.l_event, c.r_event
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.r_ts >= p.l_ts
+       AND c.r_ts <= p.l_ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id, l_event, r_event FROM m
+    UNION ALL
+    SELECT p.user_id, p.l_event, CAST(NULL AS BIGINT) AS r_event
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.l_event = p.l_event)
+    UNION ALL
+    SELECT c.user_id, CAST(NULL AS BIGINT) AS l_event, c.r_event
+    FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.r_event = c.r_event)
+    ORDER BY user_id, l_event, r_event
+    """,
+)
+def stream_exec_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER time-bounded join through the live
+    engine — the completion of the join-mode matrix (inner:
+    stream_exec_stream_join, leftOuter: stream_exec_stream_outer):
+    BOTH sides' unmatched rows must surface as null-padded output when
+    the watermark passes their state expiry, so a green row proves
+    eviction-driven emission on the click side too (clicks before any
+    purchase window — the majority class — each yield a null-l_event
+    row). Same double-sentinel replay (_outer_replay_dir): the second
+    sentinel batch runs with the first's watermark applied, flushing
+    both sides' terminal state before the finite replay ends. The
+    equi-key + time-range condition keeps state hash-partitioned and
+    time-pruned on both sides — the only stream-stream shape that
+    holds at 100 TB."""
+    replay = _outer_replay_dir(spark, sf_dir)
+    from fairy_spark.streaming.pipeline import (
+        read_event_stream as _res,
+        run_to_table as _rtt,
+        stream_stream_join as _ssj,
+    )
+
+    left = _res(spark, replay).filter(F.col("event_type") == "purchase")
+    right = _res(spark, replay).filter(F.col("event_type") != "purchase")
+    joined = _ssj(left, right, key="user_id", within="2 hours", how="fullOuter")
+    sink = _rtt(joined, mode="append")
+    return (
+        sink.filter(F.coalesce("user_id", F.lit(-1)) >= 0)
+        .select("user_id", "l_event", "r_event")
+        .orderBy("user_id", "l_event", "r_event")
+    )

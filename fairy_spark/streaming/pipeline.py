@@ -210,5 +210,13 @@ def stream_stream_join(
             & (F.col("r.r_ts") <= F.col("l.l_ts") + F.expr(f"INTERVAL {within}")),
             how,
         )
-        .select(F.col("l.k").alias(key), "l_event", "r_event", "l_ts", "r_ts")
+        # coalesce: under fullOuter an unmatched RIGHT row has a null
+        # left key; identical to l.k for inner/leftOuter.
+        .select(
+            F.coalesce(F.col("l.k"), F.col("r.k")).alias(key),
+            "l_event",
+            "r_event",
+            "l_ts",
+            "r_ts",
+        )
     )

@@ -438,6 +438,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "sketch_kmv_setops",  # 1-row kth-value/exact-count stat frames
         "graph_hits",  # 1-row per-round max frame for integer renormalization
         "ml_decision_stump",  # 1-row min/max bounds + totals frames
+        "ml_adaboost_stumps",  # 1-row bounds/totals frames per boosting round
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
