@@ -1029,3 +1029,95 @@ def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "fn_sql_scripting",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST(COUNT(*) AS INTEGER) AS n_types,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list(c ORDER BY event_type)),
+                (acc, x) -> acc * 31 + x) AS BIGINT) AS checksum,
+           CAST(SUM(c) AS BIGINT) AS n_events
+    FROM g
+    """,
+)
+def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.1's SQL/PSM BEGIN…END blocks): session
+    VARIABLEs, a WHILE-style accumulator, and a FOR cursor loop that
+    iterates a real query's result IN ITS ORDER BY ORDER — proven by
+    folding the per-type counts through the order-SENSITIVE polynomial
+    hash acc·31 + c, which only matches the oracle's ordered
+    list_reduce if the cursor respected the ordering. This is the
+    procedural control-flow surface (migration scripts, retry loops,
+    admin automation) a warehouse user expects on top of the
+    declarative engine; each statement inside the block still compiles
+    through Catalyst, so the loop body's aggregates keep their
+    distributed plans — the script only sequences driver-side control
+    flow, it never pulls row-level data beyond the cursor's grouped
+    result."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("script_events")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE checksum BIGINT DEFAULT 0;
+          DECLARE n INT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          FOR r AS SELECT event_type, COUNT(*) AS c
+                   FROM script_events GROUP BY event_type
+                   ORDER BY event_type DO
+            SET checksum = checksum * 31 + r.c;
+            SET n = n + 1;
+            SET total = total + r.c;
+          END FOR;
+          SELECT n AS n_types, checksum, total AS n_events;
+        END
+        """
+    )
+
+
+@register(
+    "fn_sql_variables",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate < DATE '1998-01-01'
+      AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    ORDER BY grp
+    """,
+)
+def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables + IDENTIFIER() dynamic-name resolution (Spark
+    4): the cutoff date, the price floor, AND the grouping COLUMN all
+    arrive as DECLAREd session variables — the safe parameterization
+    surface that replaces string-splicing SQL (injection-proof by
+    construction: IDENTIFIER() resolves a *name*, never an arbitrary
+    expression). The oracle is the constant-folded static query, so a
+    hash match proves variable binding and dynamic identifier
+    resolution changed nothing semantically. Catalyst folds the
+    variables at analysis time — the plan is identical to the literal
+    form, predicates still push to the scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("var_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE grp_col STRING DEFAULT 'o_orderpriority'")
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff DATE DEFAULT DATE '1998-01-01'")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 1000.0")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(grp_col) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM var_orders
+        WHERE o_orderdate < cutoff AND o_totalprice >= price_floor
+        GROUP BY IDENTIFIER(grp_col)
+        ORDER BY grp
+        """
+    )

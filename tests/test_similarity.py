@@ -102,3 +102,60 @@ def test_ivf_full_probe_equals_brute_force(spark, emb):
     bf = {(r["query_id"], r["neighbor_id"]) for r in
           brute_force_topk(emb, q, k=5).collect()}
     assert ann == bf
+
+
+def test_pq_adc_codes_and_ranking_shape(spark, emb):
+    """PQ-ADC: every query gets a dense 1..k ranking of corpus ids,
+    self is excluded, and ADC distances are non-negative and
+    non-decreasing in rank (the table-sum distance is a sum of
+    integer squared L2 terms)."""
+    from fairy_spark.operators.similarity import pq_adc_topk
+
+    rows = pq_adc_topk(emb.filter(F.col("vec_id") < 64), k=4).collect()
+    assert rows
+    by_query = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["adc_d2"] >= 0
+        by_query.setdefault(r["query_id"], []).append(r)
+    for _, rs in by_query.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        d = [r["adc_d2"] for r in rs]
+        assert d == sorted(d)
+
+
+def test_pq_adc_single_subspace_equals_exact_l2(spark, emb):
+    """With ONE subspace covering all 64 dims and a codebook as large
+    as the corpus, every vector is its own centroid, the ADC table IS
+    the exact pairwise distance table, and PQ ranking must equal exact
+    integer-L2 ranking."""
+    from fairy_spark.operators.similarity import (
+        int_l2sq,
+        pq_adc_topk,
+        quantized_vec,
+    )
+
+    e = emb.filter(F.col("vec_id") < 16)
+    pq = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["adc_d2"])
+        for r in pq_adc_topk(
+            e, k=3, n_sub=1, n_codes=16, n_queries=4
+        ).collect()
+    }
+    c = e.select(F.col("vec_id").alias("_id"), quantized_vec(F.col("embedding")).alias("_q"))
+    q = c.filter(F.col("_id") < 4)
+    exact = (
+        q.withColumnRenamed("_id", "query_id").withColumnRenamed("_q", "_qq")
+        .join(c.withColumnRenamed("_id", "neighbor_id").withColumnRenamed("_q", "_nq"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", int_l2sq(F.col("_qq"), F.col("_nq")).alias("d2"))
+        .collect()
+    )
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r["query_id"], []).append((r["d2"], r["neighbor_id"]))
+    for qid, ds in by_q.items():
+        ds.sort()
+        for rn in (1, 2, 3):
+            assert pq[(qid, rn)] == (ds[rn - 1][1], ds[rn - 1][0])
