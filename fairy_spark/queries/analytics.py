@@ -2527,3 +2527,102 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_ppm",
     )
     return r1.unionAll(r2).orderBy("round")
+
+
+@register(
+    "ts_acf_multi_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COALESCE(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)), 0) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), lagged AS (
+      SELECT event_type, x,
+             LAG(x, 1) OVER w AS l1, LAG(x, 2) OVER w AS l2,
+             LAG(x, 3) OVER w AS l3, LAG(x, 7) OVER w AS l7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), stacked AS (
+      SELECT event_type, 1 AS lag, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2, x, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3, x, l3 FROM lagged WHERE l3 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 7, x, l7 FROM lagged WHERE l7 IS NOT NULL
+    ), s AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM stacked GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS acf
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY event_type, lag
+    """,
+)
+def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags {1,2,3,7} per event type's
+    daily series — the Box-Jenkins identification diagnostic (is there
+    weekly structure? how fast does memory decay?) that complements
+    ts_rolling_corr's per-row trailing lag-1. ONE key-partitioned
+    window pass computes all four lag columns (same window spec → one
+    exchange), a stack() widens them into (lag, x, y) pairs, and each
+    (series, lag) cell reduces to the six exact co-sums feeding the
+    closed-form Pearson r — decimal(38,0)/HUGEINT sums, one fixed IEEE
+    sequence per output cell rounded via the shared round6 midpoint
+    rule, so engines agree bit-for-bit. Corpus-sized work is the daily
+    hash-agg; everything downstream is rows-per-series-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")),
+            F.lit(0),
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", 2).over(w).alias("l2"),
+        F.lag("x", 3).over(w).alias("l3"),
+        F.lag("x", 7).over(w).alias("l7"),
+    )
+    stacked = lagged.selectExpr(
+        "event_type",
+        "stack(4, 1, x, l1, 2, x, l2, 3, x, l3, 7, x, l7) AS (lag, x, y)",
+    ).filter(F.col("y").isNotNull())
+    xd, yd = F.col("x").cast(_DEC), F.col("y").cast(_DEC)
+    s = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    return (
+        s.filter(
+            (F.expr("n * sxx - sx * sx") > 0) & (F.expr("n * syy - sy * sy") > 0)
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(lag AS INTEGER) AS lag",
+            "CAST(n AS BIGINT) AS n_pairs",
+            """CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
+               AS acf""",
+        )
+        .orderBy("event_type", "lag")
+    )

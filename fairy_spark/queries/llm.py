@@ -3522,3 +3522,102 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MINHASH_EVAL_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 500
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM s
+    ), exact AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE 5 * len(list_intersect(a.sh, b.sh))
+            >= 2 * len(list_distinct(a.sh || b.sh))
+        AND len(list_distinct(a.sh || b.sh)) > 0
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ({" OR ".join(f"a.sig[{i + 1}] = b.sig[{i + 1}]" for i in range(8))})
+    ), m AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+          WHERE EXISTS (SELECT 1 FROM exact e
+                        WHERE e.ida = c.ida AND e.idb = c.idb)) AS tp
+    )
+    SELECT n_exact, n_cand, tp, n_cand - tp AS fp, n_exact - tp AS fn,
+           (tp * 1000000) // n_cand AS precision_ppm,
+           (tp * 1000000) // n_exact AS recall_ppm
+    FROM m
+    """
+
+
+@register("dedup_eval_minhash", oracle=_MINHASH_EVAL_ORACLE)
+def dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality EVALUATION as a first-class query: on a bounded
+    500-doc twin corpus, the ground truth (ALL pairs with shingle
+    Jaccard ≥ 0.4, exact-rational 5·|∩| ≥ 2·|∪|) is compared against
+    the minhash-LSH candidate set (8 bands × 1 hash — the blocking
+    geometry dedup_minhash_lsh uses), reporting tp/fp/fn and
+    precision/recall in exact ppm. This is the measurement every
+    pipeline owner needs before trusting a recall-trading near-dup
+    pass at 100 TB — run it on a sampled slice, read the recall, THEN
+    fan out; the registered bounded instance makes the measurement
+    itself hash-verifiable (the deliberate all-pairs ground truth is
+    why the corpus is capped — the production-scale candidate path
+    stays banded/blocked, tests/test_scale_growth.py). Kin to
+    dedup_minhash_est (per-pair estimator error) but scored at the
+    DECISION level: did blocking propose the pair at all."""
+    from fairy_spark.operators.text import minhash_signature
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    s = docs.select("doc_id", shingle_set(F.col("text")).alias("sh"))
+    sig = s.withColumn("sig", minhash_signature(F.col("sh"), 8))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    exact = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.lit(5) * inter >= F.lit(2) * uni) & (uni > 0))
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode("sig").alias("band", "val")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.val") == F.col("bb.val"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("ida"), F.col("bb.doc_id").alias("idb"))
+        .distinct()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    tp = (
+        cand.join(exact, ["ida", "idb"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(tp))
+        .selectExpr(
+            "n_exact",
+            "n_cand",
+            "tp",
+            "n_cand - tp AS fp",
+            "n_exact - tp AS fn",
+            "(tp * 1000000) DIV n_cand AS precision_ppm",
+            "(tp * 1000000) DIV n_exact AS recall_ppm",
+        )
+    )

@@ -583,21 +583,24 @@ def stream_exec_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     attached via the Python source API; offsets are the contract that
     makes a 1000-executor ingest restartable. The final aggregation
     runs batch over the sink."""
-    import uuid
-
     from fairy_spark.sources.pydatasource import register_pydatasource_stream
 
     register_pydatasource_stream(spark)
+    # App-scoped deterministic path + _DONE marker (the _replay_dir
+    # discipline): the restart loop is the artifact under test, but it
+    # only needs to run once per application — re-plans (plan gates,
+    # audits) reuse the drained sink.
     base = os.path.join(
         tempfile.gettempdir(),
         "fairy_spark_stream",
         spark.sparkContext.applicationId,
-        f"pysrc_{uuid.uuid4().hex[:8]}",
+        "pysrc",
     )
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    done = os.path.join(base, "_DONE")
     n_total = 1000
     seen, rounds = -1, 0
-    while rounds < 12:
+    while not os.path.exists(done) and rounds < 12:
         q = (
             spark.readStream.format("fairy_feed")
             .option("n_total", str(n_total))
@@ -616,6 +619,9 @@ def stream_exec_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         if now == seen:
             break
         seen = now
+    if not os.path.exists(done):
+        with open(done, "w"):
+            pass
     return (
         spark.read.parquet(sink)
         .groupBy((F.col("val") % 10).alias("bucket"))

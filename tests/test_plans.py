@@ -439,6 +439,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "graph_hits",  # 1-row per-round max frame for integer renormalization
         "ml_decision_stump",  # 1-row min/max bounds + totals frames
         "ml_adaboost_stumps",  # 1-row bounds/totals frames per boosting round
+        "dedup_eval_minhash",  # bounded 500-doc ground-truth pairs + 1-row stats
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
