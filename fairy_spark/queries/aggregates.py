@@ -1357,3 +1357,55 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
              'intersection', est_inter,    CAST(exact_inter AS BIGINT)
            ) AS (set_name, est_nd, exact_nd)"""
     ).orderBy("set_name")
+
+
+@register(
+    "sketch_hll_union_rollup",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS week, user_id FROM events
+    )
+    SELECT CAST(week AS TIMESTAMP) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_3pct
+    FROM d GROUP BY week ORDER BY week
+    """,
+)
+def sketch_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch RE-AGGREGATION (the algebra that makes sketches
+    worth storing): per-DAY DataSketches HLL states are built once,
+    then weekly distinct-user counts come from hll_union_agg over the
+    day sketches — never re-touching the event rows. This is the
+    pattern a 100-TB metrics store lives on: materialize tiny
+    mergeable states at ingest granularity, answer every coarser
+    rollup (week/month/arbitrary range) by UNIONING states, turning a
+    corpus re-scan into a ~KB-per-cell merge. Estimates are
+    engine-private bits (DuckDB can't rebuild DataSketches), so the
+    oracle checks the sketch_hll_native accuracy contract per week:
+    the union-of-days estimate must sit within 3% of the exact
+    distinct — a broken merge or register encoding blows the bound
+    immediately (union error is NOT additive; it stays at the lgK=14
+    ~0.8% RSE)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).alias("week"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    weekly = daily.groupBy("week").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).alias("week")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
+    return (
+        weekly.join(exact, "week")
+        .select(
+            "week",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= 0.03 * F.col("exact_distinct")
+            ).alias("within_3pct"),
+        )
+        .orderBy("week")
+    )

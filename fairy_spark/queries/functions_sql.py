@@ -1121,3 +1121,49 @@ def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grp
         """
     )
+
+
+@register(
+    "fn_observation_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT)
+             AS n_large,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    """,
+)
+def fn_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation / df.observe() (Spark's CollectMetrics hook — the
+    data-quality instrumentation every production pipeline bolts onto
+    its hot path): metrics ride the SAME job as the observed action
+    (zero extra scan — unlike a separate .agg(), which re-reads the
+    table), and the driver reads them from the Observation handle
+    after the action completes. The returned frame is rebuilt from the
+    observed values, so a hash match against the oracle's direct
+    aggregation proves the in-flight metrics equal the ground truth —
+    exactly the invariant a DQ gate relies on. At 100 TB this is the
+    difference between monitoring-for-free and doubling the read."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("fn_obs_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).cast("bigint").alias(
+            "n_large"
+        ),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_cents"], m["n_large"], m["min_key"])],
+        "n_rows BIGINT, total_cents BIGINT, n_large BIGINT, min_key BIGINT",
+    )

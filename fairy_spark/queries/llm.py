@@ -3621,3 +3621,122 @@ def dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(tp * 1000000) DIV n_exact AS recall_ppm",
         )
     )
+
+
+def _bpe_round_sql(prev: str, r: int) -> str:
+    """One BPE merge round as DuckDB CTEs: adjacent-pair counts from
+    the bracket encoding, argmax merge, greedy leftmost apply."""
+    return f"""sy{r} AS (
+      SELECT string_split(s[2:length(s) - 1], '><') AS syms, freq FROM {prev}
+    ), pc{r} AS (
+      SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, '<' || syms[i] || '><' || syms[i + 1] || '>' AS p
+        FROM sy{r} CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+        WHERE len(syms) >= 2
+      ) GROUP BY p
+    ), b{r} AS (
+      SELECT p, replace(p, '><', '') AS m, cnt
+      FROM pc{r} ORDER BY cnt DESC, p LIMIT 1
+    ), enc{r} AS (
+      SELECT replace(s, (SELECT p FROM b{r}), (SELECT m FROM b{r})) AS s, freq
+      FROM {prev}
+    ), voc{r} AS (
+      SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab FROM (
+        SELECT UNNEST(string_split(s[2:length(s) - 1], '><')) AS sym FROM enc{r})
+    ), out{r} AS (
+      SELECT {r} AS round,
+             replace((SELECT p FROM b{r})[2:length((SELECT p FROM b{r})) - 1],
+                     '><', '+') AS merge_pair,
+             (SELECT cnt FROM b{r}) AS pair_count,
+             (SELECT vocab FROM voc{r}) AS vocab_after
+    )"""
+
+
+_BPE_TRAIN_ORACLE = f"""
+    WITH w0 AS (
+      SELECT word, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+        SELECT regexp_replace(t.tok, '[^a-z]', '', 'g') AS word, 1 AS freq
+        FROM (SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents) t
+      ) WHERE word <> '' GROUP BY word
+    ), enc0 AS (
+      SELECT '<' || array_to_string(
+               list_transform(generate_series(1, length(word)), i -> word[i]),
+               '><') || '>' AS s, freq
+      FROM w0
+    ), {_bpe_round_sql("enc0", 1)}, {_bpe_round_sql("enc1", 2)},
+    {_bpe_round_sql("enc2", 3)}
+    SELECT * FROM out1 UNION ALL SELECT * FROM out2 UNION ALL SELECT * FROM out3
+    ORDER BY round
+    """
+
+
+@register("text_bpe_train", oracle=_BPE_TRAIN_ORACLE)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three real merge rounds (Sennrich et
+    al. 2016 — the loop text_bpe_pairs only measures one step of):
+    each round counts adjacent symbol pairs over the word-frequency
+    table, picks the argmax pair (ties → lexicographic), and APPLIES
+    the merge with greedy leftmost-non-overlapping semantics before
+    the next round re-counts. Words ride a bracket encoding
+    '<s1><s2>…' so a single string replace('<a><b>' → '<ab>') IS the
+    greedy merge — bit-identical in both engines, no per-row loop.
+    Distributed shape: training runs on the DISTINCT-word frequency
+    table (vocabulary-sized, not corpus-sized — the one corpus scan is
+    the word count), pair counting is explode + map-side-combinable
+    SUM, and each round collects exactly ONE row (the winning merge) —
+    the bounded-model-collect discipline of ml_adaboost_stumps; N
+    merges = N vocabulary-linear scans. Output per round: the merge,
+    its count, and the symbol-vocabulary size after applying it."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        .select(F.regexp_replace("tok", "[^a-z]", "").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    enc = words.selectExpr(
+        "concat('<', array_join(transform(sequence(1, length(word)),"
+        " i -> substring(word, i, 1)), '><'), '>') AS s",
+        "freq",
+    )
+    rows = []
+    for r in (1, 2, 3):
+        sy = enc.selectExpr(
+            "split(substring(s, 2, length(s) - 2), '><') AS syms", "freq"
+        )
+        pc = (
+            sy.filter(F.expr("size(syms) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat('<', element_at(syms, i), '><',"
+                        " element_at(syms, i + 1), '>'))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()[0]
+        p, cnt = best["p"], int(best["cnt"])
+        m = p.replace("><", "")
+        enc = enc.selectExpr(f"replace(s, '{p}', '{m}') AS s", "freq")
+        vocab = (
+            enc.select(
+                F.explode(
+                    F.expr("split(substring(s, 2, length(s) - 2), '><')")
+                ).alias("sym")
+            )
+            .agg(F.countDistinct("sym"))
+            .collect()[0][0]
+        )
+        rows.append((r, p[1:-1].replace("><", "+"), cnt, int(vocab)))
+    return spark.createDataFrame(
+        rows, "round INT, merge_pair STRING, pair_count BIGINT, vocab_after BIGINT"
+    ).orderBy("round")
