@@ -2626,3 +2626,84 @@ def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+@register(
+    "ml_mutual_information",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM pts
+    ), binned AS (
+      SELECT ((p.cents - b.lo) * 16) // (b.hi - b.lo + 1) AS bin, p.y
+      FROM pts p CROSS JOIN bounds b
+    ), cells AS (
+      SELECT bin, y, CAST(COUNT(*) AS BIGINT) AS nxy FROM binned GROUP BY bin, y
+    ), margx AS (
+      SELECT bin, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY bin
+    ), margy AS (
+      SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+    ), tot AS (
+      SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells
+    ), contrib AS (
+      SELECT c.bin, c.y,
+             CAST(FLOOR(
+               (CAST(c.nxy AS DOUBLE) / t.n)
+               * LN(CAST(c.nxy AS DOUBLE) * t.n
+                    / (CAST(mx.nx AS DOUBLE) * my.ny))
+               * 1000000000 + 0.5) AS BIGINT) AS mi_nano
+      FROM cells c
+      JOIN margx mx ON c.bin = mx.bin
+      JOIN margy my ON c.y = my.y
+      CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(mi_nano) AS BIGINT) AS mi_nano
+    FROM contrib
+    """,
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between the binned event value and
+    the is-purchase label — the model-free feature-relevance screen
+    (information-gain feature selection; also the split criterion
+    ml_decision_stump's Gini approximates): each of the ≤32
+    (bin, label) cells contributes (n_xy/n)·ln(n_xy·n/(n_x·n_y)),
+    computed as ONE fixed IEEE sequence per cell and floored to
+    integer nano-nats BEFORE summing — per-cell quantization makes
+    the reduction an order-independent integer sum, sidestepping the
+    float-accumulation-order trap that would make a distributed
+    Σ of doubles engine-divergent (the stats_survival_km quantized-log
+    discipline). Distributed shape: one corpus hash-agg to cells; the
+    marginal joins and the final sum touch ≤32 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bounds = ev.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((cents - lo) * 16) DIV (hi - lo + 1)").alias("bin"), "y"
+    )
+    cells = binned.groupBy("bin", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    margx = cells.groupBy("bin").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    margy = cells.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("bigint").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(margx), "bin")
+        .join(F.broadcast(margy), "y")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            """CAST(FLOOR(
+                 (CAST(nxy AS DOUBLE) / n)
+                 * LN(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))
+                 * 1000000000 + 0.5) AS BIGINT) AS mi_nano"""
+        )
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("mi_nano").cast("bigint").alias("mi_nano"),
+    )

@@ -440,6 +440,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         "ml_decision_stump",  # 1-row min/max bounds + totals frames
         "ml_adaboost_stumps",  # 1-row bounds/totals frames per boosting round
         "dedup_eval_minhash",  # bounded 500-doc ground-truth pairs + 1-row stats
+        "ml_mutual_information",  # 1-row bounds/total frames over <=32 cells
     }
     cartesian, rogue_bnlj = [], []
     for name, fn in QUERIES.items():
