@@ -2707,3 +2707,71 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum("mi_nano").cast("bigint").alias("mi_nano"),
     )
+
+
+@register(
+    "ts_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COALESCE(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)), 0) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), fr AS (
+      SELECT event_type, d, x,
+             list_sort(list(x) OVER w) AS frame
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(d AS TIMESTAMP) AS d, x,
+           CAST(len(frame) AS BIGINT) AS n_in_frame,
+           frame[(len(frame) + 1) // 2] AS med7,
+           CAST(ABS(x - frame[(len(frame) + 1) // 2]) AS BIGINT) AS abs_dev
+    FROM fr ORDER BY event_type, d
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling MEDIAN per series — the robust baseline
+    that ts_zscore_anomaly's mean/σ cannot give (one spike poisons a
+    trailing mean for the whole window; it moves a median by at most
+    one rank). Exact by construction: the ≤7-row frame materializes
+    as a sorted integer array and the LOWER median is element
+    (n+1) DIV 2 — no percentile interpolation, no float, identical in
+    both engines (the agg_percentiles exact-selection discipline
+    applied to a moving frame). Scale shape: one key-partitioned
+    window whose state is the 7-element frame — constant memory per
+    row, corpus-linear, no global sort; collect-then-sort is safe
+    ONLY because the frame is bounded by the window spec, never by
+    data (contrast the forbidden unbounded collect_list). The
+    absolute deviation column is the input the hampel/MAD outlier
+    rule consumes downstream."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")),
+            F.lit(0),
+        ).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    fr = daily.select(
+        "event_type",
+        F.col("d").cast("timestamp").alias("d"),
+        "x",
+        F.sort_array(F.collect_list("x").over(w)).alias("frame"),
+    )
+    return fr.selectExpr(
+        "event_type",
+        "d",
+        "x",
+        "CAST(size(frame) AS BIGINT) AS n_in_frame",
+        "element_at(frame, CAST((size(frame) + 1) DIV 2 AS INT)) AS med7",
+        "CAST(ABS(x - element_at(frame, CAST((size(frame) + 1) DIV 2 AS INT)))"
+        " AS BIGINT)"
+        " AS abs_dev",
+    ).orderBy("event_type", "d")

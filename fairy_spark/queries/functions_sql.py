@@ -1167,3 +1167,82 @@ def fn_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_cents"], m["n_large"], m["min_key"])],
         "n_rows BIGINT, total_cents BIGINT, n_large BIGINT, min_key BIGINT",
     )
+
+
+@register(
+    "fn_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey,
+             'HTTPS://Shop.Example.COM:443/' || lower(c_mktsegment)
+             || '/item?utm_source=mail&ref=' || CAST(c_nationkey AS VARCHAR)
+             || '&b=2&a=1&utm_campaign=x' AS url
+      FROM customer WHERE c_custkey <= 500
+    ), parts AS (
+      SELECT c_custkey,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u
+    ), canon AS (
+      SELECT c_custkey, host, path,
+             array_to_string(
+               list_sort(list_filter(string_split(query, '&'),
+                                     p -> NOT p LIKE 'utm_%')),
+               '&') AS canon_query
+      FROM parts
+    )
+    SELECT c_custkey,
+           'https://' || host || path
+             || CASE WHEN canon_query = '' THEN ''
+                     ELSE '?' || canon_query END AS canonical_url
+    FROM canon ORDER BY c_custkey
+    """,
+)
+def fn_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization every web-corpus dedup
+    runs BEFORE hashing (CommonCrawl/WARC practice): lowercase the
+    scheme+host, drop the default port, strip utm_* tracking
+    parameters, and SORT the surviving query parameters so
+    param-order variants collapse to one key. Built from per-row
+    codegen primitives (regexp component extraction + array
+    filter/sort HOFs — zero shuffle), with both engines computing the
+    identical grammar, so the hash gate proves the canonical form is
+    engine-independent — the property that matters when the dedup key
+    for a 100-TB crawl is computed by whatever engine ingested each
+    shard. Companion to fn_url_parse (decomposition) and
+    dedup_exact_rows (the consumer of the canonical key)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    url = F.concat(
+        F.lit("HTTPS://Shop.Example.COM:443/"),
+        F.lower("c_mktsegment"),
+        F.lit("/item?utm_source=mail&ref="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&b=2&a=1&utm_campaign=x"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return (
+        u.selectExpr(
+            "c_custkey",
+            "lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host",
+            "regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path",
+            "regexp_extract(url, '\\\\?([^#]*)', 1) AS query",
+        )
+        .selectExpr(
+            "c_custkey",
+            "host",
+            "path",
+            """array_join(
+                 array_sort(filter(split(query, '&'),
+                                   p -> NOT p LIKE 'utm_%')),
+                 '&') AS canon_query""",
+        )
+        .selectExpr(
+            "c_custkey",
+            """concat('https://', host, path,
+                      CASE WHEN canon_query = '' THEN ''
+                           ELSE concat('?', canon_query) END)
+               AS canonical_url""",
+        )
+        .orderBy("c_custkey")
+    )
