@@ -3740,3 +3740,107 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round INT, merge_pair STRING, pair_count BIGINT, vocab_after BIGINT"
     ).orderBy("round")
+
+
+_BPE_APPLY_ORACLE = f"""
+    WITH w0 AS (
+      SELECT word, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+        SELECT regexp_replace(t.tok, '[^a-z]', '', 'g') AS word, 1 AS freq
+        FROM (SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents) t
+      ) WHERE word <> '' GROUP BY word
+    ), enc0 AS (
+      SELECT '<' || array_to_string(
+               list_transform(generate_series(1, length(word)), i -> word[i]),
+               '><') || '>' AS s, length(word) AS chars, freq
+      FROM w0
+    ), {_bpe_round_sql("enc0", 1)}, {_bpe_round_sql("enc1", 2)},
+    {_bpe_round_sql("enc2", 3)}, applied AS (
+      SELECT freq, chars,
+             len(string_split(
+               (replace(replace(replace(s,
+                  (SELECT p FROM b1), (SELECT m FROM b1)),
+                  (SELECT p FROM b2), (SELECT m FROM b2)),
+                  (SELECT p FROM b3), (SELECT m FROM b3))
+               )[2 : length(replace(replace(replace(s,
+                  (SELECT p FROM b1), (SELECT m FROM b1)),
+                  (SELECT p FROM b2), (SELECT m FROM b2)),
+                  (SELECT p FROM b3), (SELECT m FROM b3))) - 1],
+               '><')) AS toks
+      FROM enc0
+    )
+    SELECT CAST(SUM(freq) AS BIGINT) AS total_words,
+           CAST(SUM(freq * chars) AS BIGINT) AS total_chars,
+           CAST(SUM(freq * toks) AS BIGINT) AS total_bpe_tokens,
+           (CAST(SUM(freq * toks) AS BIGINT) * 1000000)
+             // CAST(SUM(freq * chars) AS BIGINT) AS compression_ppm
+    FROM applied
+    """
+
+
+@register("text_bpe_apply", oracle=_BPE_APPLY_ORACLE)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation APPLIED corpus-wide — the inference half of
+    text_bpe_train's training loop: the 3 learned merges (re-derived
+    with the identical argmax chain, then collected as 3 bounded
+    model rows) are applied to every word as a fixed nested
+    greedy-replace, and the corpus reports its post-merge token count
+    and compression (BPE tokens per character, ppm). This is the
+    number a tokenizer owner actually tracks — how much a merge
+    budget shrinks the training corpus — and at 100 TB it's one
+    vocabulary-table scan (apply + weighted sums; per-document work
+    never happens because frequency-weighted word-level totals are
+    exactly the corpus totals). Train and apply sharing one oracle
+    proves the learned merges, their order, AND the greedy apply
+    semantics end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .select(F.regexp_replace("tok", "[^a-z]", "").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    enc = words.selectExpr(
+        "concat('<', array_join(transform(sequence(1, length(word)),"
+        " i -> substring(word, i, 1)), '><'), '>') AS s",
+        "length(word) AS chars",
+        "freq",
+    )
+    cur, merges = enc, []
+    for _ in range(3):
+        sy = cur.selectExpr(
+            "split(substring(s, 2, length(s) - 2), '><') AS syms", "freq"
+        )
+        pc = (
+            sy.filter(F.expr("size(syms) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat('<', element_at(syms, i), '><',"
+                        " element_at(syms, i + 1), '>'))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()[0]
+        p = best["p"]
+        m = p.replace("><", "")
+        merges.append((p, m))
+        cur = cur.selectExpr(f"replace(s, '{p}', '{m}') AS s", "chars", "freq")
+    applied = cur.selectExpr(
+        "freq",
+        "chars",
+        "size(split(substring(s, 2, length(s) - 2), '><')) AS toks",
+    )
+    return applied.selectExpr(
+        "CAST(SUM(freq) AS BIGINT) AS total_words",
+        "CAST(SUM(freq * chars) AS BIGINT) AS total_chars",
+        "CAST(SUM(freq * toks) AS BIGINT) AS total_bpe_tokens",
+        "(CAST(SUM(freq * toks) AS BIGINT) * 1000000)"
+        " DIV CAST(SUM(freq * chars) AS BIGINT) AS compression_ppm",
+    )
