@@ -2775,3 +2775,66 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT)"
         " AS abs_dev",
     ).orderBy("event_type", "d")
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ), runs AS (
+      SELECT user_id, island,
+             CAST(COUNT(*) AS BIGINT) AS streak_days,
+             MIN(d) AS streak_start
+      FROM isl GROUP BY user_id, island
+    ), best AS (
+      SELECT user_id, streak_days, CAST(streak_start AS TIMESTAMP)
+               AS streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start) AS r
+      FROM runs
+    )
+    SELECT user_id, streak_days, streak_start
+    FROM best WHERE r = 1
+    ORDER BY streak_days DESC, user_id LIMIT 25
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (the engagement
+    metric product teams rank users by), via the classic
+    gaps-and-islands identity: for distinct active days in order,
+    d − row_number is CONSTANT exactly across a run of consecutive
+    dates, so a hash-agg on (user, island) yields every streak with
+    no self-join and no per-row loop. Top-25 by (streak, user) via
+    TakeOrdered. Scale shape: distinct-day projection collapses the
+    event corpus to ≤ users×days rows; one key-partitioned window +
+    two map-side-combinable aggs — the same discipline as
+    events_error_bursts (value-run islands), here on the calendar
+    axis. Earliest streak wins per-user ties (deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.min("d").cast("timestamp").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        runs.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select("user_id", "streak_days", "streak_start")
+        .orderBy(F.desc("streak_days"), F.asc("user_id"))
+        .limit(25)
+    )
