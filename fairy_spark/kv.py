@@ -274,6 +274,30 @@ class KVStore:
         seq = self._alloc_seq()
         self._append([Row(key=k, value=None, seq=seq) for k in dict.fromkeys(keys)])
 
+    def expire_older_than(self, min_seq: int) -> int:
+        """Cache-style TTL EVICTION (the op the reference, being a
+        cache, lives by — here seq is the age axis; a wall-clock TTL
+        is the same predicate on an ingest-time column): every LIVE
+        key whose latest write is older than ``min_seq`` gets a
+        tombstone under one new sequence, so expiry is one bucket-
+        local latest-wins agg + one append — O(stale keys), never a
+        rewrite of the log (compact() reclaims space later, and
+        scan_as_of still reconstructs pre-expiry state: eviction is
+        itself versioned). Returns the number of keys expired."""
+        stale = (
+            self._latest()
+            .filter(F.col("value").isNotNull() & (F.col("seq") < min_seq))
+            .select("key")
+        )
+        seq = self._alloc_seq()
+        doomed = stale.withColumn("value", F.lit(None).cast("binary")).withColumn(
+            "seq", F.lit(seq).cast("bigint")
+        )
+        n = doomed.count()
+        if n:
+            self._append_df(doomed.select("key", "value", "seq"))
+        return n
+
     def exists(self, key: str) -> bool:
         hit = (
             self._log()

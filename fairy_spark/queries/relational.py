@@ -801,3 +801,79 @@ def kv_persist_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(checksum(kv2.scan(), "final_restart"))
         .orderBy("phase")
     )
+
+
+@register(
+    "kv_ttl_expire",
+    oracle="""
+    WITH survivors AS (
+      -- batch 2 rewrote doc_id < 30 and inserted 100-129; expiry at
+      -- the batch-2 watermark evicts every key whose LATEST write is
+      -- batch 1 (doc_id 30-99 untouched since ingest)
+      SELECT CAST(doc_id AS VARCHAR) AS k, upper(text) AS v
+      FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), text
+      FROM documents WHERE doc_id BETWEEN 100 AND 129
+    )
+    SELECT 'expired' AS phase, CAST(70 AS BIGINT) AS n_keys,
+           CAST(0 AS BIGINT) AS checksum
+    UNION ALL
+    SELECT 'live', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(concat('0x', substr(md5(k || ':' || v), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT)
+    FROM survivors
+    ORDER BY phase
+    """,
+)
+def kv_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL eviction on the real KV store (kv.expire_older_than — the
+    cache semantics the reference exists for, with seq as the age
+    axis): 100 docs ingest at seq 1, batch 2 rewrites 30 and inserts
+    30 new, then expiry at the batch-2 watermark must evict EXACTLY
+    the 70 keys untouched since batch 1 — recently-written keys
+    survive regardless of original age, the LRU-ish property a
+    latest-wins log gives for free. The surviving view is
+    hash-checked against the oracle's independently-derived survivor
+    set; the evicted count rides as its own row. Eviction is one
+    bucket-local latest-wins agg + one tombstone append (O(stale),
+    no log rewrite) and is itself VERSIONED — scan_as_of still
+    reconstructs pre-expiry state, so a bad TTL config is
+    recoverable, unlike a physical delete."""
+    from fairy_spark.kv import KVStore
+    from fairy_spark.operators.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("did"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text"),
+    )
+    kv = KVStore(spark, name="ttl_probe", num_buckets=8)
+    kv.drop()
+    kv.put_df(
+        docs.filter(F.col("did") < 100).select(
+            "key", F.encode("text", "UTF-8").alias("value")
+        )
+    )
+    kv.put_df(
+        docs.filter(F.col("did") < 30)
+        .select("key", F.encode(F.upper(F.col("text")), "UTF-8").alias("value"))
+        .unionAll(
+            docs.filter(F.col("did").between(100, 129)).select(
+                "key", F.encode("text", "UTF-8").alias("value")
+            )
+        )
+    )
+    watermark = kv.current_seq()
+    n_expired = kv.expire_older_than(watermark)
+    kv_str = F.concat(F.col("key"), F.lit(":"), F.col("value").cast("string"))
+    live = kv.scan().agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.sum(portable_hash64(kv_str).cast("decimal(38,0)")) % 1000000000000000)
+        .cast("bigint")
+        .alias("checksum"),
+    ).select(F.lit("live").alias("phase"), "n_keys", "checksum")
+    expired = spark.createDataFrame(
+        [("expired", n_expired, 0)], "phase STRING, n_keys BIGINT, checksum BIGINT"
+    )
+    return expired.unionAll(live).orderBy("phase")

@@ -396,3 +396,31 @@ def test_location_store_drop_destroys_durable_log(kv_loc, spark):
     assert not os.path.exists(loc)
     assert not os.path.exists(loc.rstrip("/") + "__compact")
     assert not spark.catalog.tableExists(kv_loc.table)
+
+
+def test_expire_older_than_evicts_only_stale(kv):
+    kv.put_batch([("a", b"1"), ("b", b"2"), ("c", b"3")])
+    s1 = kv.current_seq()
+    kv.put("a", b"1-refreshed")  # a is young again
+    watermark = kv.current_seq()
+    n = kv.expire_older_than(watermark)
+    # b and c were last written before the watermark; a survives
+    assert n == 2
+    assert kv.get("a") == b"1-refreshed"
+    with pytest.raises(KeyNotFound):
+        kv.get("b")
+    with pytest.raises(KeyNotFound):
+        kv.get("c")
+    assert {r["key"] for r in kv.keys().collect()} == {"a"}
+    # eviction is VERSIONED: pre-expiry state still reconstructs
+    asof = {r["key"]: bytes(r["value"]) for r in kv.scan_as_of(s1).collect()}
+    assert asof == {"a": b"1", "b": b"2", "c": b"3"}
+
+
+def test_expire_older_than_noop_when_nothing_stale(kv):
+    kv.put("k", b"v")
+    wm = kv.current_seq()
+    assert kv.expire_older_than(wm) == 0  # k written AT the watermark
+    assert kv.get("k") == b"v"
+    # a second expiry after the tombstone-free no-op still sees k live
+    assert kv.expire_older_than(wm) == 0
