@@ -2838,3 +2838,92 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak_days"), F.asc("user_id"))
         .limit(25)
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events
+      GROUP BY user_id
+    ), rev AS (
+      SELECT f.cohort,
+             CAST(datediff('day', CAST(f.cohort AS DATE),
+                           CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS INTEGER) AS age,
+             CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ), cohort_size AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS users FROM firsts
+      GROUP BY cohort
+    ), cell AS (
+      SELECT cohort, age, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM rev GROUP BY cohort, age
+    ), curve AS (
+      SELECT cohort, age,
+             CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age)
+                  AS BIGINT) AS cum_rev_cents
+      FROM cell
+    )
+    SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, c.age, s.users,
+           c.cum_rev_cents,
+           c.cum_rev_cents // s.users AS ltv_cents
+    FROM curve c JOIN cohort_size s ON c.cohort = s.cohort
+    ORDER BY cohort, age
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — cumulative revenue per signup-week cohort
+    by cohort AGE in weeks, divided by cohort size for the
+    lifetime-value-to-date a growth team actually plots (the revenue
+    companion to events_retention's activity matrix). Exact integer
+    cents end-to-end; the running sum is a window over the
+    cohort×age AGGREGATE (months² rows, not events), so the only
+    corpus-scale work is two hash-aggs (first-event per user, revenue
+    per cell) and one user→cohort equi-join — the window never sees
+    raw events and the whole curve is shuffle-bounded by the calendar,
+    not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort",
+            F.expr(
+                "datediff(CAST(date_trunc('week', ts) AS DATE),"
+                " CAST(cohort AS DATE)) DIV 7"
+            )
+            .cast("int")
+            .alias("age"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+    )
+    cohort_size = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users")
+    )
+    cell = rev.groupBy("cohort", "age").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = cell.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return (
+        curve.join(cohort_size, "cohort")
+        .selectExpr(
+            "CAST(cohort AS TIMESTAMP) AS cohort",
+            "age",
+            "users",
+            "cum_rev_cents",
+            "cum_rev_cents DIV users AS ltv_cents",
+        )
+        .orderBy("cohort", "age")
+    )
