@@ -290,12 +290,22 @@ class KVStore:
             .select("key")
         )
         seq = self._alloc_seq()
-        doomed = stale.withColumn("value", F.lit(None).cast("binary")).withColumn(
-            "seq", F.lit(seq).cast("bigint")
+        doomed = (
+            stale.withColumn("value", F.lit(None).cast("binary"))
+            .withColumn("seq", F.lit(seq).cast("bigint"))
+            .select("key", "value", "seq")
+            # Materialize BEFORE the append: the plan reads the same
+            # log table the append writes into, so a lazy plan would
+            # (a) re-run the full latest-wins agg for the write after
+            # the count() already ran it, and (b) lean on Spark not
+            # reordering a self-referential insert. localCheckpoint
+            # pins the O(stale)-row result once; count and append both
+            # read the materialized rows (ADVICE r7).
+            .localCheckpoint(eager=True)
         )
         n = doomed.count()
         if n:
-            self._append_df(doomed.select("key", "value", "seq"))
+            self._append_df(doomed)
         return n
 
     def exists(self, key: str) -> bool:

@@ -131,8 +131,12 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10, max_frames: int = 4) 
     """Video frame-sampling *plan*: one row per (media_id, frame_index)
     to decode — the explode happens engine-side so the decode stage
     receives an already-parallel frame workload."""
+    # Integer division (floor == trunc for the non-negative byte count)
+    # so the DuckDB oracle's `//` and this expression agree for EVERY
+    # payload length — `(x / n).cast("int")` truncated while a DuckDB
+    # `CAST(x / n AS INT)` rounds, diverging for short payloads.
     n_frames = F.least(
-        (F.col("meta.n_bytes") / every_n).cast("int") + 1, F.lit(max_frames)
+        F.floor(F.col("meta.n_bytes") / every_n).cast("int") + 1, F.lit(max_frames)
     )
     return media.select(
         "media_id",

@@ -21,15 +21,19 @@ CORRECTNESS_r*.json row yet ("debt"); additions that round are capped
 at max(0, 50 - debt). Round 5 added 97 queries against a 50-slot
 window and created 56 rows of verification debt — round 6 therefore
 adds zero and lets the tier rotation below surface the debt first.
-Round 7: debt entering the round was 7, the cap 43; 28 new queries
-registered (21 early-round + the 7-query r7 growth batch: geo_cell_knn,
-geo_morton_density, merge_cdc_apply, ml_roc_auc, ml_ndcg_at_k,
-agg_gini_lorenz, stream_exec_watermark_late). The 50-slot window holds
-flagship + 16 pins + 33 of the 35 never-checked rows; 2 rows
-(ml_roc_auc, stats_pca_2d — measured via _driver_verified_counts)
-carry into r8 as that round's entering debt, well under the next cap.
-Every new query is already green against the local sf0.01 oracle gate
-and the sf0.1 audit before registration.
+Round 7: debt entering the round was 7, the cap 43 — but the round
+ultimately registered 67 new queries (the r7 verdict flags the breach:
+queries kept landing after the end-of-round snapshot), so the debt
+ENTERING ROUND 8 is 41 never-driver-checked rows (the full list =
+registry minus CORRECTNESS_r01–r07 keys; includes the stats_* tail,
+the r7 ts_*/ml_*/events_* additions, text_bpe_train/apply, and
+graph_hits/kcore). Round 8 is therefore verification-first: the r7
+pin set is pruned (all 16 came back green in CORRECTNESS_r07), NOTHING
+is pinned, and the 50-slot window holds flagship + all 41 debt rows +
+the r8 additions. The r8 cap is max(0, 50 - 41) = 9 new queries
+(8 after reserving the flagship slot); additions beyond the budget
+wait for r9. Every new query is green against the local sf0.01 oracle
+gate and the sf0.1 audit before registration.
 """
 
 from __future__ import annotations
@@ -176,33 +180,17 @@ def _driver_verified_counts() -> dict[str, int]:
 # queries after the optional tie_break parameter landed (default path
 # value-identical, oracle-green; pure API addition).)
 #
-# r7 pin set: exactly the deferred r6-changed queries above (NULL-mean
-# semantics ×4, minhash job fusion ×6, asof tie_break API ×4), plus the
-# two rows-only ANN queries the r6 verdict asked re-checked in a driver
-# window (they record err="no_oracle" + a row count; the new hash-
-# checked ml_ann_ivf_exact twin closes the loop beside them).
-_RECHECK_FIRST: set[str] = {
-    # r6 NULL-mean fix (engine AND oracle both divide by COUNT(value))
-    "stream_sliding_batch",
-    "stream_exec_sliding",
-    "ts_resample_ffill",
-    "ts_resample_interp",
-    # r6 minhash cold-path job fusion (fingerprint from cached sig frame)
-    "dedup_minhash_lsh",
-    "dedup_minhash_est",
-    "dedup_minhash_band2",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_survivors",
-    # r6 asof tie_break parameter (default path value-identical)
-    "join_asof",
-    "join_asof_tolerance",
-    "join_asof_forward",
-    "join_asof_nearest",
-    # rows-only ANN re-check (VERDICT r6 #4)
-    "ml_ann_lsh_topk",
-    "ml_ann_ivf_topk",
-}
+# r7's 16 pins ALL came back green in CORRECTNESS_r07 — pruned. r8
+# pins NOTHING (per the r7 verdict): the whole window goes to the
+# flagship + the 41 never-driver-checked rows + the r8 additions.
+# r8's low-ADVICE fixes (mm_frame_extract DIV-truncation symmetry,
+# sketch_kmv_setops membership chain from the sketch side,
+# kv.expire_older_than eager materialization, sample_poisson_bootstrap
+# zero-weight guard) are value-identical on all fixtures and covered by
+# the local sf0.01/sf0.1 oracle audits; their re-pins are DEFERRED to
+# r9 so they don't displace debt rows — same precedent as r6's
+# deferral of the NULL-mean pin set.
+_RECHECK_FIRST: set[str] = set()
 
 
 def _interleave_families() -> None:

@@ -1306,10 +1306,15 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Membership test orientation matters at scale: the BROADCAST side
     # must be the k-row union sketch, never the corpus-sized hash sets
     # (c/p are distinct users — O(corpus)). Stream each set once,
-    # keep its ≤k rows that land in the sketch, then the final
-    # intersection is a k-row × k-row semi-join.
-    in_c = c.join(F.broadcast(sku), "hv", "left_semi")
-    in_p = p.join(F.broadcast(sku), "hv", "left_semi")
+    # keep its ≤k rows that land in the sketch, then DEDUPE the
+    # survivors on hv before counting: m must count distinct
+    # union-sketch HASH VALUES present in both sides (the oracle's
+    # definition) — counting surviving c-rows would double-count a
+    # 60-bit hash collision between two user_ids. The distinct() only
+    # shuffles the ≤k survivors, and the final intersection is a
+    # k-row × k-row semi-join.
+    in_c = c.join(F.broadcast(sku), "hv", "left_semi").distinct()
+    in_p = p.join(F.broadcast(sku), "hv", "left_semi").distinct()
     m = in_c.join(F.broadcast(in_p), "hv", "left_semi").agg(
         F.count(F.lit(1)).alias("m")
     )

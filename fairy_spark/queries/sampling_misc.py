@@ -229,7 +229,9 @@ def _poisson_bootstrap_oracle() -> str:
     )
     SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
            CAST(SUM(w * cents) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS mean_cents
-    FROM wtd GROUP BY b ORDER BY b
+    FROM wtd GROUP BY b
+    HAVING SUM(w) > 0
+    ORDER BY b
     """
 
 
@@ -279,5 +281,10 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_cents"
             ),
         )
+        # Guard the all-zero-weight replica (P ≈ e^-N — unreachable at
+        # any real SF, but on a pathological fixture Spark DIV returns
+        # NULL while DuckDB // raises; HAVING SUM(w) > 0 on both sides
+        # makes the engines fail identically by dropping the replica).
+        .filter(F.col("n_eff") > 0)
         .orderBy("b")
     )

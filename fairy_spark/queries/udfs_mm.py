@@ -212,7 +212,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_frame_plan",
     oracle="""
-    WITH m AS (SELECT doc_id AS media_id, LEAST(CAST(LENGTH(text) / 10 AS INT) + 1, 4) AS n_frames
+    WITH m AS (SELECT doc_id AS media_id, LEAST(LENGTH(text) // 10 + 1, 4) AS n_frames
                FROM documents WHERE doc_id <= 30)
     SELECT media_id, CAST(u.i AS INTEGER) AS frame_index, CAST(u.i * 10 AS INTEGER) AS byte_offset
     FROM m, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
@@ -497,7 +497,7 @@ def udf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id, text,
-             LEAST(CAST(LENGTH(text) / 10 AS INT) + 1, 4) AS n_frames
+             LEAST(LENGTH(text) // 10 + 1, 4) AS n_frames
       FROM documents WHERE doc_id <= 30
     )
     SELECT media_id, CAST(u.i AS INTEGER) AS frame_index,
@@ -526,8 +526,11 @@ def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 30)
     media = media_table_from_documents(docs)
+    # floor-division on both engines (see frame_sample_plan): a DuckDB
+    # CAST(x/10 AS INT) rounds while this truncated, diverging for any
+    # payload shorter than ~35 bytes with length % 10 >= 5.
     n_frames = F.least(
-        (F.col("meta.n_bytes") / 10).cast("int") + 1, F.lit(4)
+        F.floor(F.col("meta.n_bytes") / 10).cast("int") + 1, F.lit(4)
     )
     plan = media.select(
         "media_id",

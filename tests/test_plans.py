@@ -395,64 +395,109 @@ def test_substring_dedup_pair_join_never_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan, plan
 
 
+# Queries allowed to plan a BroadcastNestedLoopJoin, each with the
+# DECLARED maximum row count of its broadcast (build) side — a design
+# bound, not a measured fit. test_no_cartesian_product_in_any_query
+# EXECUTES every build-side subtree and asserts the actual row count
+# stays under the declared bound (VERDICT r7 #7: a structural check
+# instead of 38 trust-me comments), so an allowlisted query whose
+# broadcast side silently becomes corpus-shaped fails the gate the
+# moment it regresses.
+BNLJ_BOUNDED: dict[str, int] = {
+    # 1-row global-stat crossJoins (count/avgdl/min-max/threshold frames)
+    "text_tfidf": 1, "text_bm25": 1, "ml_minmax_scale": 1,
+    "text_inverted_index": 1, "text_quality_logprob": 1,
+    "text_dsir_weights": 1, "sample_domain_balance": 1,
+    "graph_pagerank": 1, "sketch_hll": 1, "q22_idle_customers": 1,
+    "q11_important_share": 1, "ml_assoc_rules": 1, "sink_zorder_layout": 1,
+    "events_rfm_segmentation": 1, "text_bigram_lm": 1,
+    "events_power_curve": 1, "stats_chi_square": 1, "stats_ks_two_sample": 1,
+    "graph_triangles": 1, "graph_kcore": 1, "sketch_kmv_setops": 1,
+    "graph_hits": 1, "ml_decision_stump": 1, "ml_adaboost_stumps": 1,
+    "ml_mutual_information": 1,
+    # small fixed grids / probe frames (k rows by construction)
+    "sketch_quantile_hist": 4,     # 3-target rank probe + 1-row stats
+    "ml_ann_ivf_exact": 4,         # n_clusters=4 centroid broadcast
+    "join_theta_cross": 8,         # capped theta inputs
+    "ml_ndcg_at_k": 8,             # 8-row query-vector broadcast
+    "geo_cell_knn": 9,             # 3x3 cell-offset frame
+    "stats_benford_digits": 9,     # 9-digit expected grid
+    "sim_cosine_topk": 16,         # bounded query-vector probe set
+    "ml_ann_ivf_topk": 16,         # centroid frame + bounded probe set
+    "ml_knn_vote": 40,             # bounded eval-query broadcast
+    "ml_naive_bayes": 64,          # |classes| x 32-bucket model grid
+    "ml_confusion_matrix": 128,    # 100-row eval-query broadcast
+    "dedup_eval_minhash": 512,     # 500-doc bounded ground-truth frame
+    "events_dau_wau": 1000,        # calendar-day grid (~365 rows/yr)
+}
+
+
+def _bnlj_build_side_rows(spark, df, cap: int) -> list[int]:
+    """Actual row count of every BroadcastNestedLoopJoin build side in
+    df's post-EnsureRequirements plan (AQE off — the caller's session
+    state), by EXECUTING the build subtree with executeTake(cap). A
+    corpus-shaped side returns cap, tripping any sane bound."""
+
+    def unwrap(n):
+        while True:
+            nm = n.nodeName()
+            if nm == "InputAdapter" or nm.startswith("WholeStageCodegen"):
+                n = n.children().apply(0)
+            elif nm == "ReusedExchange":
+                n = n.child()
+            elif "BroadcastExchange" in nm:
+                n = n.children().apply(0)
+            else:
+                return n
+
+    counts = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "BroadcastNestedLoopJoin":
+            side = 1 if "BuildRight" in n.buildSide().toString() else 0
+            counts.append(len(unwrap(n.children().apply(side)).executeTake(cap)))
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return counts
+
+
 def test_no_cartesian_product_in_any_query(spark, sf_dir):
     """Registry-wide scale gate: no query may plan a CartesianProduct —
     a nested loop over two NON-broadcast sides is corpus-quadratic work
     on corpus-sized inputs, fatal at 100 TB. BroadcastNestedLoopJoin is
-    tolerated only for the known bounded cases (single-row global-stat
-    frames, bounded query/probe sets) pinned in the allowlist below, so
-    a new unbounded nested loop can't land silently either."""
-    bnlj_bounded = {
-        # 1-row global-stat crossJoins (count/avgdl/min-max frames)
-        "text_tfidf", "text_bm25", "ml_minmax_scale", "text_inverted_index",
-        "text_quality_logprob",  # 1-row corpus-total frame
-        "text_dsir_weights",  # 1-row totals frame over the cached vocab
-        "sample_domain_balance",  # 1-row min-source-count cap frame
-        "sketch_quantile_hist",  # 1-row stats frame + <=256-bin vs 3-target rank probe
-        "graph_pagerank",  # 1-row node-count frame in every node-sized iteration
-        "sketch_hll",  # 1-row estimate frame x 1-row exact-count frame
-        # bounded query/probe sets (broadcast side is k rows by design)
-        "sim_cosine_topk", "ml_knn_vote", "ml_ann_ivf_topk",
-        "ml_confusion_matrix",  # 100-row eval-query broadcast
-        "graph_triangles",  # 1-row node/edge/triangle count summary frames
-        # deliberate theta/cross shape over capped inputs
-        "join_theta_cross",
-        # scalar-subquery decorrelation over a 1-row aggregate
-        "q22_idle_customers",
-        "q11_important_share",  # 1-row global-threshold frame
-        "ml_assoc_rules",  # 1-row order-count frame for the lift divisor
-        "sink_zorder_layout",  # 1-row key-max frame for Morton normalization
-        "ml_naive_bayes",  # class-list x 32-bucket model grid + 1-row doc-total frame
-        "events_rfm_segmentation",  # 1-row corpus-max-ts anchor frame
-        "events_dau_wau",  # calendar-day grid broadcast (~365 rows/yr) band join
-        "text_bigram_lm",  # 1-row vocab-size and OOV-logprob frames
-        "geo_cell_knn",  # 9-row cell-offset frame broadcast (3x3 neighborhood)
-        "ml_ndcg_at_k",  # 8-row query-vector broadcast vs one corpus scan
-        "events_power_curve",  # 1-row total-spend frame for decile shares
-        # r7 additions — each broadcast side is a bounded stat frame
-        "stats_chi_square",  # 1-row N frame + |types|/|cohorts| marginals
-        "stats_ks_two_sample",  # 1-row (n1,n2) totals + 1-row max-deviation frame
-        "stats_benford_digits",  # 9-row expected grid + 1-row total frame
-        "ml_ann_ivf_exact",  # n_clusters-row centroid broadcast (k=4 by design)
-        "graph_kcore",  # 1-row node/core/edge count summary frames
-        "sketch_kmv_setops",  # 1-row kth-value/exact-count stat frames
-        "graph_hits",  # 1-row per-round max frame for integer renormalization
-        "ml_decision_stump",  # 1-row min/max bounds + totals frames
-        "ml_adaboost_stumps",  # 1-row bounds/totals frames per boosting round
-        "dedup_eval_minhash",  # bounded 500-doc ground-truth pairs + 1-row stats
-        "ml_mutual_information",  # 1-row bounds/total frames over <=32 cells
-    }
-    cartesian, rogue_bnlj = [], []
-    for name, fn in QUERIES.items():
-        plan = plan_of(fn(spark, str(sf_dir)), "simple")
-        if "CartesianProduct" in plan:
-            cartesian.append(name)
-        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_bounded:
-            rogue_bnlj.append(name)
+    tolerated only for the BNLJ_BOUNDED allowlist, and each allowlisted
+    query's build sides are EXECUTED and counted against the declared
+    bound — so neither a new unbounded nested loop nor a regression of
+    an allowlisted broadcast side to corpus shape can land silently."""
+    cartesian, rogue_bnlj, overflow = [], [], []
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, fn in QUERIES.items():
+            df = fn(spark, str(sf_dir))
+            plan = plan_of(df, "simple")
+            if "CartesianProduct" in plan:
+                cartesian.append(name)
+            if "BroadcastNestedLoopJoin" in plan:
+                if name not in BNLJ_BOUNDED:
+                    rogue_bnlj.append(name)
+                else:
+                    bound = BNLJ_BOUNDED[name]
+                    rows = _bnlj_build_side_rows(spark, df, bound + 1)
+                    if any(r > bound for r in rows):
+                        overflow.append((name, bound, rows))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert not cartesian, f"CartesianProduct planned by: {cartesian}"
     assert not rogue_bnlj, (
         f"unreviewed BroadcastNestedLoopJoin in: {rogue_bnlj} — verify the "
-        "broadcast side is bounded, then extend the allowlist"
+        "broadcast side is bounded, then declare its bound in BNLJ_BOUNDED"
+    )
+    assert not overflow, (
+        f"BNLJ build side exceeded its declared bound: {overflow} — the "
+        "broadcast side is growing with the corpus; fix the plan, don't "
+        "raise the bound without a design reason"
     )
 
 
