@@ -34,7 +34,8 @@ HEADLINE = [
     "fn_string",               # scalar-function pipeline
     "kv_prefix_scan",          # KV readdir analog: pushed prefix filter
     "stream_tumbling_batch",   # event-time window aggregation
-    "dedup_minhash_lsh",       # minhash banding + jaccard verify
+    "dedup_minhash_lsh",       # minhash banding + jaccard verify (bounded small-corpus twin)
+    "dedup_minhash_scale",     # THE registered scale default: (16,2) band geometry
     "sim_cosine_topk",         # vector similarity top-k
     "dedup_substring_exact",   # linear gram explode + pinned SHJ pair join
 ]

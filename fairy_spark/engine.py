@@ -57,15 +57,28 @@ class Engine:
         return exact_dedup(docs, text_col, id_col)
 
     def dedup_near(
-        self, docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        threshold: float = 0.5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 16,
+        band_rows: int = 2,
     ) -> DataFrame:
         """MinHash-LSH near-duplicate pairs with exact-Jaccard scores
-        >= threshold."""
+        >= threshold. Defaults to the measured (16,2) PRODUCTION band
+        geometry (SCALE.md; registered + hash-checked as
+        `dedup_minhash_scale`) — the setting whose candidate volume
+        stays sub-quadratic at large corpus sizes. Pass (8,1) for the
+        high-recall small-corpus setting (`dedup_minhash_lsh`)."""
         from pyspark.sql import functions as F
 
         from fairy_spark.operators.dedup import minhash_lsh_candidates
 
-        cands = minhash_lsh_candidates(docs, id_col=id_col, text_col=text_col)
+        cands = minhash_lsh_candidates(
+            docs, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, band_rows=band_rows,
+        )
         return cands.filter(F.col("jaccard") >= threshold)
 
     def similar_topk(

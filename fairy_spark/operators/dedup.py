@@ -360,11 +360,13 @@ def minhash_lsh_candidates(
     recovers 94% of true pairs at 7% of the 1-row candidate volume on
     the 80k synth corpus, and its collision tail grows with
     E[J^2] instead of E[J], which is what keeps the band join
-    sub-quadratic on a 100 TB corpus. The registry/bench queries pin
-    the small-corpus (8,1) setting because their frozen baselines and
-    oracles were recorded with it; bench.py reports the (8,2) cold
-    number alongside the headline so the scale setting has a tracked
-    trend line ("minhash_band2_cold_sec").
+    sub-quadratic on a 100 TB corpus. As of r8 this geometry IS the
+    registered scale default: `dedup_minhash_scale` (queries/llm.py)
+    runs (16,2) hash-checked against its own banded oracle and is a
+    bench headline row; `dedup_minhash_lsh` keeps the small-corpus
+    (8,1) setting as the bounded high-recall twin (its frozen baseline
+    and oracle were recorded with it), and bench.py still tracks the
+    (8,2) cold number ("minhash_band2_cold_sec").
 
     ``cache_key``: stable identity of the input corpus (e.g. its
     path). When provided, a repeat call with the same key and params

@@ -294,6 +294,50 @@ def dedup_minhash_band2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_MH_SCALE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             [{", ".join(minhash_sql(i) for i in range(16))}] AS sig
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND ({" OR ".join(f"(a.sig[{2 * b + 1}] = b.sig[{2 * b + 1}] AND a.sig[{2 * b + 2}] = b.sig[{2 * b + 2}])" for b in range(8))})
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_minhash_scale", oracle=_MH_SCALE_ORACLE)
+def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REGISTERED SCALE DEFAULT for minhash-LSH near-dup (VERDICT
+    r7 #3): the measured (num_hashes=16, band_rows=2) production
+    geometry — 8 two-row bands, per-band collision prob J², which is
+    what keeps the banded join's candidate volume sub-quadratic on a
+    100 TB corpus (SCALE.md "band geometry at scale": 94% recall at 7%
+    of the band1 candidate volume on the 80k synth corpus; band1's /doc
+    candidate column grows 2.6→26 across a ×16 corpus while (16,2)
+    stays ≤6.6). A user copying ONE minhash query should copy this
+    one; `dedup_minhash_lsh` (8,1) remains the bounded small-corpus
+    twin whose frozen baseline and bench row predate this default.
+    Same persisted signature-index machinery (operators/dedup.py
+    minhash_lsh_candidates) — only the geometry literals differ; the
+    oracle mirrors the 8 two-component band conjunctions literally."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        d, shingle_n=3, num_hashes=16, band_rows=2, cache_key=sf_dir
+    )
+    return cands.select(
+        F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 _MH_INC_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
@@ -388,7 +432,7 @@ def _simhash_oracle(bits: int = 16) -> str:
     WITH toks AS (
       SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents
     ), h AS (
-      SELECT id, {h} % 65536 AS h FROM toks
+      SELECT id, {h} % {1 << bits} AS h FROM toks
     ), sums AS (
       SELECT id, {bit_sums} FROM h GROUP BY id
     )
@@ -2436,6 +2480,92 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("band_val"),
             )
             for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "id", "simhash", F.explode(bands).alias("b")
+    ).select("id", "simhash", "b.band_id", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= _SIMHASH_MAXHAM)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIMHASH_SCALE_BITS = 32
+_SIMHASH_SCALE_BAND_BITS = 8
+_SIMHASH_SCALE_BANDS = _SIMHASH_SCALE_BITS // _SIMHASH_SCALE_BAND_BITS
+
+
+def _simhash_scale_oracle() -> str:
+    """32-bit fingerprint, 4 bands x 8 bits — same pigeonhole as the
+    16-bit demo oracle, only the geometry literals change."""
+    return f"""
+    WITH sig AS (
+      {_simhash_oracle(bits=_SIMHASH_SCALE_BITS).strip()}
+    ), banded AS (
+      SELECT sh.id, sh.simhash, b.band_id,
+             (sh.simhash >> (b.band_id * {_SIMHASH_SCALE_BAND_BITS}))
+               & {(1 << _SIMHASH_SCALE_BAND_BITS) - 1} AS band_val
+      FROM sig sh CROSS JOIN (
+        SELECT unnest(range({_SIMHASH_SCALE_BANDS})) AS band_id
+      ) b
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id
+     AND a.band_val = b.band_val
+     AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXHAM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash_scale", oracle=_simhash_scale_oracle())
+def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REGISTERED SCALE DEFAULT for simhash near-dup (VERDICT r7
+    #3): 32-bit fingerprint in 4 8-bit bands, hamming <= 3 — the
+    geometry SCALE.md's r6 measurement table shows suppressing the
+    16-bit demo setting's pair volume 186-189x, STABLE across a x4
+    corpus growth (5k docs: 935,852 pairs -> 5,018; 20k: 15.1M ->
+    80k), because 256 buckets/band cuts random band collisions ~4
+    orders vs 16 buckets. Same pigeonhole plan as
+    `dedup_simhash_hamming` (any pair at hamming <= 3 agrees exactly
+    on >= 1 of 4 bands -> banded equi-join, exact bit_count verify,
+    pair cost Sum|bucket|^2) — that query remains the bounded
+    small-corpus twin; a user copying ONE simhash query should copy
+    this one. Production would widen further to Manku et al.'s 64-bit
+    / 4x16-bit deployed config — same plan, bigger literals (64-bit
+    needs the fingerprint split across two BIGINT halves to dodge the
+    2^63 sign bit; the 32-bit form keeps the cross-engine arithmetic
+    exactly representable, which is what makes this row
+    hash-checkable)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = simhash(d, bits=_SIMHASH_SCALE_BITS)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * _SIMHASH_SCALE_BAND_BITS)
+                .bitwiseAND(F.lit((1 << _SIMHASH_SCALE_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for b in range(_SIMHASH_SCALE_BANDS)
         ]
     )
     banded = sig.select(
