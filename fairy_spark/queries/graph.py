@@ -235,6 +235,163 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.select("n_nodes", "n_edges", "n_triangles")
 
 
+_TRI_HUB_CAP = 4096  # wedge-product (indeg*outdeg) threshold for the hub pass
+
+
+@register(
+    "graph_triangles_capped",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    ), wp AS (
+      SELECT node, COALESCE(od.od, 0) * COALESCE(ind.id_, 0) AS p
+      FROM deg
+      LEFT JOIN (SELECT src, COUNT(*) AS od FROM oriented GROUP BY src) od
+        ON deg.node = od.src
+      LEFT JOIN (SELECT dst, COUNT(*) AS id_ FROM oriented GROUP BY dst) ind
+        ON deg.node = ind.dst
+    ), hubs AS (
+      SELECT node FROM wp WHERE p > {_TRI_HUB_CAP}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM oriented) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hubs) AS n_hubs,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM oriented e1
+            JOIN oriented e2 ON e1.dst = e2.src
+            JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            WHERE e1.dst NOT IN (SELECT node FROM hubs)) AS n_tri_low,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM oriented e1
+            JOIN oriented ec ON ec.src = e1.src
+            JOIN oriented e2 ON e2.src = e1.dst AND e2.dst = ec.dst
+            WHERE e1.dst IN (SELECT node FROM hubs)) AS n_tri_hub,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM oriented e1
+            JOIN oriented e2 ON e1.dst = e2.src
+            JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            WHERE e1.dst NOT IN (SELECT node FROM hubs))
+           + (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM oriented e1
+              JOIN oriented ec ON ec.src = e1.src
+              JOIN oriented e2 ON e2.src = e1.dst AND e2.dst = ec.dst
+              WHERE e1.dst IN (SELECT node FROM hubs)) AS n_triangles
+    """,
+)
+def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUB-CAPPED exact triangle count (VERDICT r7 #4 / SCALE.md lever
+    2): same Schank-Wagner orientation as `graph_triangles`, but wedge
+    enumeration is SPLIT by the middle node's wedge product
+    p(b) = indeg(b)·outdeg(b):
+
+    * LOW pass (p ≤ 4096): the standard path join e1(a,b)⋈e2(b,c)
+      keyed on the middle b, closing with e3(a,c) — exactly the
+      original plan, minus the hub middles.
+    * HUB residual pass (p > 4096): EXACT, not approximate — the join
+      PIVOTS to fan out from the SOURCE's orientation-capped
+      out-degree instead of the hub's indeg×outdeg product: hub-in
+      edges (a→b, b hub) join a's other out-edges (a→c), then the
+      (b→c) closing edge is verified by one hash join. Per hub the
+      enumerated rows drop from indeg(b)·outdeg(b) to
+      Σ_(a∈N_in(b)) outdeg(a) ≤ indeg(b)·O(√m) with the realistic win
+      being outdeg(hub)/avg-outdeg(in-neighbors) — on the sf1 replica
+      whose hub degrees grow ∝ SF (wedges ∝ SF², the 547 s/1186 s
+      audit outliers) this is the lever that restores the 10× trend.
+
+    Every triangle a→b→c has exactly one middle b, routed to exactly
+    one pass (b hub or not), so n_tri_low + n_tri_hub is the exact
+    count — the oracle states both passes plus their sum, and
+    `graph_triangles` (registered, driver-green) pins the same total
+    independently. The residual's candidate generator (a→b hub-in ×
+    a→c out) can emit (a,c,b) role-swaps; those fail the b→c edge
+    check because the orientation is a DAG — no double count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    # oriented feeds SIX join inputs across the two passes plus the
+    # edge/degree counts (see _persist_edges).
+    oriented = _persist_edges(oriented)
+    outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
+    hubs = (
+        deg.join(outd.withColumnRenamed("src", "node"), "node", "left")
+        .join(ind.withColumnRenamed("dst", "node"), "node", "left")
+        .filter(
+            F.coalesce(F.col("od"), F.lit(0)) * F.coalesce(F.col("id_"), F.lit(0))
+            > _TRI_HUB_CAP
+        )
+        .select("node")
+    )
+    # low pass: path join keyed on non-hub middles
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e1_low = e1.join(hubs.withColumnRenamed("node", "b"), "b", "left_anti")
+    e1_hub = e1.join(hubs.withColumnRenamed("node", "b"), "b", "left_semi")
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri_low = e1_low.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_tri_low")
+    )
+    # hub residual: fan out from the source's orientation-capped
+    # out-degree, then verify the hub->c closing edge
+    cand = e1_hub.join(e3, "a")  # (a, b hub, c) from a's out-wedge
+    tri_hub = cand.join(e2, ["b", "c"]).agg(F.count(F.lit(1)).alias("n_tri_hub"))
+    summary = (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(oriented.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(hubs.agg(F.count(F.lit(1)).alias("n_hubs"))))
+        .crossJoin(F.broadcast(tri_low))
+        .crossJoin(F.broadcast(tri_hub))
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_hubs",
+        "n_tri_low",
+        "n_tri_hub",
+        (F.col("n_tri_low") + F.col("n_tri_hub")).alias("n_triangles"),
+    )
+
+
 @register(
     "graph_common_neighbors",
     oracle="""

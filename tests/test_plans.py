@@ -412,7 +412,8 @@ BNLJ_BOUNDED: dict[str, int] = {
     "q11_important_share": 1, "ml_assoc_rules": 1, "sink_zorder_layout": 1,
     "events_rfm_segmentation": 1, "text_bigram_lm": 1,
     "events_power_curve": 1, "stats_chi_square": 1, "stats_ks_two_sample": 1,
-    "graph_triangles": 1, "graph_kcore": 1, "sketch_kmv_setops": 1,
+    "graph_triangles": 1, "graph_triangles_capped": 1,
+    "graph_kcore": 1, "sketch_kmv_setops": 1,
     "graph_hits": 1, "ml_decision_stump": 1, "ml_adaboost_stumps": 1,
     "ml_mutual_information": 1,
     # small fixed grids / probe frames (k rows by construction)
