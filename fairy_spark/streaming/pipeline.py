@@ -70,6 +70,38 @@ def replay_dir_from_events(spark: SparkSession, sf_dir: str, out_dir: str, n_chu
     return out_dir
 
 
+def replay_dir_from_documents(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> str:
+    """Documents-table twin of replay_dir_from_events: n_chunks parquet
+    files split on doc_id quantiles (the ingest axis for a corpus
+    append stream). Same no-global-window discipline — boundaries come
+    from a distributed percentile sketch, n_chunks scalars on the
+    driver."""
+    from fairy_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fracs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = docs.select(
+        F.percentile_approx(F.col("doc_id"), fracs, 100_000).alias("q")
+    ).first()["q"] or []
+    chunk_expr = sum(
+        ((F.col("doc_id") > F.lit(int(b))).cast("int") for b in bounds), F.lit(0)
+    )
+    chunked = docs.withColumn("_chunk", chunk_expr)
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_chunks):
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .sort("doc_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"chunk_{i:03d}"))
+        )
+    return out_dir
+
+
 def read_event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENT_SCHEMA)
