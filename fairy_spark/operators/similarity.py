@@ -404,6 +404,112 @@ def ivf_exact_topk(
     )
 
 
+def semdedup_summary(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    tau_sq_num: int = 1,
+    tau_sq_den: int = 8,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540, public): cluster embeddings with a coarse
+    quantizer, then WITHIN each cluster mark the later (higher-id)
+    member of every pair with cos² ≥ τ² as a semantic duplicate and
+    keep the rest — the embedding-space analog of minhash near-dup +
+    survivor selection. Never an all-pairs join: pair cost is
+    Σ_cluster |cluster|², and at scale n_clusters grows ∝ corpus (the
+    paper runs 50k clusters for 100M points) so cluster population —
+    and with it the quadratic term — stays bounded.
+
+    Exactness recipe (the ivf_exact_topk integer lattice): vectors are
+    power-of-two quantized, the assignment is integer L2 against
+    md5-seeded centroids (tie → smaller cid), and the duplicate
+    predicate is the cross-multiplied integer form
+    ``dot > 0 AND tau_sq_den·dot² ≥ tau_sq_num·|a|²·|b|²`` — no sqrt,
+    no division, so a SQL oracle reproduces every byte. Default
+    τ² = 1/8 (τ ≈ 0.354), tuned to the synthetic embeddings' cosine
+    spread. Overflow bound: |q_d| ≤ 614 on this corpus ⇒
+    dot ≤ 2.4e7, tau_sq_den·dot² ≤ 4.6e15 « 2^63.
+
+    Returns one row per cluster: (cluster, n_vectors, n_dup_pairs,
+    n_removed, n_survivors)."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), quantized_vec(F.col(vec_col), scale).alias("_q")
+    )
+    seed_rows = (
+        corpus.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_clusters)
+        .collect()
+    )
+    cent = embeddings.sparkSession.createDataFrame(
+        [(i, list(r["_q"])) for i, r in enumerate(seed_rows)],
+        "_cid INT, _cvec ARRAY<BIGINT>",
+    )
+    w = Window.partitionBy("_id").orderBy(F.asc("_d2"), F.asc("_cid"))
+    n2 = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("_q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        corpus.join(F.broadcast(cent), F.lit(True))
+        .withColumn("_d2", int_l2sq(F.col("_q"), F.col("_cvec")))
+        .withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") == 1)
+        .select(F.col("_cid").alias("cluster"), "_id", "_q", n2.alias("_n2"))
+    )
+    a = assigned.select(
+        "cluster",
+        F.col("_id").alias("ia"),
+        F.col("_q").alias("qa"),
+        F.col("_n2").alias("na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("_id").alias("ib"),
+        F.col("_q").alias("qb"),
+        F.col("_n2").alias("nb"),
+    )
+    dot_i = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("_dot", dot_i)
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                F.lit(tau_sq_den) * F.col("_dot") * F.col("_dot")
+                >= F.lit(tau_sq_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("cluster", "ia", "ib")
+    )
+    per_cluster = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    dup_stats = dup.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("ib").alias("n_removed"),
+    )
+    return (
+        per_cluster.join(dup_stats, "cluster", "left")
+        .fillna(0, ["n_dup_pairs", "n_removed"])
+        .select(
+            "cluster",
+            "n_vectors",
+            F.col("n_dup_pairs").cast("bigint").alias("n_dup_pairs"),
+            F.col("n_removed").cast("bigint").alias("n_removed"),
+            (F.col("n_vectors") - F.col("n_removed")).alias("n_survivors"),
+        )
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     k: int = 3,

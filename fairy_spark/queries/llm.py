@@ -733,6 +733,87 @@ def ml_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_exact_topk(e, k=3, n_clusters=4, n_probe=2).orderBy("query_id", "rn")
 
 
+_SEMDEDUP_ORACLE = f"""
+    WITH c AS (
+      SELECT vec_id, {_IVF_Q_SQL} AS q
+      FROM embeddings
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cid,
+             q AS cq
+      FROM c
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), dist AS (
+      SELECT c.vec_id, s.cid, c.q,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, 64),
+                                 i -> (c.q[i] - s.cq[i]) * (c.q[i] - s.cq[i]))),
+                  (x, y) -> x + y) AS BIGINT) AS d2
+      FROM c CROSS JOIN seeds s
+    ), assigned AS (
+      SELECT vec_id, cid AS cluster, q,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, 64), i -> q[i] * q[i])),
+                  (x, y) -> x + y) AS BIGINT) AS n2
+      FROM (
+        SELECT vec_id, cid, q,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM dist)
+      WHERE r = 1
+    ), dup AS (
+      SELECT a.cluster, a.vec_id AS ia, b.vec_id AS ib
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])),
+              (x, y) -> x + y) AS BIGINT) > 0
+        AND 8 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])),
+              (x, y) -> x + y) AS BIGINT)
+            * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])),
+              (x, y) -> x + y) AS BIGINT)
+            >= a.n2 * b.n2
+    )
+    SELECT CAST(p.cluster AS INTEGER) AS cluster,
+           CAST(p.n_vectors AS BIGINT) AS n_vectors,
+           CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(d.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(p.n_vectors - COALESCE(d.n_removed, 0) AS BIGINT) AS n_survivors
+    FROM (SELECT cluster, COUNT(*) AS n_vectors FROM assigned GROUP BY cluster) p
+    LEFT JOIN (
+      SELECT cluster, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT ib) AS n_removed
+      FROM dup GROUP BY cluster
+    ) d ON p.cluster = d.cluster
+    ORDER BY p.cluster
+    """
+
+
+@register("dedup_semantic_semdedup", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    VERDICT r7 #8b): the embedding-side analog of minhash near-dup —
+    coarse k-means-style clusters bound the pair search, in-cluster
+    cos² ≥ 1/8 marks the higher-id member a semantic duplicate,
+    survivors = cluster minus removed. Everything rides the
+    ivf_exact_topk integer lattice (power-of-two quantization,
+    md5-seeded centroids, integer-L2 assignment, cross-multiplied
+    cosine-threshold predicate), so the full pipeline — clustering
+    INCLUDED — is hash-checked against the oracle; no float op
+    survives to the output. Per-cluster summary keeps the result
+    node-sized. Scale: pair cost is Σ|cluster|² with n_clusters grown
+    ∝ corpus (the paper's 50k clusters / 100M points), the same
+    bounded-block discipline as every dedup family member
+    (operators/similarity.py semdedup_summary)."""
+    from fairy_spark.operators.similarity import semdedup_summary
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup_summary(
+        e, n_clusters=16, tau_sq_num=1, tau_sq_den=8
+    ).orderBy("cluster")
+
+
 _CC_ORACLE = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents

@@ -425,6 +425,7 @@ BNLJ_BOUNDED: dict[str, int] = {
     "stats_benford_digits": 9,     # 9-digit expected grid
     "sim_cosine_topk": 16,         # bounded query-vector probe set
     "ml_ann_ivf_topk": 16,         # centroid frame + bounded probe set
+    "dedup_semantic_semdedup": 16,  # n_clusters=16 centroid broadcast
     "ml_knn_vote": 40,             # bounded eval-query broadcast
     "ml_naive_bayes": 64,          # |classes| x 32-bucket model grid
     "ml_confusion_matrix": 128,    # 100-row eval-query broadcast
