@@ -411,6 +411,8 @@ BNLJ_BOUNDED: dict[str, int] = {
     "graph_pagerank": 1, "sketch_hll": 1, "q22_idle_customers": 1,
     "q11_important_share": 1, "ml_assoc_rules": 1, "sink_zorder_layout": 1,
     "events_rfm_segmentation": 1, "text_bigram_lm": 1,
+    "sink_zorder_skip_stats": 1,   # 1-row key-max normalization frame
+
     "events_power_curve": 1, "stats_chi_square": 1, "stats_ks_two_sample": 1,
     "graph_triangles": 1, "graph_triangles_capped": 1,
     "graph_kcore": 1, "sketch_kmv_setops": 1,
