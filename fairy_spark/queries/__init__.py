@@ -32,14 +32,14 @@ pin set is pruned (all 16 came back green in CORRECTNESS_r07), NOTHING
 is pinned, and the 50-slot window holds flagship + all 41 debt rows +
 the r8 additions. The r8 cap is max(0, 50 - 41) = 9 new queries
 (8 after reserving the flagship slot); additions beyond the budget
-wait for r9. Round 8 registered exactly 6: dedup_minhash_scale and
+wait for r9. Round 8 registered exactly 7: dedup_minhash_scale and
 dedup_simhash_scale (the measured scale geometries promoted to
-registered defaults, VERDICT r7 #3), graph_triangles_capped (hub
-residual pass, #4), stream_exec_minhash_append (#8a),
-dedup_semantic_semdedup (#8b), sink_zorder_skip_stats (#8c) — window
-occupancy 1 + 41 + 6 = 48 of 50. Every new query is green against
-the local sf0.01 oracle gate and the sf0.1 audit before
-registration.
+registered defaults, VERDICT r7 #3), graph_triangles_capped and
+graph_clustering_capped (the two hub-residual wedge variants, #4),
+stream_exec_minhash_append (#8a), dedup_semantic_semdedup (#8b),
+sink_zorder_skip_stats (#8c) — window occupancy 1 + 41 + 7 = 49 of
+50. Every new query is green against the local sf0.01 oracle gate
+and the sf0.1 audit before registration.
 """
 
 from __future__ import annotations

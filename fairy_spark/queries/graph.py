@@ -240,54 +240,55 @@ _TRI_HUB_CAP = 4096  # wedge-product (indeg*outdeg) threshold for the hub pass
 
 @register(
     "graph_triangles_capped",
+    # Every CTE is MATERIALIZED and each wedge enumeration runs in
+    # exactly one 1-row CTE: DuckDB re-inlines plain CTEs per
+    # reference, so the first formulation (scalar subqueries, with
+    # n_triangles restating both enumerations) recomputed the
+    # lineitem self-join behind `pairs` a dozen times and spilled
+    # past 79 GB of temp disk at sf1.
     oracle=f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
         SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
       ) GROUP BY node
-    ), oriented AS (
+    ), oriented AS MATERIALIZED (
       SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
              CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
       FROM pairs p
       JOIN deg du ON p.u = du.node
       JOIN deg dv ON p.v = dv.node
     ), wp AS (
-      SELECT node, COALESCE(od.od, 0) * COALESCE(ind.id_, 0) AS p
+      SELECT deg.node, COALESCE(od.od, 0) * COALESCE(ind.id_, 0) AS p
       FROM deg
       LEFT JOIN (SELECT src, COUNT(*) AS od FROM oriented GROUP BY src) od
         ON deg.node = od.src
       LEFT JOIN (SELECT dst, COUNT(*) AS id_ FROM oriented GROUP BY dst) ind
         ON deg.node = ind.dst
-    ), hubs AS (
+    ), hubs AS MATERIALIZED (
       SELECT node FROM wp WHERE p > {_TRI_HUB_CAP}
+    ), lowcnt AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      WHERE e1.dst NOT IN (SELECT node FROM hubs)
+    ), hubcnt AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM oriented e1
+      JOIN oriented ec ON ec.src = e1.src
+      JOIN oriented e2 ON e2.src = e1.dst AND e2.dst = ec.dst
+      WHERE e1.dst IN (SELECT node FROM hubs)
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM oriented) AS n_edges,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM hubs) AS n_hubs,
-           (SELECT CAST(COUNT(*) AS BIGINT)
-            FROM oriented e1
-            JOIN oriented e2 ON e1.dst = e2.src
-            JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
-            WHERE e1.dst NOT IN (SELECT node FROM hubs)) AS n_tri_low,
-           (SELECT CAST(COUNT(*) AS BIGINT)
-            FROM oriented e1
-            JOIN oriented ec ON ec.src = e1.src
-            JOIN oriented e2 ON e2.src = e1.dst AND e2.dst = ec.dst
-            WHERE e1.dst IN (SELECT node FROM hubs)) AS n_tri_hub,
-           (SELECT CAST(COUNT(*) AS BIGINT)
-            FROM oriented e1
-            JOIN oriented e2 ON e1.dst = e2.src
-            JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
-            WHERE e1.dst NOT IN (SELECT node FROM hubs))
-           + (SELECT CAST(COUNT(*) AS BIGINT)
-              FROM oriented e1
-              JOIN oriented ec ON ec.src = e1.src
-              JOIN oriented e2 ON e2.src = e1.dst AND e2.dst = ec.dst
-              WHERE e1.dst IN (SELECT node FROM hubs)) AS n_triangles
+           (SELECT c FROM lowcnt) AS n_tri_low,
+           (SELECT c FROM hubcnt) AS n_tri_hub,
+           (SELECT c FROM lowcnt) + (SELECT c FROM hubcnt) AS n_triangles
     """,
 )
 def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,6 +745,138 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "node",
             F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(coeff, 6).alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )
+
+
+@register(
+    "graph_clustering_capped",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+      {_COPURCHASE_PAIRS_SQL}
+    ), deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ), oriented AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    ), wp AS MATERIALIZED (
+      SELECT deg.node,
+             COALESCE(od.od, 0) * COALESCE(ind.id_, 0) AS p
+      FROM deg
+      LEFT JOIN (SELECT src, COUNT(*) AS od FROM oriented GROUP BY src) od
+        ON deg.node = od.src
+      LEFT JOIN (SELECT dst, COUNT(*) AS id_ FROM oriented GROUP BY dst) ind
+        ON deg.node = ind.dst
+    ), tri AS MATERIALIZED (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), tri_per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT unnest([a, b, c]) AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.d AS degree,
+           deg.node IN (SELECT node FROM wp WHERE p > {_TRI_HUB_CAP}) AS hub,
+           COALESCE(t.t, 0) AS triangles,
+           ROUND(CASE WHEN deg.d >= 2
+                      THEN 2.0 * COALESCE(t.t, 0) / (deg.d * (deg.d - 1))
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg LEFT JOIN tri_per_node t USING (node)
+    ORDER BY node
+    """,
+)
+def graph_clustering_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUB-CAPPED local clustering coefficient — the second wedge
+    query named by VERDICT r7 #4 (graph_triangles got its capped
+    variant first; this closes the 1186 s sf1 outlier). Same per-node
+    output as the driver-proven `graph_clustering_coeff` (node,
+    degree, triangles, clustering_coeff) plus a `hub` flag exposing
+    which middles the split re-routed, so the cap set itself is
+    oracle-checked.
+
+    Triangle enumeration is split by the middle node's wedge product
+    p(b) = indeg(b)·outdeg(b) exactly as in `graph_triangles_capped`:
+    non-hub middles run the standard oriented path join; hub middles
+    (p > 4096) are enumerated EXACTLY by fanning out from the source's
+    orientation-capped out-degree (hub-in edge a→b × a's out-edge a→c,
+    closing edge b→c verified by hash join). Unlike the triangle
+    COUNT, the per-node rollup needs every triangle's three corners,
+    so both passes emit (a, b, c) rows and the union feeds one
+    explode→hash-agg — the low/hub routing changes the join order
+    (the cost), never the triangle set (the answer). The oracle
+    enumerates triangles the transparent single-pass way; equality of
+    the two enumerations IS the exactness check, and the proven
+    uncapped row pins the same output independently."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    oriented = _persist_edges(oriented)
+    outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
+    hubs = (
+        deg.join(outd.withColumnRenamed("src", "node"), "node", "left")
+        .join(ind.withColumnRenamed("dst", "node"), "node", "left")
+        .filter(
+            F.coalesce(F.col("od"), F.lit(0)) * F.coalesce(F.col("id_"), F.lit(0))
+            > _TRI_HUB_CAP
+        )
+        .select("node")
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e1_low = e1.join(hubs.withColumnRenamed("node", "b"), "b", "left_anti")
+    e1_hub = e1.join(hubs.withColumnRenamed("node", "b"), "b", "left_semi")
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri_low = e1_low.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    # hub residual: source-out fan-out, then verify the b→c closing edge
+    tri_hub = (
+        e1_hub.join(e3, "a").join(e2, ["b", "c"]).select("a", "b", "c")
+    )
+    tri_per_node = (
+        tri_low.unionAll(tri_hub)
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    hub_flag = hubs.select("node", F.lit(True).alias("hub_"))
+    coeff = F.when(
+        F.col("d") >= 2,
+        2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .join(hub_flag, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("hub_"), F.lit(False)).alias("hub"),
             F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
             F.round(coeff, 6).alias("clustering_coeff"),
         )
