@@ -54,7 +54,14 @@ def host_load_marker() -> dict:
         la1 = la5 = la15 = -1.0
     others = 0
     me = os.getpid()
-    for pid in os.listdir("/proc"):
+    try:
+        proc_pids = os.listdir("/proc")
+    except OSError:
+        # non-Linux host: no /proc — report -1, mirroring the
+        # loadavg fallback, instead of crashing the whole bench run.
+        proc_pids = None
+        others = -1
+    for pid in proc_pids or ():
         if not pid.isdigit() or int(pid) == me:
             continue
         try:

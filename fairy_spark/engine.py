@@ -62,15 +62,19 @@ class Engine:
         threshold: float = 0.5,
         id_col: str = "doc_id",
         text_col: str = "text",
-        num_hashes: int = 16,
-        band_rows: int = 2,
+        num_hashes: int = 8,
+        band_rows: int = 1,
     ) -> DataFrame:
         """MinHash-LSH near-duplicate pairs with exact-Jaccard scores
-        >= threshold. Defaults to the measured (16,2) PRODUCTION band
-        geometry (SCALE.md; registered + hash-checked as
-        `dedup_minhash_scale`) — the setting whose candidate volume
-        stays sub-quadratic at large corpus sizes. Pass (8,1) for the
-        high-recall small-corpus setting (`dedup_minhash_lsh`)."""
+        >= threshold. Defaults to the original (8,1) HIGH-RECALL
+        geometry (~99.6% candidate recall at J=0.5; registered +
+        hash-checked as `dedup_minhash_lsh`) so existing API callers
+        keep their output set — ADVICE r8 reverted the r8 default flip
+        to (16,2), which silently shrank results. Pass (16,2) for the
+        measured PRODUCTION scale geometry (SCALE.md; registered as
+        `dedup_minhash_scale`) whose candidate volume stays
+        sub-quadratic at large corpus sizes — registered queries pass
+        their geometry explicitly either way."""
         from pyspark.sql import functions as F
 
         from fairy_spark.operators.dedup import minhash_lsh_candidates

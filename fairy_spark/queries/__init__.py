@@ -187,16 +187,25 @@ def _driver_verified_counts() -> dict[str, int]:
 # value-identical, oracle-green; pure API addition).)
 #
 # r7's 16 pins ALL came back green in CORRECTNESS_r07 — pruned. r8
-# pins NOTHING (per the r7 verdict): the whole window goes to the
-# flagship + the 41 never-driver-checked rows + the r8 additions.
-# r8's low-ADVICE fixes (mm_frame_extract DIV-truncation symmetry,
-# sketch_kmv_setops membership chain from the sketch side,
-# kv.expire_older_than eager materialization, sample_poisson_bootstrap
-# zero-weight guard) are value-identical on all fixtures and covered by
-# the local sf0.01/sf0.1 oracle audits; their re-pins are DEFERRED to
-# r9 so they don't displace debt rows — same precedent as r6's
-# deferral of the NULL-mean pin set.
-_RECHECK_FIRST: set[str] = set()
+# pinned NOTHING (per the r7 verdict); debt hit zero.
+#
+# r9 pins (VERDICT r8 items 1 + the deferred r8 low-ADVICE re-pins):
+# - graph_hits / ts_rolling_median: the ONLY two r8 driver failures —
+#   oracle-side HUGEINT->float64 dtype bugs, fixed with CAST(... AS
+#   BIGINT) (judge-verified fix, re-proven locally at sf0.01); pinned
+#   so CORRECTNESS_r09 carries the green rows.
+# - mm_frame_extract / sketch_kmv_setops / kv_ttl_expire /
+#   sample_poisson_bootstrap: r8's low-ADVICE touch-ups, value-identical
+#   on all fixtures, re-pin deferred from r8 so they didn't displace
+#   debt rows (precedent: r6's NULL-mean deferral).
+_RECHECK_FIRST: set[str] = {
+    "graph_hits",
+    "ts_rolling_median",
+    "mm_frame_extract",
+    "sketch_kmv_setops",
+    "kv_ttl_expire",
+    "sample_poisson_bootstrap",
+}
 
 
 def _interleave_families() -> None:

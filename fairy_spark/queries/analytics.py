@@ -2723,9 +2723,9 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY d
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
-    SELECT event_type, CAST(d AS TIMESTAMP) AS d, x,
+    SELECT event_type, CAST(d AS TIMESTAMP) AS d, CAST(x AS BIGINT) AS x,
            CAST(len(frame) AS BIGINT) AS n_in_frame,
-           frame[(len(frame) + 1) // 2] AS med7,
+           CAST(frame[(len(frame) + 1) // 2] AS BIGINT) AS med7,
            CAST(ABS(x - frame[(len(frame) + 1) // 2]) AS BIGINT) AS abs_dev
     FROM fr ORDER BY event_type, d
     """,

@@ -1176,15 +1176,19 @@ def _hits_oracle(rounds: int = 2) -> str:
     )"""
         )
         prev_h = f"h{i}"
+    # CAST(... AS BIGINT): the normalized scores derive from SUM(BIGINT)
+    # (DuckDB HUGEINT) and HUGEINT `//` stays HUGEINT — fetchdf() would
+    # materialize that as float64 while Spark returns int64, failing the
+    # driver's dtype-sensitive value hash even though values are equal.
     return f"""
     WITH {", ".join(parts)}
     SELECT * FROM (
-      SELECT 'auth' AS side, p AS node_id, a AS score
+      SELECT 'auth' AS side, p AS node_id, CAST(a AS BIGINT) AS score
       FROM a{rounds} ORDER BY a DESC, p LIMIT 10
     )
     UNION ALL
     SELECT * FROM (
-      SELECT 'hub' AS side, c AS node_id, h AS score
+      SELECT 'hub' AS side, c AS node_id, CAST(h AS BIGINT) AS score
       FROM h{rounds} ORDER BY h DESC, c LIMIT 10
     )
     ORDER BY side, score DESC, node_id

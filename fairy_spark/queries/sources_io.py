@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fairy_spark.functions.exact import money_sum
 from fairy_spark.queries import register
-from fairy_spark.sources.tables import load_table
+from fairy_spark.sources.tables import load_table, sf_cache_key
 
 _IO_ROOT = os.environ.get("FAIRY_SPARK_IO_DIR", "/tmp/fairy_spark_io")
 
@@ -33,7 +33,7 @@ def _scratch(spark: SparkSession, sf_dir: str, name: str) -> str:
     applicationId (unique per SparkContext)."""
     app_id = spark.sparkContext.applicationId
     return os.path.join(
-        _IO_ROOT, app_id, os.path.basename(sf_dir.rstrip("/")), name
+        _IO_ROOT, app_id, sf_cache_key(sf_dir), name
     )
 
 

@@ -26,7 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from fairy_spark.queries import ORACLE, register
-from fairy_spark.sources.tables import load_table
+from fairy_spark.sources.tables import load_table, sf_cache_key
 from fairy_spark.streaming.pipeline import (
     read_event_stream,
     replay_dir_from_events,
@@ -47,7 +47,7 @@ def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "fairy_spark_stream",
         app_id,
-        os.path.basename(sf_dir.rstrip("/")),
+        sf_cache_key(sf_dir),
     )
     marker = os.path.join(d, "_READY")
     if not os.path.exists(marker):
@@ -291,9 +291,10 @@ def stream_exec_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_dir = os.path.join(
         tempfile.gettempdir(), "fairy_spark_stream", spark.sparkContext.applicationId
     )
-    replay = os.path.join(
-        app_dir, "docs_replay_" + os.path.basename(sf_dir.rstrip("/"))
-    )
+    # Keyed on a hash of the FULL sf_dir path, not its basename: two
+    # sf_dirs with the same basename (/a/sf0.1 vs /b/sf0.1) in one
+    # application must not share a replay cache (ADVICE r8).
+    replay = os.path.join(app_dir, "docs_replay_" + sf_cache_key(sf_dir))
     marker = os.path.join(replay, "_READY")
     if not os.path.exists(marker):
         replay_dir_from_documents(spark, sf_dir, replay, n_chunks=4)
@@ -431,7 +432,7 @@ def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "fairy_spark_stream",
         app_id,
-        "late_" + os.path.basename(sf_dir.rstrip("/")),
+        "late_" + sf_cache_key(sf_dir),
     )
     marker = os.path.join(d, "_READY")
     if os.path.exists(marker):
@@ -538,7 +539,7 @@ def _outer_replay_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "fairy_spark_stream",
         app_id,
-        "outer_" + os.path.basename(sf_dir.rstrip("/")),
+        "outer_" + sf_cache_key(sf_dir),
     )
     marker = os.path.join(d, "_READY")
     if os.path.exists(marker):

@@ -38,6 +38,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def sf_cache_key(sf_dir: str) -> str:
+    """Collision-free cache-directory key for an sf_dir: a hash of the
+    FULL absolute path. Keying scratch/replay dirs on basename(sf_dir)
+    let two different dirs with the same basename (/a/sf0.1 vs
+    /b/sf0.1) share one _READY-marked cache inside one application
+    (ADVICE r8). The basename stays as a readable prefix only."""
+    import hashlib
+
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    h = hashlib.sha256(full.encode()).hexdigest()[:12]
+    return f"{os.path.basename(full)}_{h}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): unreadable in Spark 4

@@ -109,17 +109,27 @@ def _sort_key_frame(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cells_equal(a, b) -> tuple[bool, bool]:
-    """(equal, exact). Tolerance only for floats."""
+    """(equal, exact). Tolerance only for floats.
+
+    int-vs-float pairs are NEVER exact even when numerically equal:
+    the driver's value hash is dtype-sensitive, so a DuckDB HUGEINT
+    column materialized as float64 against a Spark int64 column
+    hash-mismatches despite equal values (r8 graph_hits /
+    ts_rolling_median postmortem — VERDICT r8 item 3). Treating such
+    pairs as exact was the hole that let that class through two full
+    audits; now they increment the inexact_cells hash-risk counter.
+    """
     if a is None and b is None:
         return True, True
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False, False
+        both_float = isinstance(a, float) and isinstance(b, float)
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
-            return True, True
+            return True, both_float
         if fa == fb:
-            return True, True
+            return True, both_float
         ok = math.isclose(fa, fb, rel_tol=FLOAT_RTOL, abs_tol=FLOAT_ATOL)
         return ok, False
     if isinstance(a, tuple) and isinstance(b, tuple):
@@ -155,6 +165,24 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
 
     s = _canon_frame(spark_pdf)
     d = _canon_frame(duck_pdf)
+
+    # Column-dtype parity: an int column on one side vs a float column
+    # on the other is a guaranteed driver hash mismatch even with equal
+    # values (DuckDB HUGEINT -> pandas float64 vs Spark int64). Flag it
+    # as a hard problem so no audit can pass with the divergence.
+    for c in s.columns:
+        s_int = pd.api.types.is_integer_dtype(s[c])
+        d_int = pd.api.types.is_integer_dtype(d[c])
+        s_flt = pd.api.types.is_float_dtype(s[c])
+        d_flt = pd.api.types.is_float_dtype(d[c])
+        if (s_int and d_flt) or (s_flt and d_int):
+            res.ok = False
+            res.problems.append(
+                f"dtype mismatch col={c}: spark={s[c].dtype} oracle={d[c].dtype}"
+                " (int vs float — driver hash would fail)"
+            )
+    if not res.ok:
+        return res
     s_idx = _sort_key_frame(s).sort_values(by=list(s.columns), kind="mergesort").index
     d_idx = _sort_key_frame(d).sort_values(by=list(d.columns), kind="mergesort").index
     s = s.loc[s_idx].reset_index(drop=True)

@@ -30,11 +30,12 @@ def codegen_subtrees(spark, build_df) -> int:
     """Number of whole-stage-codegen spans in the plan. AQE hides
     codegen wrapping until execution, so re-plan with AQE off (the
     static plan is what AQE's stages compile to anyway)."""
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan = plan_of(build_df(), "codegen")
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     m = [l for l in plan.splitlines() if "WholeStageCodegen subtrees" in l]
     return int(m[0].split()[1]) if m else 0
 
@@ -319,6 +320,7 @@ def _executed_nodes(spark, build_df):
     round-2 verdict proved the old gate could never fire). Build AND
     inspect with AQE off: under AQE, ``executedPlan()`` is an
     AdaptiveSparkPlan whose subtree isn't final until execution."""
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         stack = [build_df()._jdf.queryExecution().executedPlan()]
@@ -329,7 +331,7 @@ def _executed_nodes(spark, build_df):
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
 
 
 def _single_partition_windows(spark, build_df) -> list[str]:
@@ -476,6 +478,7 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
     bound — so neither a new unbounded nested loop nor a regression of
     an allowlisted broadcast side to corpus shape can land silently."""
     cartesian, rogue_bnlj, overflow = [], [], []
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name, fn in QUERIES.items():
@@ -492,7 +495,8 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
                     if any(r > bound for r in rows):
                         overflow.append((name, bound, rows))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # restore the PRE-test value, not a hardcoded "true" (ADVICE r8)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     assert not cartesian, f"CartesianProduct planned by: {cartesian}"
     assert not rogue_bnlj, (
         f"unreviewed BroadcastNestedLoopJoin in: {rogue_bnlj} — verify the "
