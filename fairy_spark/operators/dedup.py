@@ -640,3 +640,52 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bit_sums.select("id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash (Manku et al.'s deployed width) as TWO 32-bit
+    BIGINT halves (`simhash_hi`, `simhash_lo`) rather than one 64-bit
+    word: a single-word 64-bit fingerprint crosses the 2^63 sign bit,
+    which breaks exact cross-engine (Spark vs DuckDB) integer
+    arithmetic — the split keeps every value in [0, 2^32), exactly
+    representable in both engines and in pandas int64, so the row is
+    hash-checkable (SCALE.md r8's production pointer, registered in
+    r9). Each half is a full 32-bit simhash over an INDEPENDENTLY
+    seeded token hash ('simhash64lo'/'simhash64hi' md5 streams), which
+    is exactly the simhash contract: fingerprint bit j = sign of the
+    sum over tokens of (hash bit j ? +1 : -1), all 64 hash bits
+    independent. One explode + one hash-agg (single shuffle), same
+    plan as simhash() with twice the agg width."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).select(
+        "id",
+        F.pmod(portable_hash64(F.col("tok"), "simhash64lo"), F.lit(1 << 32)).alias("hlo"),
+        F.pmod(portable_hash64(F.col("tok"), "simhash64hi"), F.lit(1 << 32)).alias("hhi"),
+    )
+    aggs = []
+    for j in range(32):
+        aggs.append(
+            F.sum(
+                F.when(F.shiftright(F.col("hlo"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"lo{j}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.shiftright(F.col("hhi"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"hi{j}")
+        )
+    bit_sums = toks.groupBy("id").agg(*aggs)
+    lo = None
+    hi = None
+    for j in range(32):
+        tlo = F.when(F.col(f"lo{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        thi = F.when(F.col(f"hi{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        lo = tlo if lo is None else lo + tlo
+        hi = thi if hi is None else hi + thi
+    return bit_sums.select(
+        "id",
+        hi.cast("bigint").alias("simhash_hi"),
+        lo.cast("bigint").alias("simhash_lo"),
+    )

@@ -19,6 +19,7 @@ from fairy_spark.operators.dedup import (
     exact_dedup_stats,
     minhash_lsh_candidates,
     simhash,
+    simhash64,
 )
 from fairy_spark.operators.similarity import brute_force_topk, cosine
 from fairy_spark.operators.text import (
@@ -2655,6 +2656,127 @@ def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= _SIMHASH_MAXHAM)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIMHASH64_BAND_BITS = 8
+_SIMHASH64_BANDS = 8  # bands 0-3 over simhash_lo, 4-7 over simhash_hi
+
+
+def _simhash64_oracle() -> str:
+    """Two independently seeded 32-bit fingerprints = one 64-bit
+    simhash split across the sign bit; 8 bands x 8 bits; hamming =
+    bit_count(xor(lo)) + bit_count(xor(hi))."""
+    hlo = portable_hash_sql("tok", "simhash64lo")
+    hhi = portable_hash_sql("tok", "simhash64hi")
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h{half} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS {half}{j}"
+        for half in ("lo", "hi")
+        for j in range(32)
+    )
+    combine_lo = " + ".join(
+        f"(CASE WHEN lo{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    combine_hi = " + ".join(
+        f"(CASE WHEN hi{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    mask = (1 << _SIMHASH64_BAND_BITS) - 1
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), h AS (
+      SELECT id, {hlo} % {1 << 32} AS hlo, {hhi} % {1 << 32} AS hhi FROM toks
+    ), sums AS (
+      SELECT id, {sums} FROM h GROUP BY id
+    ), sig AS (
+      SELECT id, CAST({combine_hi} AS BIGINT) AS simhash_hi,
+                 CAST({combine_lo} AS BIGINT) AS simhash_lo
+      FROM sums
+    ), banded AS (
+      SELECT sh.id, sh.simhash_hi, sh.simhash_lo, b.band_id,
+             CASE WHEN b.band_id < 4
+                  THEN (sh.simhash_lo >> (b.band_id * {_SIMHASH64_BAND_BITS})) & {mask}
+                  ELSE (sh.simhash_hi >> ((b.band_id - 4) * {_SIMHASH64_BAND_BITS})) & {mask}
+             END AS band_val
+      FROM sig sh CROSS JOIN (
+        SELECT unnest(range({_SIMHASH64_BANDS})) AS band_id
+      ) b
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
+              + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id
+     AND a.band_val = b.band_val
+     AND a.id < b.id
+    WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+        + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= {_SIMHASH_MAXHAM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash_scale64", oracle=_simhash64_oracle())
+def dedup_simhash_scale64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCTION simhash geometry (VERDICT r8 #3, SCALE.md r8's
+    documented pointer, now registered): 64-bit fingerprint — Manku et
+    al.'s (WWW'07) deployed crawl-dedup width — at hamming <= 3, via
+    the two-BIGINT split (`simhash_hi`/`simhash_lo`, each a seeded
+    32-bit half; see operators/dedup.py simhash64) that keeps every
+    intermediate exactly representable across Spark, DuckDB and
+    pandas, which is what makes THIS row hash-checkable where a raw
+    64-bit word would wrap the sign bit. Banding: 8 bands x 8 bits
+    (4 per half). Pigeonhole: 3 differing bits touch <= 3 bands, so a
+    qualifying pair agrees exactly on >= 5 of 8 — a fortiori >= 1 —
+    bands; candidates come from the banded equi-join on
+    (band_id, band_val) and are verified by the exact two-half
+    bit_count sum. Pair cost stays Sum|bucket|^2 with 256 buckets per
+    band over a 64-bit space: at crawl scale the 32-bit geometry
+    (`dedup_simhash_scale`, kept as the measured mid twin) saturates —
+    ~4B distinct fingerprints — while 64-bit holds collision rates
+    down through 100 TB-scale corpora (SCALE.md r9 measures the pair
+    suppression vs 32-bit on this corpus). Same single-shuffle
+    signature plan; the join is a shuffle equi-join, never broadcast
+    (the banded table is O(corpus))."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = simhash64(d)
+    mask = (1 << _SIMHASH64_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(
+                    F.col("simhash_lo") if b < 4 else F.col("simhash_hi"),
+                    (b % 4) * _SIMHASH64_BAND_BITS,
+                )
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(_SIMHASH64_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "id", "simhash_hi", "simhash_lo", F.explode(bands).alias("b")
+    ).select("id", "simhash_hi", "simhash_lo", "b.band_id", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))
+    ) + F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
     return (
         a.join(
             b,
