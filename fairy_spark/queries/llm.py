@@ -2083,6 +2083,222 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, text, n_chars, {_TOKS_SQL} AS toks FROM documents
+    ), q1 AS MATERIALIZED (
+      -- stage 1: Gopher quality rules (text_gopher_filters)
+      SELECT doc_id, text, n_chars, toks FROM (
+        SELECT doc_id, text, n_chars, toks,
+               LEN(toks) AS n_words,
+               list_reduce(list_prepend(0.0, list_transform(toks, x -> CAST(LENGTH(x) AS DOUBLE))), (a,b) -> a+b)
+                 / LEN(toks) AS mwl,
+               CAST(LEN(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+                 / LEN(toks) AS ar,
+               LEN(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS stop_hits
+        FROM raw
+      )
+      WHERE n_words BETWEEN 30 AND 10000
+        AND mwl BETWEEN 3 AND 10
+        AND ar >= 0.8
+        AND stop_hits >= 2
+    ), q2 AS MATERIALIZED (
+      -- stage 2: exact dedup, lowest id per distinct text (dedup_exact)
+      SELECT q1.* FROM q1
+      JOIN (SELECT MIN(doc_id) AS doc_id FROM q1 GROUP BY text) k USING (doc_id)
+    ), s AS (
+      SELECT doc_id, n_chars, {_SHINGLES_SQL} AS sh FROM q2
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, n_chars, sh,
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM s
+    ), pairs AS MATERIALIZED (
+      -- stage 3: minhash-LSH near-dup pairs among exact survivors
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ({" OR ".join(f"a.sig[{i + 1}] = b.sig[{i + 1}]" for i in range(8))})
+       AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)) >= 0.4
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND r.u != e.v
+    ), cc AS MATERIALIZED (
+      SELECT u AS node, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+    ), removed AS MATERIALIZED (
+      -- every cluster member except the survivor (longest, ties to
+      -- smallest id) — dedup_survivors' selection inverted
+      SELECT node FROM (
+        SELECT cc.node,
+               ROW_NUMBER() OVER (PARTITION BY cc.comp
+                                  ORDER BY q2.n_chars DESC, cc.node) AS rn
+        FROM cc JOIN q2 ON cc.node = q2.doc_id
+      ) WHERE rn > 1
+    ), q3 AS MATERIALIZED (
+      SELECT * FROM q2 WHERE doc_id NOT IN (SELECT node FROM removed)
+    ), probe AS MATERIALIZED (
+      -- stage 4: benchmark probe = 8-grams of raw docs doc_id %% 97 == 0
+      SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(toks)-7, 0)),
+                      i -> array_to_string(toks[i:i+7], ' '))) AS gram
+      FROM raw WHERE doc_id % 97 = 0
+    ), contaminated AS MATERIALIZED (
+      SELECT DISTINCT g.doc_id FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks)-7, 0)),
+                      i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        FROM q3 WHERE doc_id % 97 <> 0
+      ) g JOIN probe USING (gram)
+    ), q4 AS MATERIALIZED (
+      SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens
+      FROM q3
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), packed AS (
+      -- stage 5: 512-token greedy bin packing in doc_id order
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q4
+    )
+    -- stage 6: deterministic 80/10/10 hash split
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+           CAST({portable_hash_sql("CAST(doc_id AS VARCHAR)", "split")} % 100 AS BIGINT) AS bucket,
+           CASE WHEN {portable_hash_sql("CAST(doc_id AS VARCHAR)", "split")} % 100 < 80 THEN 'train'
+                WHEN {portable_hash_sql("CAST(doc_id AS VARCHAR)", "split")} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM packed
+    ORDER BY doc_id
+    """
+
+
+@register("pipeline_pretrain_corpus", oracle=_PIPELINE_ORACLE)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-corpus pipeline (VERDICT r8 #5) — the
+    100 TB use case the LLM-data surface exists for, composed from the
+    individually proven stages so the COMPOSITION itself is
+    oracle-checked (per-stage contracts usually break exactly here):
+
+      1. Gopher quality rules     (text_gopher_filters' keep predicate)
+      2. exact dedup              (dedup_exact: lowest id per text)
+      3. minhash near-dup + survivor selection
+                                  (dedup_components + dedup_survivors:
+                                   drop every cluster member except the
+                                   longest, ties to smallest id)
+      4. decontamination          (text_decontaminate: drop training
+                                   docs sharing an 8-gram with the
+                                   doc_id%%97==0 benchmark stand-in)
+      5. sequence packing         (text_pack_bins: 512-token greedy
+                                   bins via the sharded two-pass prefix
+                                   sum — no SinglePartition window)
+      6. train/valid/test split   (sample_train_split: pure hash of the
+                                   stable id, never rand())
+
+    Plan shape (the per-stage scale arguments compose): stages 1-2 are
+    one codegen scan + one hash agg; stage 3 is the banded equi-join +
+    bounded-round label propagation; stage 4 is a broadcast semi-join
+    (probe sets are benchmark-sized); stage 5 shards the prefix sum;
+    stage 6 is a narrow map. No stage introduces a cartesian product
+    or a single-partition window — asserted registry-wide in
+    tests/test_plans.py, which is the gate VERDICT r8 #5 names."""
+    from fairy_spark.operators.components import connected_components
+    from fairy_spark.operators.packing import pack_into_bins
+    from fairy_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # stage 1: Gopher quality rules
+    toks = tokenize(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_words"),
+        mean_token_len(toks).alias("mwl"),
+        (
+            F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+            / F.size(toks)
+        ).alias("ar"),
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).alias("stop_hits"),
+    )
+    q1 = scored.filter(
+        F.col("n_words").between(30, 10000)
+        & F.col("mwl").between(3, 10)
+        & (F.col("ar") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    ).select("doc_id", "text", "n_chars")
+
+    # stage 2: exact dedup (lowest id per distinct text)
+    canonical = (
+        q1.withColumn("_h", F.sha2(F.col("text"), 256))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q2 = q1.join(canonical, "doc_id", "left_semi")
+
+    # stage 3: near-dup clusters among exact survivors; keep survivors
+    pairs = minhash_lsh_candidates(
+        q2, shingle_n=3, num_hashes=8, band_rows=1
+    ).filter(F.col("jaccard") >= 0.4)
+    cc = connected_components(pairs)
+    members = cc.join(q2.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+    order_key = F.struct(
+        (-F.col("n_chars")).alias("neg_chars"), F.col("node").alias("node")
+    )
+    survivors = members.groupBy("comp").agg(
+        F.min_by("node", order_key).alias("survivor_id")
+    )
+    removed = (
+        members.join(survivors, "comp")
+        .filter(F.col("node") != F.col("survivor_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    q3 = q2.join(removed, "doc_id", "left_anti")
+
+    # stage 4: decontaminate vs the doc_id%97==0 benchmark stand-in
+    probe = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_ngrams(tokenize(F.col("text")), 8)).alias("gram"))
+        .distinct()
+    )
+    train_grams = q3.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(word_ngrams(tokenize(F.col("text")), 8)).alias("gram")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(probe), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    q4 = (
+        q3.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+    )
+
+    # stage 5: 512-token greedy packing (sharded two-pass prefix sum)
+    packed = pack_into_bins(q4, "doc_id", "n_tokens", bin_tokens=512)
+
+    # stage 6: deterministic hash split
+    bucket = (
+        portable_hash64(F.col("doc_id").cast("string"), seed="split") % 100
+    ).alias("bucket")
+    out = packed.select("doc_id", "n_tokens", "bin_id", bucket)
+    split = (
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return out.select(
+        "doc_id", "n_tokens", "bin_id", "bucket", split.alias("split")
+    ).orderBy("doc_id")
+
+
 # Previous call's persisted vocab-stats frame (unpersisted on the next
 # call — same leak discipline as operators/dedup.py's signature index).
 _DSIR_PERSISTED: list = []
