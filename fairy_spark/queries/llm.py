@@ -734,6 +734,179 @@ def ml_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_exact_topk(e, k=3, n_clusters=4, n_probe=2).orderBy("query_id", "rn")
 
 
+_LSH_RECALL_ORACLE = f"""
+    WITH bf AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_COS_SQL}, 6) DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id <= 10
+      ) WHERE rn <= 5
+    ), sig AS MATERIALIZED (
+      SELECT vec_id, embedding, {_hp_sql(8)} AS bucket FROM embeddings
+    ), ann AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_COS_SQL}, 6) DESC, b.vec_id) AS rn
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        WHERE a.vec_id <= 10
+      ) WHERE rn <= 5
+    ), hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN ann ON bf.query_id = ann.query_id
+                      AND bf.neighbor_id = ann.neighbor_id
+      GROUP BY bf.query_id
+    ), annc AS (
+      SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY query_id
+    )
+    SELECT bfc.query_id,
+           CAST(bfc.n_bf AS INTEGER) AS n_bf,
+           CAST(COALESCE(annc.n_ann, 0) AS INTEGER) AS n_ann,
+           CAST(COALESCE(hits.n_hits, 0) AS INTEGER) AS n_hits
+    FROM (SELECT query_id, COUNT(*) AS n_bf FROM bf GROUP BY query_id) bfc
+    LEFT JOIN annc USING (query_id)
+    LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@register("ml_ann_lsh_recall", oracle=_LSH_RECALL_ORACLE)
+def ml_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHABLE recall contract for `ml_ann_lsh_topk` (VERDICT r8 #6):
+    the rows-only ANN query's quality metric made driver-checkable.
+    Runs the IDENTICAL approximate path (lsh_topk, 8 planes, k=5, the
+    same <=10 query slice) AND the exact brute-force twin
+    (brute_force_topk — sim_cosine_topk's hash-green machinery), then
+    emits per-query integer counts: n_bf ground-truth neighbors, n_ann
+    candidates the LSH buckets produced, n_hits their intersection —
+    recall@5 = n_hits/n_bf, fully deterministic because both rankings
+    round cosine at 6 decimals with id tie-breaks and the hyperplane
+    signature is the same literal-weight fold in both engines. Scale:
+    the eval is |queries| x corpus, a bounded diagnostic you run on a
+    sampled slab, not the serving path (that's lsh_topk alone)."""
+    from fairy_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 10)
+    ann = lsh_topk(e, q, k=5).select("query_id", "neighbor_id")
+    bf = brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    annc = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    bfc = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_bf"))
+    return (
+        bfc.join(annc, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_bf").cast("int").alias("n_bf"),
+            F.coalesce("n_ann", F.lit(0)).cast("int").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_IVF_RECALL_ORACLE = f"""
+    WITH annq AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM ({_IVF_EXACT_ORACLE})
+    ), c2 AS MATERIALIZED (
+      SELECT vec_id, {_IVF_Q_SQL} AS q
+      FROM embeddings WHERE vec_id < 64
+    ), bf AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cq.vec_id AS query_id, cn.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY cq.vec_id ORDER BY
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(1, 64), i -> cq.q[i] * cn.q[i])),
+                      (x, y) -> x + y) AS BIGINT) DESC, cn.vec_id) AS rn
+        FROM c2 cq JOIN c2 cn ON cn.vec_id != cq.vec_id
+        WHERE cq.vec_id < 8
+      ) WHERE rn <= 3
+    ), hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN annq ON bf.query_id = annq.query_id
+                       AND bf.neighbor_id = annq.neighbor_id
+      GROUP BY bf.query_id
+    ), annc AS (
+      SELECT query_id, COUNT(*) AS n_ann FROM annq GROUP BY query_id
+    )
+    SELECT bfc.query_id,
+           CAST(bfc.n_bf AS INTEGER) AS n_bf,
+           CAST(COALESCE(annc.n_ann, 0) AS INTEGER) AS n_ann,
+           CAST(COALESCE(hits.n_hits, 0) AS INTEGER) AS n_hits
+    FROM (SELECT query_id, COUNT(*) AS n_bf FROM bf GROUP BY query_id) bfc
+    LEFT JOIN annc USING (query_id)
+    LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@register("ml_ann_ivf_recall", oracle=_IVF_RECALL_ORACLE)
+def ml_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHABLE recall contract for the IVF family (VERDICT r8 #6):
+    recall@3 of the probe-pruned IVF search vs the exact integer-MIPS
+    brute force on the bounded 64-vector eval slice — the slice where
+    the whole pipeline is integer arithmetic (ml_ann_ivf_exact's
+    lattice), so ground truth, candidates, and their intersection are
+    all exactly reproducible in SQL. The full-corpus `ml_ann_ivf_topk`
+    stays rows-only BY DESIGN: its Lloyd float mean update is the one
+    step no cross-engine oracle can mirror bit-for-bit (argued in
+    SURVEY §5); this row pins the recall of the same bucket/probe/rank
+    machinery on the slice where it can be pinned. Emits per-query
+    (n_bf, n_ann, n_hits) integer counts."""
+    from fairy_spark.operators.similarity import ivf_exact_topk, quantized_vec
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    ann = ivf_exact_topk(e, k=3, n_clusters=4, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        quantized_vec(F.col("embedding")).alias("nq"),
+    )
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        quantized_vec(F.col("embedding")).alias("qq"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("nq"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    bf = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", idot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        bf.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    annc = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    bfc = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_bf"))
+    return (
+        bfc.join(annc, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_bf").cast("int").alias("n_bf"),
+            F.coalesce("n_ann", F.lit(0)).cast("int").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _SEMDEDUP_ORACLE = f"""
     WITH c AS (
       SELECT vec_id, {_IVF_Q_SQL} AS q
