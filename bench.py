@@ -208,6 +208,23 @@ def main() -> None:
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
+    # Informational (non-gated, VERDICT r8 #7): spark-only wedge-family
+    # timings so the sf1 trend is measured per round, not
+    # per-investigation. 2 reps each (the queries are seconds-scale and
+    # share the persisted oriented-edge frame within a run), median
+    # reported; the capped/uncapped ratio on THIS skew-free co-purchase
+    # graph is the documented ~1.3× knob cost — the lever's win case is
+    # measured in hubcap_bench.py's power-law fixture (SCALE.md r9).
+    wedge_secs: dict[str, float] = {}
+    for wname in ("graph_triangles", "graph_triangles_capped"):
+        ws: list[float] = []
+        for _ in range(2):
+            gc.collect()
+            t0 = time.perf_counter()
+            QUERIES[wname](spark, sf_dir).count()
+            ws.append(time.perf_counter() - t0)
+        wedge_secs[wname] = round(median(ws), 3)
+
     per_query = {name: round(median(ts), 3) for name, ts in samples.items()}
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)]
@@ -225,6 +242,8 @@ def main() -> None:
                 "spread": spread,
                 "minhash_warm_query_sec": minhash_warm,
                 "minhash_band2_cold_sec": round(median(band2_samples), 3),
+                # non-headline wedge-family trend (VERDICT r8 #7)
+                "wedge_secs": wedge_secs,
                 # per-rep stall attribution: a slow rep with flat
                 # jvm_gc_ms is host noise, not driver GC
                 "minhash_reps": minhash_reps,

@@ -27,18 +27,10 @@ _ITERS = 3
 # unpersisted FIRST — the dsir/dedup cache-drop discipline (llm.py
 # _DSIR_PERSISTED): persist-then-unpersist in the other order drops
 # the shared CacheManager entry.
-_GRAPH_PERSISTED: list = []
-
-
-def _persist_edges(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    while _GRAPH_PERSISTED:
-        _GRAPH_PERSISTED.pop().unpersist(blocking=False)
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    _GRAPH_PERSISTED.append(df)
-    return df
+# The pool lives in operators/wedges.py (extracted in r9 so the
+# triangle algorithms run on arbitrary edge lists); this module keeps
+# the private alias for its other edge-frame consumers.
+from fairy_spark.operators.wedges import persist_edges as _persist_edges
 
 
 def _pagerank_oracle(iters: int = _ITERS) -> str:
@@ -187,6 +179,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction is a self-join on l_orderkey (order-local fan-out,
     corpus-linear for bounded basket size) followed by a distinct on
     the pair key. Everything downstream of `pairs` is edge-sized."""
+    from fairy_spark.operators.wedges import triangle_summary
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -199,40 +193,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        pairs.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    # oriented feeds THREE join inputs (e1/e2/e3) plus the edge count
-    # (see _persist_edges).
-    oriented = _persist_edges(oriented)
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    summary = (
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .crossJoin(F.broadcast(oriented.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(F.broadcast(tri))
-    )
-    return summary.select("n_nodes", "n_edges", "n_triangles")
+    return triangle_summary(pairs)
 
 
 _TRI_HUB_CAP = 4096  # wedge-product (indeg*outdeg) threshold for the hub pass
@@ -318,6 +279,8 @@ def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently. The residual's candidate generator (a→b hub-in ×
     a→c out) can emit (a,c,b) role-swaps; those fail the b→c edge
     check because the orientation is a DAG — no double count."""
+    from fairy_spark.operators.wedges import triangle_summary_capped
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -330,67 +293,7 @@ def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        pairs.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    # oriented feeds SIX join inputs across the two passes plus the
-    # edge/degree counts (see _persist_edges).
-    oriented = _persist_edges(oriented)
-    outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
-    hubs = (
-        deg.join(outd.withColumnRenamed("src", "node"), "node", "left")
-        .join(ind.withColumnRenamed("dst", "node"), "node", "left")
-        .filter(
-            F.coalesce(F.col("od"), F.lit(0)) * F.coalesce(F.col("id_"), F.lit(0))
-            > _TRI_HUB_CAP
-        )
-        .select("node")
-    )
-    # low pass: path join keyed on non-hub middles
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e1_low = e1.join(hubs.withColumnRenamed("node", "b"), "b", "left_anti")
-    e1_hub = e1.join(hubs.withColumnRenamed("node", "b"), "b", "left_semi")
-    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri_low = e1_low.join(e2, "b").join(e3, ["a", "c"]).agg(
-        F.count(F.lit(1)).alias("n_tri_low")
-    )
-    # hub residual: fan out from the source's orientation-capped
-    # out-degree, then verify the hub->c closing edge
-    cand = e1_hub.join(e3, "a")  # (a, b hub, c) from a's out-wedge
-    tri_hub = cand.join(e2, ["b", "c"]).agg(F.count(F.lit(1)).alias("n_tri_hub"))
-    summary = (
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .crossJoin(F.broadcast(oriented.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(F.broadcast(hubs.agg(F.count(F.lit(1)).alias("n_hubs"))))
-        .crossJoin(F.broadcast(tri_low))
-        .crossJoin(F.broadcast(tri_hub))
-    )
-    return summary.select(
-        "n_nodes",
-        "n_edges",
-        "n_hubs",
-        "n_tri_low",
-        "n_tri_hub",
-        (F.col("n_tri_low") + F.col("n_tri_hub")).alias("n_triangles"),
-    )
+    return triangle_summary_capped(pairs, cap=_TRI_HUB_CAP)
 
 
 @register(
