@@ -17,6 +17,10 @@ Env: SPARK_GRAFT_CPUS=32
        all-pairs form: fine at sf0.01, ~10 min at sf0.1, days at sf1)
      SPARK_GRAFT_AUDIT_START_AFTER=name   resume an interrupted run
        (alphabetical order) after `name`
+     SPARK_GRAFT_AUDIT_ONLY=q1,q2   audit ONLY the named queries (the
+       sf1 delta-audit path: new/body-changed queries vs the last
+       round-close commit; the summary records the selection so a
+       partial run can't read as full-registry-green)
 """
 
 from __future__ import annotations
@@ -49,14 +53,18 @@ def main() -> None:
     inexact: list[str] = []
     rows_only = sorted(set(QUERIES) - set(ORACLE))
     skip = {s for s in os.environ.get("SPARK_GRAFT_AUDIT_SKIP", "").split(",") if s}
+    only = {s for s in os.environ.get("SPARK_GRAFT_AUDIT_ONLY", "").split(",") if s}
+    unknown_only = sorted(only - set(QUERIES))
+    assert not unknown_only, f"AUDIT_ONLY names not in registry: {unknown_only}"
     start_after = os.environ.get("SPARK_GRAFT_AUDIT_START_AFTER", "")
     compared = 0
     t_all = time.perf_counter()
     for name in sorted(QUERIES):
         if start_after and name <= start_after:
             continue
-        if name in skip:
-            print(f"[SKIP] {name}", flush=True)
+        if name in skip or (only and name not in only):
+            if name in skip:
+                print(f"[SKIP] {name}", flush=True)
             continue
         compared += 1
         t0 = time.perf_counter()
@@ -83,7 +91,8 @@ def main() -> None:
                 # queries ACTUALLY compared and a full flag (ADVICE r6).
                 "compared": compared,
                 "full": compared == len(QUERIES) - len(skip & set(QUERIES))
-                and not start_after,
+                and not start_after and not only,
+                "only": sorted(only),
                 "failed": failed,
                 "inexact_cells": inexact,
                 "rows_only": rows_only,
