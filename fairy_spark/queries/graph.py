@@ -140,28 +140,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_triangles",
+    # AS MATERIALIZED house style (SCALE.md r8 correction #1, applied
+    # here in r9): plain CTEs re-inline per reference, so the scalar
+    # subqueries recomputed the lineitem self-join behind `pairs`
+    # three times — the r9 sf1 delta-audit row cost 1040 s with
+    # ~90% of it oracle-side.
     oracle="""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
         SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
       ) GROUP BY node
-    ), oriented AS (
+    ), oriented AS MATERIALIZED (
       SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
              CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
       FROM pairs p
       JOIN deg du ON p.u = du.node
       JOIN deg dv ON p.v = dv.node
+    ), tri AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
-           (SELECT CAST(COUNT(*) AS BIGINT)
-            FROM oriented e1
-            JOIN oriented e2 ON e1.dst = e2.src
-            JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
+           (SELECT c FROM tri) AS n_triangles
     """,
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
