@@ -85,6 +85,33 @@ class Engine:
         )
         return cands.filter(F.col("jaccard") >= threshold)
 
+    def pretrain_corpus(
+        self,
+        docs: DataFrame,
+        probe_docs: DataFrame | None = None,
+        bin_tokens: int = 512,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        length_col: str = "n_chars",
+    ) -> DataFrame:
+        """The end-to-end pretraining-corpus pipeline on the caller's
+        own documents (operators/pipeline.py; the composition is
+        oracle-proven by the registered `pipeline_pretrain_corpus`):
+        Gopher quality rules -> exact dedup -> minhash near-dup
+        survivor selection -> 8-gram decontamination vs probe_docs
+        (skipped when None) -> token packing -> deterministic hash
+        split. Returns (id, n_tokens, bin_id, bucket, split)."""
+        from fairy_spark.operators.pipeline import pretrain_corpus
+
+        return pretrain_corpus(
+            docs,
+            probe_docs=probe_docs,
+            id_col=id_col,
+            text_col=text_col,
+            length_col=length_col,
+            bin_tokens=bin_tokens,
+        )
+
     def similar_topk(
         self, corpus: DataFrame, queries: DataFrame, k: int = 5, method: str = "brute",
         id_col: str = "vec_id", vec_col: str = "embedding",

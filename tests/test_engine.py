@@ -84,3 +84,29 @@ def test_profile_through_engine(engine, spark, sf_dir):
     assert set(rows) == {"o_custkey", "o_totalprice"}
     assert rows["o_custkey"]["n_nulls"] == 0
     assert rows["o_custkey"]["n_distinct"] > 0
+
+
+def test_pretrain_corpus_through_engine(engine, spark, sf_dir):
+    """The composed pipeline on the caller's own frame: every surviving
+    row carries a valid bin/bucket/split, survivors are a subset of the
+    input ids, and withholding probe_docs skips decontamination (a
+    superset survives)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    out = engine.pretrain_corpus(corpus, probe_docs=probe).collect()
+    assert out, "pipeline produced no survivors on the testdata corpus"
+    in_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    for r in out:
+        assert r["doc_id"] in in_ids
+        assert r["n_tokens"] > 0
+        assert r["bin_id"] >= 0
+        assert 0 <= r["bucket"] < 100
+        assert r["split"] in ("train", "valid", "test")
+        assert r["split"] == (
+            "train" if r["bucket"] < 80 else "valid" if r["bucket"] < 90 else "test"
+        )
+
+    no_probe = engine.pretrain_corpus(corpus).select("doc_id").collect()
+    assert {r["doc_id"] for r in out} <= {r["doc_id"] for r in no_probe}
