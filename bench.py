@@ -180,6 +180,12 @@ def main() -> None:
                     {"sec": round(dt, 3), "jvm_gc_ms": jvm_gc_ms() - gc0}
                 )
 
+    # Sample the end marker HERE — after the timed headline reps,
+    # before the informational extras (warm/band2/wedge runs): the
+    # marker exists to classify contamination of the TIMED window, and
+    # the wedge queries alone push loadavg past 10 by themselves.
+    host_end = host_load_marker()
+
     # Informational: the warm-index steady-state cost (the number a
     # real pipeline pays per probe once the signature index exists —
     # the cache is still a deliberate design, just not the headline
@@ -255,7 +261,7 @@ def main() -> None:
                 # after the timed reps (our own driver JVM is alive and
                 # counted — subtract 1 to compare).
                 "host_load_start": host_start,
-                "host_load_end": host_load_marker(),
+                "host_load_end": host_end,
             }
         )
     )
