@@ -85,6 +85,27 @@ class Engine:
         )
         return cands.filter(F.col("jaccard") >= threshold)
 
+    def dedup_simhash(
+        self,
+        docs: DataFrame,
+        max_hamming: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """64-bit SimHash near-dup pairs (Manku et al.'s deployed
+        crawl geometry; operators/dedup.py simhash64_pairs — the plan
+        the registered `dedup_simhash_scale64` pins against its
+        oracle). Complements dedup_near: simhash catches short-edit
+        near-dups by fingerprint distance where minhash measures set
+        overlap; at 100 TB the 64-bit width is what keeps band buckets
+        collision-sparse (SCALE.md r9: 45.6×→670× pair suppression vs
+        32-bit as the corpus grows 5k→50k docs)."""
+        from fairy_spark.operators.dedup import simhash64_pairs
+
+        return simhash64_pairs(
+            docs, id_col=id_col, text_col=text_col, max_hamming=max_hamming
+        )
+
     def pretrain_corpus(
         self,
         docs: DataFrame,

@@ -689,3 +689,60 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         hi.cast("bigint").alias("simhash_hi"),
         lo.cast("bigint").alias("simhash_lo"),
     )
+
+
+def simhash64_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` of each
+    other's 64-bit simhash — the production crawl-dedup geometry
+    (Manku et al. WWW'07) over ANY document frame; the registered
+    `dedup_simhash_scale64` pins this exact plan against its oracle.
+    8 bands x 8 bits (4 per two-BIGINT half): any pair at hamming <= 7
+    agrees exactly on >= 1 band (pigeonhole), so candidates come from
+    the banded shuffle equi-join and are verified by the exact
+    two-half bit_count sum — pair cost Sum|bucket|^2, never corpus^2."""
+    band_bits = 8
+    n_bands = 8
+    mask = (1 << band_bits) - 1
+    sig = simhash64(docs, id_col=id_col, text_col=text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(
+                    F.col("simhash_lo") if b < 4 else F.col("simhash_hi"),
+                    (b % 4) * band_bits,
+                )
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        "id", "simhash_hi", "simhash_lo", F.explode(bands).alias("b")
+    ).select("id", "simhash_hi", "simhash_lo", "b.band_id", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))
+    ) + F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -3164,47 +3164,10 @@ def dedup_simhash_scale64(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppression vs 32-bit on this corpus). Same single-shuffle
     signature plan; the join is a shuffle equi-join, never broadcast
     (the banded table is O(corpus))."""
+    from fairy_spark.operators.dedup import simhash64_pairs
+
     d = load_table(spark, sf_dir, "documents")
-    sig = simhash64(d)
-    mask = (1 << _SIMHASH64_BAND_BITS) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright(
-                    F.col("simhash_lo") if b < 4 else F.col("simhash_hi"),
-                    (b % 4) * _SIMHASH64_BAND_BITS,
-                )
-                .bitwiseAND(F.lit(mask))
-                .alias("band_val"),
-            )
-            for b in range(_SIMHASH64_BANDS)
-        ]
-    )
-    banded = sig.select(
-        "id", "simhash_hi", "simhash_lo", F.explode(bands).alias("b")
-    ).select("id", "simhash_hi", "simhash_lo", "b.band_id", "b.band_val")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))
-    ) + F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(ham <= _SIMHASH_MAXHAM)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .distinct()
-        .orderBy("id_a", "id_b")
-    )
+    return simhash64_pairs(d, max_hamming=_SIMHASH_MAXHAM).orderBy("id_a", "id_b")
 
 
 @register(
