@@ -99,7 +99,9 @@ class Engine:
         near-dups by fingerprint distance where minhash measures set
         overlap; at 100 TB the 64-bit width is what keeps band buckets
         collision-sparse (SCALE.md r9: 45.6×→670× pair suppression vs
-        32-bit as the corpus grows 5k→50k docs)."""
+        32-bit as the corpus grows 5k→50k docs). ``max_hamming`` must
+        be <= 7 — the 8-band geometry's pigeonhole recall bound
+        (simhash64_pairs raises past it)."""
         from fairy_spark.operators.dedup import simhash64_pairs
 
         return simhash64_pairs(
@@ -114,14 +116,27 @@ class Engine:
         id_col: str = "doc_id",
         text_col: str = "text",
         length_col: str = "n_chars",
+        shingle_n: int = 3,
+        num_hashes: int = 8,
+        band_rows: int = 1,
+        decontaminate_broadcast: bool | None = None,
+        stage_dir: str | None = None,
     ) -> DataFrame:
         """The end-to-end pretraining-corpus pipeline on the caller's
         own documents (operators/pipeline.py; the composition is
-        oracle-proven by the registered `pipeline_pretrain_corpus`):
-        Gopher quality rules -> exact dedup -> minhash near-dup
-        survivor selection -> 8-gram decontamination vs probe_docs
-        (skipped when None) -> token packing -> deterministic hash
-        split. Returns (id, n_tokens, bin_id, bucket, split)."""
+        oracle-proven by the registered `pipeline_pretrain_corpus` and,
+        at the (16,2) production geometry, by
+        `pipeline_pretrain_corpus_scale`): Gopher quality rules ->
+        exact dedup -> minhash near-dup survivor selection -> 8-gram
+        decontamination vs probe_docs (skipped when None) -> token
+        packing -> deterministic hash split. Returns (id, n_tokens,
+        bin_id, bucket, split).
+
+        (shingle_n, num_hashes, band_rows) is the near-dup LSH
+        geometry — pass (3, 16, 2) at scale; decontaminate_broadcast
+        switches the probe-gram join between broadcast and shuffle
+        (None = size-based); stage_dir sinks the cleaned corpus to
+        parquet after stage 3 for the durable 100 TB execution shape."""
         from fairy_spark.operators.pipeline import pretrain_corpus
 
         return pretrain_corpus(
@@ -131,6 +146,11 @@ class Engine:
             text_col=text_col,
             length_col=length_col,
             bin_tokens=bin_tokens,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            band_rows=band_rows,
+            decontaminate_broadcast=decontaminate_broadcast,
+            stage_dir=stage_dir,
         )
 
     def similar_topk(

@@ -704,9 +704,20 @@ def simhash64_pairs(
     8 bands x 8 bits (4 per two-BIGINT half): any pair at hamming <= 7
     agrees exactly on >= 1 band (pigeonhole), so candidates come from
     the banded shuffle equi-join and are verified by the exact
-    two-half bit_count sum — pair cost Sum|bucket|^2, never corpus^2."""
+    two-half bit_count sum — pair cost Sum|bucket|^2, never corpus^2.
+
+    ``max_hamming`` must be <= 7: the pigeonhole recall guarantee holds
+    only while the hamming budget is below the band count (8 bands can
+    all differ once >= 8 bits flip), so a larger budget would return
+    silently incomplete pairs — rejected instead."""
     band_bits = 8
     n_bands = 8
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 8-band x 8-bit recall "
+            "bound: candidates are only guaranteed complete for hamming <= 7 "
+            "(pigeonhole over 8 bands)"
+        )
     mask = (1 << band_bits) - 1
     sig = simhash64(docs, id_col=id_col, text_col=text_col)
     bands = F.array(

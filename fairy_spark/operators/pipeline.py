@@ -21,11 +21,15 @@ composed query proves the composition):
   6. deterministic hash train/valid/test split (pure function of id)
 
 Scale shape: stages 1-2 are one codegen scan + one hash agg; stage 3
-is the banded equi-join + bounded-round label propagation; stage 4 is
-a broadcast semi-join (probe sets are benchmark-sized); stage 5 shards
+is the banded equi-join + bounded-round label propagation (geometry
+caller-set — (8,1) small-corpus default, (16,2) measured production);
+stage 4 is a gram-key semi-join (broadcast for benchmark-sized probe
+sets, shuffled for giant ones — size-based by default); stage 5 shards
 the prefix sum; stage 6 is a narrow map. No cartesian products, no
 single-partition windows (asserted registry-wide in tests/test_plans.py
-through the registered query).
+through the registered query). ``stage_dir`` flips the chain to the
+staged execution shape (parquet boundary after stage 3) for corpora
+where the dedup prefix must be durable.
 """
 
 from __future__ import annotations
@@ -44,26 +48,23 @@ from fairy_spark.operators.text import (
 def gopher_quality_filter(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Rows of ``docs`` passing the Gopher rule pack (word-count band,
     mean-word-length band, alphabetic-ratio floor, stopword floor).
-    Pure JVM higher-order functions — one codegen scan, no shuffle."""
+    Pure JVM higher-order functions — one codegen scan, no shuffle.
+    The keep predicate is built inline (no temp columns), so caller
+    frames with ANY column names pass through untouched — Catalyst
+    common-subexpression-eliminates the repeated tokenize."""
     toks = tokenize(F.col(text_col))
-    scored = docs.withColumns(
-        {
-            "_n_words": F.size(toks),
-            "_mwl": mean_token_len(toks),
-            "_ar": (
-                F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
-                / F.size(toks)
-            ),
-            "_stop_hits": F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))),
-        }
+    n_words = F.size(toks)
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double") / n_words
     )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     keep = (
-        F.col("_n_words").between(30, 10000)
-        & F.col("_mwl").between(3, 10)
-        & (F.col("_ar") >= 0.8)
-        & (F.col("_stop_hits") >= 2)
+        n_words.between(30, 10000)
+        & mean_token_len(toks).between(3, 10)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
     )
-    return scored.filter(keep).drop("_n_words", "_mwl", "_ar", "_stop_hits")
+    return docs.filter(keep)
 
 
 def near_dup_removed(
@@ -72,15 +73,31 @@ def near_dup_removed(
     text_col: str = "text",
     length_col: str = "n_chars",
     threshold: float = 0.4,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 1,
 ) -> DataFrame:
     """Docs minus every near-dup cluster member except the survivor
     (longest ``length_col``, ties to smallest id) — dedup_components +
-    dedup_survivors composed into the drop it exists for."""
+    dedup_survivors composed into the drop it exists for.
+
+    ``(shingle_n, num_hashes, band_rows)`` is the LSH band geometry,
+    passed straight to minhash_lsh_candidates. The (8, 1) default is
+    the high-recall SMALL-CORPUS setting; at scale pass the measured
+    production geometry ``num_hashes=16, band_rows=2`` (SCALE.md "band
+    geometry at scale": 94% recall at 7% of the band1 candidate
+    volume), which the registered `pipeline_pretrain_corpus_scale`
+    pins end-to-end against its oracle."""
     from fairy_spark.operators.components import connected_components
     from fairy_spark.operators.dedup import minhash_lsh_candidates
 
     pairs = minhash_lsh_candidates(
-        docs, id_col=id_col, text_col=text_col, shingle_n=3, num_hashes=8, band_rows=1
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_rows=band_rows,
     ).filter(F.col("jaccard") >= threshold)
     cc = connected_components(pairs)
     members = cc.join(
@@ -99,45 +116,61 @@ def near_dup_removed(
     return docs.join(removed, id_col, "left_anti")
 
 
+BROADCAST_PROBE_DOCS_MAX = 100_000
+
+
 def decontaminate(
     docs: DataFrame,
     probe_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_n: int = 8,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Drop every doc sharing any word ``gram_n``-gram with the probe
-    set. Probe grams broadcast (benchmarks are kilo-docs); with a giant
-    probe set drop the broadcast hint and Catalyst shuffles the
-    gram-key equi-join."""
+    set.
+
+    ``broadcast``: True forces the probe-gram side to broadcast (right
+    for benchmark-sized probe sets — kilo-docs); False leaves the
+    gram-key equi-join to Catalyst, which shuffles it (right when the
+    probe set is every eval benchmark concatenated and its gram table
+    exceeds executor memory); None (default) decides by probe size —
+    one cheap count of ``probe_docs`` rows, broadcast iff <=
+    ``BROADCAST_PROBE_DOCS_MAX`` (doc count is the proxy: grams/doc is
+    bounded by doc length, and the gram table of 100k docs is
+    hundreds of MB — past the comfortable broadcast envelope)."""
+    if broadcast is None:
+        broadcast = probe_docs.count() <= BROADCAST_PROBE_DOCS_MAX
     probe_grams = probe_docs.select(
         F.explode(word_ngrams(tokenize(F.col(text_col)), gram_n)).alias("gram")
     ).distinct()
+    if broadcast:
+        probe_grams = F.broadcast(probe_grams)
     grams = docs.select(
         id_col, F.explode(word_ngrams(tokenize(F.col(text_col)), gram_n)).alias("gram")
     )
     contaminated = (
-        grams.join(F.broadcast(probe_grams), "gram", "left_semi")
+        grams.join(probe_grams, "gram", "left_semi")
         .select(id_col)
         .distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")
 
 
-def pretrain_corpus(
+def _cleaned_corpus(
     docs: DataFrame,
-    probe_docs: DataFrame | None = None,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    length_col: str = "n_chars",
-    bin_tokens: int = 512,
-    near_dup_threshold: float = 0.4,
+    id_col: str,
+    text_col: str,
+    length_col: str,
+    near_dup_threshold: float,
+    shingle_n: int,
+    num_hashes: int,
+    band_rows: int,
 ) -> DataFrame:
-    """The full chain: quality -> exact dedup -> near-dup survivors ->
-    decontaminate (skipped when ``probe_docs`` is None) -> pack ->
-    split. Returns (id, n_tokens, bin_id, bucket, split)."""
-    from fairy_spark.operators.packing import pack_into_bins
-
+    """Stages 1-3 (quality -> exact dedup -> near-dup survivors) —
+    the prefix both pipeline forms share; its output is the natural
+    checkpoint boundary (everything after is a narrow chain over the
+    surviving rows only)."""
     q1 = gopher_quality_filter(docs, id_col, text_col)
     canonical = (
         q1.withColumn("_h", F.sha2(F.col(text_col), 256))
@@ -146,8 +179,25 @@ def pretrain_corpus(
         .select(id_col)
     )
     q2 = q1.join(canonical, id_col, "left_semi")
-    q3 = near_dup_removed(q2, id_col, text_col, length_col, near_dup_threshold)
-    q4 = q3 if probe_docs is None else decontaminate(q3, probe_docs, id_col, text_col)
+    return near_dup_removed(
+        q2,
+        id_col,
+        text_col,
+        length_col,
+        near_dup_threshold,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_rows=band_rows,
+    )
+
+
+def _pack_and_split(
+    q4: DataFrame, id_col: str, text_col: str, bin_tokens: int
+) -> DataFrame:
+    """Stages 5-6: token packing + deterministic hash split over the
+    decontaminated survivors."""
+    from fairy_spark.operators.packing import pack_into_bins
+
     t = q4.select(id_col, F.size(tokenize(F.col(text_col))).alias("n_tokens"))
     packed = pack_into_bins(t, id_col, "n_tokens", bin_tokens=bin_tokens)
     bucket = (
@@ -160,3 +210,58 @@ def pretrain_corpus(
         .otherwise(F.lit("test"))
     )
     return out.select(id_col, "n_tokens", "bin_id", "bucket", split.alias("split"))
+
+
+def pretrain_corpus(
+    docs: DataFrame,
+    probe_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str = "n_chars",
+    bin_tokens: int = 512,
+    near_dup_threshold: float = 0.4,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 1,
+    decontaminate_broadcast: bool | None = None,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """The full chain: quality -> exact dedup -> near-dup survivors ->
+    decontaminate (skipped when ``probe_docs`` is None) -> pack ->
+    split. Returns (id, n_tokens, bin_id, bucket, split).
+
+    ``(shingle_n, num_hashes, band_rows)`` is the near-dup LSH
+    geometry (see near_dup_removed — pass (3, 16, 2) at scale);
+    ``decontaminate_broadcast`` is decontaminate's broadcast switch
+    (None = size-based).
+
+    ``stage_dir``: when set, the stage-3 output (the cleaned corpus)
+    is SUNK to parquet at that path and re-read before stages 4-6 —
+    the 100 TB execution shape, where the dedup prefix is a multi-TB
+    computation a pipeline wants durable (restartable stage 4+, no
+    re-scan of the raw corpus on a downstream retry) rather than a
+    lineage suffix re-derived per action. Value-identical to the
+    declarative form by construction (the same rows cross the
+    boundary; asserted in tests/test_pipeline_operator.py and pinned
+    against the registered oracle by `pipeline_pretrain_corpus_staged`)."""
+    q3 = _cleaned_corpus(
+        docs,
+        id_col,
+        text_col,
+        length_col,
+        near_dup_threshold,
+        shingle_n,
+        num_hashes,
+        band_rows,
+    )
+    if stage_dir is not None:
+        q3.write.mode("overwrite").parquet(stage_dir)
+        q3 = docs.sparkSession.read.parquet(stage_dir)
+    q4 = (
+        q3
+        if probe_docs is None
+        else decontaminate(
+            q3, probe_docs, id_col, text_col, broadcast=decontaminate_broadcast
+        )
+    )
+    return _pack_and_split(q4, id_col, text_col, bin_tokens)

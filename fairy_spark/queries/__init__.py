@@ -199,12 +199,13 @@ def _driver_verified_counts() -> dict[str, int]:
 #   on all fixtures, re-pin deferred from r8 so they didn't displace
 #   debt rows (precedent: r6's NULL-mean deferral).
 _RECHECK_FIRST: set[str] = {
-    "graph_hits",
-    "ts_rolling_median",
-    "mm_frame_extract",
-    "sketch_kmv_setops",
-    "kv_ttl_expire",
-    "sample_poisson_bootstrap",
+    # r10: check semantics changed — formerly rows-only, now carries a
+    # full-geometry SQL oracle (VERDICT r9 #6)
+    "ml_ann_lsh_topk",
+    # r10: body refactored into the shared _pipeline_pretrain helper +
+    # explicit broadcast pin on the probe-gram join (same semantics,
+    # re-prove under the driver anyway)
+    "pipeline_pretrain_corpus",
 }
 
 

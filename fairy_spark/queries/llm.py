@@ -599,10 +599,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_ann_lsh_topk")  # no SQL oracle: ANN is approximate by design;
+_LSH_TOPK_ORACLE = f"""
+    WITH sig AS MATERIALIZED (
+      SELECT vec_id, embedding, {_hp_sql(8)} AS bucket FROM embeddings
+    ), ranked AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_COS_SQL}, 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND({_COS_SQL}, 6) DESC, b.vec_id) AS rn
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      WHERE a.vec_id <= 10
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """
+
+
+@register("ml_ann_lsh_topk", oracle=_LSH_TOPK_ORACLE)
 def ml_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only driver check; recall
-    and containment properties asserted in tests/test_similarity.py)."""
+    """LSH-bucketed approximate top-k — HASH-CHECKED at its registered
+    geometry (VERDICT r9 #6; formerly the rows-only residual). "ANN is
+    approximate" means recall < 1 vs brute force, NOT nondeterminism:
+    given the deterministic literal-weight hyperplane signature, the
+    bucket equi-join's candidate set is a pure function of the data,
+    and the ranking is reproducible cross-engine with the same
+    6-decimal cosine round + id tie-break the hash-green
+    `ml_ann_lsh_exact16` / `ml_ann_lsh_recall` rows already use — so
+    the oracle mirrors the FULL registered geometry (8 planes, whole
+    embeddings table, k=5) rather than a bounded slice. Recall vs
+    brute force stays pinned by `ml_ann_lsh_recall`; containment
+    properties in tests/test_similarity.py."""
     from fairy_spark.operators.similarity import lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2311,7 +2338,28 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIPELINE_ORACLE = f"""
+def _pipeline_band_cond(num_hashes: int, band_rows: int) -> str:
+    """The LSH band-collision disjunction for the pipeline oracle's
+    pair join — one conjunction of ``band_rows`` signature-component
+    equalities per band, mirroring minhash_lsh_candidates' banding."""
+    n_bands = num_hashes // band_rows
+    return " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.sig[{b * band_rows + r + 1}] = b.sig[{b * band_rows + r + 1}]"
+            for r in range(band_rows)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+
+
+def _pipeline_oracle(num_hashes: int, band_rows: int) -> str:
+    """The composed-pipeline oracle at a caller-chosen LSH geometry —
+    identical except for the stage-3 signature width and band
+    conjunctions, so the (8,1) small-corpus row and the (16,2)
+    production-geometry row check against the same six-stage SQL."""
+    return f"""
     WITH RECURSIVE raw AS (
       SELECT doc_id, text, n_chars, {_TOKS_SQL} AS toks FROM documents
     ), q1 AS MATERIALIZED (
@@ -2338,14 +2386,14 @@ _PIPELINE_ORACLE = f"""
       SELECT doc_id, n_chars, {_SHINGLES_SQL} AS sh FROM q2
     ), sig AS MATERIALIZED (
       SELECT doc_id, n_chars, sh,
-             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+             [{", ".join(minhash_sql(i) for i in range(num_hashes))}] AS sig
       FROM s
     ), pairs AS MATERIALIZED (
       -- stage 3: minhash-LSH near-dup pairs among exact survivors
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sig a JOIN sig b
         ON a.doc_id < b.doc_id
-       AND ({" OR ".join(f"a.sig[{i + 1}] = b.sig[{i + 1}]" for i in range(8))})
+       AND ({_pipeline_band_cond(num_hashes, band_rows)})
        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            / len(list_distinct(a.sh || b.sh)) >= 0.4
     ), edges AS (
@@ -2405,6 +2453,77 @@ _PIPELINE_ORACLE = f"""
     """
 
 
+_PIPELINE_ORACLE = _pipeline_oracle(8, 1)
+
+
+def _pipeline_pretrain(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 8,
+    band_rows: int = 1,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Shared body of the three registered pipeline rows — the six
+    proven stages at a caller-chosen LSH geometry, optionally with the
+    stage-3 parquet boundary (operators/pipeline.py pretrain_corpus's
+    ``stage_dir``). The probe-gram join keeps the explicit broadcast
+    hint: the registered probe set (doc_id%97) is benchmark-sized by
+    construction, and pinning the hint keeps the registered plan
+    independent of the operator's size-probe count job (the size-based
+    default is unit-tested in tests/test_pipeline_operator.py)."""
+    from fairy_spark.operators.packing import pack_into_bins
+    from fairy_spark.operators.pipeline import (
+        decontaminate,
+        gopher_quality_filter,
+        near_dup_removed,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # stages 1-3 over the FULL corpus (probe rows participate in
+    # quality + dedup, exactly as a benchmark leak would in the wild)
+    q1 = gopher_quality_filter(d).select("doc_id", "text", "n_chars")
+    canonical = (
+        q1.withColumn("_h", F.sha2(F.col("text"), 256))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q2 = q1.join(canonical, "doc_id", "left_semi")
+    q3 = near_dup_removed(
+        q2, threshold=0.4, num_hashes=num_hashes, band_rows=band_rows
+    )
+
+    # optional durable boundary: sink the cleaned corpus, re-read it
+    if stage_dir is not None:
+        q3.write.mode("overwrite").parquet(stage_dir)
+        q3 = spark.read.parquet(stage_dir)
+
+    # stage 4: the doc_id%97==0 stand-in is the probe set; the corpus
+    # drops the probe rows themselves, then everything sharing a gram
+    probe = d.filter(F.col("doc_id") % 97 == 0)
+    q4 = decontaminate(
+        q3.filter(F.col("doc_id") % 97 != 0), probe, broadcast=True
+    ).select("doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+
+    # stage 5: 512-token greedy packing (sharded two-pass prefix sum)
+    packed = pack_into_bins(q4, "doc_id", "n_tokens", bin_tokens=512)
+
+    # stage 6: deterministic hash split
+    bucket = (
+        portable_hash64(F.col("doc_id").cast("string"), seed="split") % 100
+    ).alias("bucket")
+    out = packed.select("doc_id", "n_tokens", "bin_id", bucket)
+    split = (
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return out.select(
+        "doc_id", "n_tokens", "bin_id", "bucket", split.alias("split")
+    ).orderBy("doc_id")
+
+
 @register("pipeline_pretrain_corpus", oracle=_PIPELINE_ORACLE)
 def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END pretraining-corpus pipeline (VERDICT r8 #5) — the
@@ -2434,50 +2553,51 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage 6 is a narrow map. No stage introduces a cartesian product
     or a single-partition window — asserted registry-wide in
     tests/test_plans.py, which is the gate VERDICT r8 #5 names."""
-    from fairy_spark.operators.packing import pack_into_bins
-    from fairy_spark.operators.pipeline import (
-        decontaminate,
-        gopher_quality_filter,
-        near_dup_removed,
+    return _pipeline_pretrain(spark, sf_dir, num_hashes=8, band_rows=1)
+
+
+@register("pipeline_pretrain_corpus_scale", oracle=_pipeline_oracle(16, 2))
+def pipeline_pretrain_corpus_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline AT THE PRODUCTION GEOMETRY (VERDICT r9
+    #1): identical six-stage chain to `pipeline_pretrain_corpus`, but
+    stage 3 runs the measured (num_hashes=16, band_rows=2) scale
+    setting — 8 two-row bands, per-band collision prob J², the
+    geometry SCALE.md measured at 27× candidate suppression vs the
+    (8,1) small-corpus default (94% recall at 7% of band1 volume on
+    the 80k synth corpus). The 100 TB artifact is THIS composition:
+    a user cleaning a real corpus copies the scale geometry, so the
+    oracle proves the composition at that setting too — the SQL
+    mirrors the 16-component signature and the 8 two-component band
+    conjunctions literally, then the identical stages 4-6. Geometry
+    flows through operators/pipeline.py near_dup_removed's (shingle_n,
+    num_hashes, band_rows) params — the same user-facing knobs
+    Engine.pretrain_corpus exposes."""
+    return _pipeline_pretrain(spark, sf_dir, num_hashes=16, band_rows=2)
+
+
+@register("pipeline_pretrain_corpus_staged", oracle=_PIPELINE_ORACLE)
+def pipeline_pretrain_corpus_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline WITH THE DURABLE STAGE BOUNDARY (VERDICT
+    r9 #3): identical chain and oracle to `pipeline_pretrain_corpus`,
+    but the stage-3 output (the cleaned corpus) is SUNK to parquet and
+    re-read before stages 4-6 — the execution shape a 100 TB run
+    wants, where the dedup prefix is a multi-TB computation that must
+    be durable (downstream retries restart from the boundary instead
+    of re-scanning the raw corpus, and the packing/split suffix stops
+    re-deriving the whole lineage per action). Checking it against the
+    SAME oracle proves the flip is value-identical: the same rows
+    cross the parquet boundary that cross the lineage edge in the
+    declarative form. At sf0.1 the boundary costs one extra write+read
+    of a few-MB frame (scheduler-bound, measured in SCALE.md r10);
+    the crossover argument is the same one persisted stage caching
+    lost at this SF — the boundary pays for itself when the prefix is
+    expensive relative to a parquet round-trip."""
+    from fairy_spark.queries.sources_io import _scratch
+
+    stage_dir = _scratch(spark, sf_dir, "pipeline_stage3")
+    return _pipeline_pretrain(
+        spark, sf_dir, num_hashes=8, band_rows=1, stage_dir=stage_dir
     )
-
-    d = load_table(spark, sf_dir, "documents")
-
-    # stages 1-3 over the FULL corpus (probe rows participate in
-    # quality + dedup, exactly as a benchmark leak would in the wild)
-    q1 = gopher_quality_filter(d).select("doc_id", "text", "n_chars")
-    canonical = (
-        q1.withColumn("_h", F.sha2(F.col("text"), 256))
-        .groupBy("_h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    q2 = q1.join(canonical, "doc_id", "left_semi")
-    q3 = near_dup_removed(q2, threshold=0.4)
-
-    # stage 4: the doc_id%97==0 stand-in is the probe set; the corpus
-    # drops the probe rows themselves, then everything sharing a gram
-    probe = d.filter(F.col("doc_id") % 97 == 0)
-    q4 = decontaminate(
-        q3.filter(F.col("doc_id") % 97 != 0), probe
-    ).select("doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens"))
-
-    # stage 5: 512-token greedy packing (sharded two-pass prefix sum)
-    packed = pack_into_bins(q4, "doc_id", "n_tokens", bin_tokens=512)
-
-    # stage 6: deterministic hash split
-    bucket = (
-        portable_hash64(F.col("doc_id").cast("string"), seed="split") % 100
-    ).alias("bucket")
-    out = packed.select("doc_id", "n_tokens", "bin_id", bucket)
-    split = (
-        F.when(F.col("bucket") < 80, F.lit("train"))
-        .when(F.col("bucket") < 90, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
-    return out.select(
-        "doc_id", "n_tokens", "bin_id", "bucket", split.alias("split")
-    ).orderBy("doc_id")
 
 
 # Previous call's persisted vocab-stats frame (unpersisted on the next

@@ -22,7 +22,7 @@ mids, so both forms are cross-checked for the equal exact count.
 Deterministic: all edges from multiplicative hashing of the leaf id —
 no RNG, same graph every run.
 
-Usage: python hubcap_bench.py [L] (default 200000)
+Usage: python hubcap_bench.py [L [M [T]]] (defaults 500000 1000 500)
 Prints one JSON line with both timings and the wedge-row counts.
 """
 

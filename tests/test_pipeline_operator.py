@@ -72,3 +72,118 @@ def test_decontaminate_short_probe_grams_are_harmless(spark):
     docs = _docs(spark, [(1, GOOD, len(GOOD))])
     probe = _docs(spark, [(99, "only five short probe words", 5)])
     assert decontaminate(docs, probe).count() == 1
+
+
+def test_gopher_filter_leaves_any_caller_columns_untouched(spark):
+    # ADVICE r9: the old impl materialized temp columns _n_words/_mwl/
+    # _ar/_stop_hits and silently clobbered caller columns of the same
+    # name; the inline-predicate form must pass them through verbatim.
+    docs = spark.createDataFrame(
+        [(1, GOOD, 7, 0.5)], "doc_id BIGINT, text STRING, _n_words INT, _mwl DOUBLE"
+    )
+    out = gopher_quality_filter(docs)
+    assert set(out.columns) == {"doc_id", "text", "_n_words", "_mwl"}
+    row = out.collect()[0]
+    assert row["_n_words"] == 7 and row["_mwl"] == 0.5
+
+
+def test_near_dup_removed_scale_geometry_param(spark):
+    # (16,2) production geometry flows through to the band join: the
+    # one-token-edit near-dup pair still collides on >= 1 two-row band
+    # (signatures differ in few components), so the longest survivor
+    # selection is unchanged vs the (8,1) default on this fixture.
+    t1 = GOOD
+    t2 = GOOD + " extra"
+    t3 = "completely different content about databases and query engines " * 3
+    docs = _docs(spark, [(1, t1, len(t1)), (2, t2, len(t2)), (3, t3, len(t3))])
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dup_removed(
+            docs, threshold=0.4, num_hashes=16, band_rows=2
+        ).select("doc_id").collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_decontaminate_broadcast_false_same_rows(spark):
+    # the shuffle form (broadcast=False) is value-identical to the
+    # broadcast form — only the physical join strategy differs.
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = _docs(spark, [(1, leak + " " + GOOD, 10), (2, GOOD, len(GOOD))])
+    probe = _docs(spark, [(99, "prefix words then " + leak, 10)])
+    for bc in (True, False, None):
+        kept = [
+            r["doc_id"]
+            for r in decontaminate(docs, probe, broadcast=bc)
+            .select("doc_id")
+            .collect()
+        ]
+        assert kept == [2], f"broadcast={bc}"
+
+
+def test_decontaminate_broadcast_plan_switch(spark):
+    # broadcast=True puts a broadcast exchange on the probe-gram side;
+    # broadcast=False must NOT (the giant-probe-set escape hatch the
+    # r9 verdict asked for).
+    docs = _docs(spark, [(1, GOOD, len(GOOD))])
+    probe = _docs(spark, [(99, GOOD, len(GOOD))])
+    plan_bc = decontaminate(docs, probe, broadcast=True)._jdf.queryExecution().executedPlan().toString()
+    plan_sh = decontaminate(docs, probe, broadcast=False)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bc or "BroadcastExchange" in plan_bc
+    # the probe-gram semi-join side must be shuffle-based; the final
+    # left_anti against the tiny contaminated-id set may still
+    # auto-broadcast, so assert on the gram join specifically
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \S+, \S+, LeftSemi", plan_sh)
+
+
+def _synth_doc(i: int) -> str:
+    # 5 stopwords (Gopher floor) + 30 doc-specific all-letter tokens:
+    # distinct docs share almost no shingles (jaccard ~0), so the
+    # near-dup stage only collapses deliberately planted pairs.
+    toks = ["the", "and", "for", "with", "that"]
+    for j in range(30):
+        n = i * 100 + j  # base-26-encode a unique per-(doc, position) index
+        w = ""
+        for _ in range(5):
+            w += chr(97 + n % 26)
+            n //= 26
+        toks.append(w)
+    return " ".join(toks)
+
+
+def test_pretrain_corpus_staged_value_identical(spark, tmp_path):
+    # the parquet stage boundary must not change a single output row
+    from fairy_spark.operators.pipeline import pretrain_corpus
+
+    rows = [(i, _synth_doc(i), 200 + i) for i in range(1, 40)]
+    rows.append((100, _synth_doc(5), 205))            # exact dup of doc 5
+    rows.append((101, _synth_doc(7) + " extra", 300))  # near-dup of doc 7, longer
+    docs = _docs(spark, rows)
+    probe = _docs(spark, [(999, _synth_doc(10), 210)])  # contaminates doc 10
+    base = pretrain_corpus(docs, probe).orderBy("doc_id").collect()
+    staged = (
+        pretrain_corpus(docs, probe, stage_dir=str(tmp_path / "stage3"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert base == staged and len(base) > 0
+    kept = {r["doc_id"] for r in base}
+    assert 100 not in kept          # exact dup dropped
+    assert 7 not in kept and 101 in kept  # near-dup: longer doc survives
+    assert 10 not in kept           # decontaminated
+
+
+def test_simhash_max_hamming_bound_rejected(spark):
+    # ADVICE r9: hamming budgets past the 8-band pigeonhole guarantee
+    # must raise, not silently under-recall.
+    import pytest
+
+    from fairy_spark.operators.dedup import simhash64_pairs
+
+    docs = _docs(spark, [(1, GOOD, len(GOOD))])
+    with pytest.raises(ValueError, match="recall"):
+        simhash64_pairs(docs, max_hamming=8)
+    # the boundary value is fine
+    simhash64_pairs(docs, max_hamming=7)
