@@ -84,12 +84,48 @@ def host_load_marker() -> dict:
     }
 
 
+def load_guard(
+    sample_fn,
+    threshold: float,
+    retries: int,
+    sleep_sec: float,
+    sleep_fn=time.sleep,
+) -> tuple[dict, bool, int]:
+    """Bounded refuse-or-retry on a loaded measurement window (VERDICT
+    r9 #5: two consecutive driver BENCH windows started at loadavg_1m
+    7.8/8.8 and every query moved in lockstep). Samples via
+    ``sample_fn`` (host_load_marker); while loadavg_1m exceeds
+    ``threshold``, sleeps ``sleep_sec`` and re-samples, at most
+    ``retries`` times — then PROCEEDS either way, returning
+    (marker, contaminated, waits): the driver always gets its number,
+    but a number taken in a dirty window is stamped
+    ``"contaminated": true`` so it is self-describing instead of
+    reading as a plan regression. A negative loadavg (non-Linux
+    fallback) never counts as contaminated."""
+    marker = sample_fn()
+    waits = 0
+    while marker["loadavg_1m"] > threshold and waits < retries:
+        sleep_fn(sleep_sec)
+        marker = sample_fn()
+        waits += 1
+    return marker, marker["loadavg_1m"] > threshold, waits
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    host_start = host_load_marker()
+    # threshold default: an idle 32-cpu box sits well under 4; the two
+    # contaminated windows measured 7.8/8.8. 3x60 s bounded wait keeps
+    # the driver's per-round bench latency predictable.
+    load_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    host_start, contaminated, load_waits = load_guard(
+        host_load_marker,
+        load_threshold,
+        retries=int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "3")),
+        sleep_sec=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_SLEEP", "60")),
+    )
 
     cfg = EngineConfig(
         master=f"local[{cpus}]",
@@ -262,6 +298,14 @@ def main() -> None:
                 # counted — subtract 1 to compare).
                 "host_load_start": host_start,
                 "host_load_end": host_end,
+                # self-describing dirty-window stamp (VERDICT r9 #5):
+                # start loadavg_1m still exceeded the threshold after
+                # the bounded retry loop — read the suite number as
+                # box noise, not plan drift. end-of-run load is NOT
+                # stamped: our own 32-thread run raises it by design.
+                "contaminated": contaminated,
+                "load_threshold": load_threshold,
+                "load_guard_waits": load_waits,
             }
         )
     )

@@ -153,6 +153,27 @@ class Engine:
             stage_dir=stage_dir,
         )
 
+    def triangles(self, pairs: DataFrame, mode: str = "auto") -> DataFrame:
+        """Triangle count over an arbitrary undirected (u, v) pair
+        frame (operators/wedges.py; the registered `graph_triangles*`
+        rows pin the plans against their oracles). mode='auto'
+        (default) measures the exact plain-join wedge row count and
+        runs the hub-capped split only past the measured ~1e8
+        crossover (SCALE.md r10); 'plain'/'capped' force a form."""
+        from fairy_spark.operators.wedges import (
+            triangle_summary,
+            triangle_summary_auto,
+            triangle_summary_capped,
+        )
+
+        if mode == "auto":
+            return triangle_summary_auto(pairs)
+        if mode == "plain":
+            return triangle_summary(pairs)
+        if mode == "capped":
+            return triangle_summary_capped(pairs)
+        raise ValueError(f"mode must be auto|plain|capped, got {mode!r}")
+
     def similar_topk(
         self, corpus: DataFrame, queries: DataFrame, k: int = 5, method: str = "brute",
         id_col: str = "vec_id", vec_col: str = "embedding",

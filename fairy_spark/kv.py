@@ -252,6 +252,30 @@ class KVStore:
             raise KeyNotFound(key)
         return bytes(hits[0]["value"])
 
+    def multi_get(self, keys: list[str]) -> dict[str, bytes]:
+        """Batched point lookups — the reference get path
+        (local_file_kv_store.rs:49-60) generalized to a key set
+        (`kv_multi_get` pins the relational shape against its oracle).
+        ONE scan serves the whole batch: the key list compiles to a
+        single In filter pushed to the scan, so bucket pruning and
+        row-group stats are paid once per batch instead of once per
+        key (B separate get() calls = B scans). Latest-seq resolution
+        is the same max_by hash agg as _latest(), restricted to the
+        probed keys. Missing and tombstoned keys are simply absent
+        from the result (no KeyNotFound — a batch caller checks
+        membership). The collect is bounded by |keys|."""
+        if not keys:
+            return {}
+        rows = (
+            self._log()
+            .filter(F.col("key").isin(list(keys)))
+            .groupBy("key")
+            .agg(F.max_by("value", "seq").alias("value"))
+            .filter(F.col("value").isNotNull())
+            .collect()
+        )
+        return {r["key"]: bytes(r["value"]) for r in rows}
+
     def get_df(self, keys: DataFrame) -> DataFrame:
         """Batch get: join a (key) DataFrame against the store.
         Broadcast the probe side — at 100 TB the store is huge and the

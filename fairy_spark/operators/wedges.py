@@ -69,11 +69,9 @@ def node_degrees(pairs: DataFrame) -> DataFrame:
     )
 
 
-def triangle_summary(pairs: DataFrame) -> DataFrame:
-    """(n_nodes, n_edges, n_triangles) — the plain oriented path join;
-    wedge cost Sum over middles of indeg*outdeg <= O(m^1.5)."""
-    deg = node_degrees(pairs)
-    oriented = persist_edges(orient_edges(pairs))
+def _summary_plain(deg: DataFrame, oriented: DataFrame) -> DataFrame:
+    """(n_nodes, n_edges, n_triangles) from a pre-oriented (and
+    typically persisted) edge frame — the plain path join."""
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -86,6 +84,14 @@ def triangle_summary(pairs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tri))
     )
     return summary.select("n_nodes", "n_edges", "n_triangles")
+
+
+def triangle_summary(pairs: DataFrame) -> DataFrame:
+    """(n_nodes, n_edges, n_triangles) — the plain oriented path join;
+    wedge cost Sum over middles of indeg*outdeg <= O(m^1.5)."""
+    deg = node_degrees(pairs)
+    oriented = persist_edges(orient_edges(pairs))
+    return _summary_plain(deg, oriented)
 
 
 def triangle_summary_capped(pairs: DataFrame, cap: int = DEFAULT_HUB_CAP) -> DataFrame:
@@ -101,6 +107,10 @@ def triangle_summary_capped(pairs: DataFrame, cap: int = DEFAULT_HUB_CAP) -> Dat
     fail the closing-edge check because the orientation is a DAG)."""
     deg = node_degrees(pairs)
     oriented = persist_edges(orient_edges(pairs))
+    return _summary_capped(deg, oriented, cap)
+
+
+def _summary_capped(deg: DataFrame, oriented: DataFrame, cap: int) -> DataFrame:
     outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
     hubs = (
@@ -139,4 +149,59 @@ def triangle_summary_capped(pairs: DataFrame, cap: int = DEFAULT_HUB_CAP) -> Dat
         "n_tri_low",
         "n_tri_hub",
         (F.col("n_tri_low") + F.col("n_tri_hub")).alias("n_triangles"),
+    )
+
+
+# Measured crossover of the hub-cap lever (SCALE.md r9, hubcap_bench.py):
+# on the power-law fixture the capped form wins 1.71x at 5e8 wedge rows
+# and the walls cross at ~1e8; below that the residual pass's extra
+# joins cost 1.3-1.6x for nothing (the TPC-H co-purchase graph at every
+# SF). The selector compares the EXACT plain-join row count against
+# this threshold.
+DEFAULT_WEDGE_AUTO_THRESHOLD = 100_000_000
+
+
+def wedge_row_count(oriented: DataFrame) -> DataFrame:
+    """1-row (n_wedges) — Sum over middle nodes of indeg*outdeg: the
+    exact number of rows the plain path join e1(a,b)⋈e2(b,c) would
+    enumerate. Two edge-sized aggs + a node-sized join — O(m), cheap
+    relative to either enumeration it arbitrates between."""
+    outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
+    return ind.join(outd, ind["dst"] == outd["src"]).agg(
+        F.coalesce(F.sum(F.col("id_") * F.col("od")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
+    )
+
+
+def triangle_summary_auto(
+    pairs: DataFrame,
+    cap: int = DEFAULT_HUB_CAP,
+    wedge_threshold: int = DEFAULT_WEDGE_AUTO_THRESHOLD,
+) -> DataFrame:
+    """(n_nodes, n_edges, n_wedges, plan, n_triangles) — DATA-DRIVEN
+    selection between the plain path join and the hub-capped split
+    (VERDICT r9 #2): orient once, count the exact wedge rows the plain
+    join would enumerate (one O(m) agg of the persisted oriented
+    frame), and run the capped form only when that count exceeds the
+    measured ~1e8 crossover. The 1-row collect is the bounded
+    driver-side decision (k-means-seed discipline); both counts are
+    exact, so the choice changes the PLAN, never the triangle total —
+    the registered `graph_triangles_auto` oracle mirrors the wedge
+    count, the threshold case, and the count itself."""
+    deg = node_degrees(pairs)
+    oriented = persist_edges(orient_edges(pairs))
+    n_wedges = int(wedge_row_count(oriented).collect()[0]["n_wedges"])
+    plan = "capped" if n_wedges > wedge_threshold else "plain"
+    if plan == "capped":
+        s = _summary_capped(deg, oriented, cap)
+    else:
+        s = _summary_plain(deg, oriented)
+    return s.select(
+        "n_nodes",
+        "n_edges",
+        F.lit(n_wedges).cast("long").alias("n_wedges"),
+        F.lit(plan).alias("plan"),
+        "n_triangles",
     )

@@ -304,6 +304,75 @@ def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangles_auto",
+    oracle="""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ), oriented AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+      FROM pairs p
+      JOIN deg du ON p.u = du.node
+      JOIN deg dv ON p.v = dv.node
+    ), wedges AS MATERIALIZED (
+      SELECT CAST(COALESCE(SUM(ind.id_ * od.od), 0) AS BIGINT) AS n_wedges
+      FROM (SELECT dst, COUNT(*) AS id_ FROM oriented GROUP BY dst) ind
+      JOIN (SELECT src, COUNT(*) AS od FROM oriented GROUP BY src) od
+        ON ind.dst = od.src
+    ), tri AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT n_wedges FROM wedges) AS n_wedges,
+           CASE WHEN (SELECT n_wedges FROM wedges) > 100000000
+                THEN 'capped' ELSE 'plain' END AS plan,
+           (SELECT c FROM tri) AS n_triangles
+    """,
+)
+def graph_triangles_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-SELECTED triangle count (VERDICT r9 #2): the hub-cap lever
+    had a measured crossover (~1e8 wedge rows, SCALE.md r9) but a
+    manual knob — this row makes the choice data-driven. One O(m) agg
+    over the persisted oriented frame computes the EXACT wedge-row
+    count Σ_middles indeg·outdeg (the rows the plain path join would
+    enumerate), and the capped split runs only past the crossover
+    (operators/wedges.py triangle_summary_auto). The decision is a
+    bounded 1-row collect; both enumerations are exact, so the choice
+    changes the plan, never the count. The oracle mirrors the wedge
+    sum, the threshold case, AND the triangle total — so a drifting
+    selector (wrong wedge count → wrong plan string) hash-fails even
+    when the triangle count is right. On TPC-H co-purchase graphs the
+    pick is 'plain' at every SF (wedge counts are ~1e5 at sf0.1);
+    hubcap_bench.py drives the 'capped' pick on the power-law fixture
+    and asserts the auto wall tracks the better of the two forms."""
+    from fairy_spark.operators.wedges import triangle_summary_auto
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return triangle_summary_auto(pairs)
+
+
+@register(
     "graph_common_neighbors",
     oracle="""
     WITH pairs AS (

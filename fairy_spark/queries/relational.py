@@ -555,6 +555,48 @@ def kv_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTI_GET_KEYS = [42, 123, 1234, 2048, 4242, 5001, 999999999]
+
+
+@register(
+    "kv_multi_get",
+    oracle=f"""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           text AS value
+    FROM documents
+    WHERE doc_id IN ({", ".join(str(k) for k in _MULTI_GET_KEYS)})
+    ORDER BY key
+    """,
+)
+def kv_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED point lookups — the reference's get path
+    (worker/src/kv_store/local_file_kv_store.rs:49-60) generalized
+    from one key to a key set, the multi-get RPC every KV client
+    batches into (VERDICT r9 #8a). One scan serves the whole batch:
+    the literal key set compiles to a single `In` filter pushed into
+    the parquet scan (asserted in tests/test_plans.py — the probe is
+    against the NATIVE key column; filtering a cast-derived key would
+    silently forfeit pushdown, which is the design point), and the
+    scan serves it from row-group statistics — dictionary pages and
+    column min/max (plus Bloom filters on stores that write them)
+    skip every row group containing none of the probed keys, so a
+    B-key batch costs ~the row groups that actually hold hits, not B
+    separate scans and not a full pass. Missing keys (the 999999999
+    probe) simply produce no row — multi-get is a filter, not an
+    outer join, so absence needs no tombstone handling. On the
+    bucketed store the same predicate prunes to ≤B buckets
+    (kv_point_get's A2 pruning, paid once per batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id").isin(_MULTI_GET_KEYS))
+        .select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("text").alias("value"),
+        )
+        .orderBy("key")
+    )
+
+
 @register(
     "kv_time_travel",
     oracle="""

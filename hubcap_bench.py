@@ -81,6 +81,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from fairy_spark.operators.wedges import (
         triangle_summary,
+        triangle_summary_auto,
         triangle_summary_capped,
     )
 
@@ -105,7 +106,25 @@ def main() -> None:
         rows[name] = row.asDict()
 
     assert rows["capped"]["n_triangles"] == rows["uncapped"]["n_triangles"], rows
+
+    # the auto selector (VERDICT r9 #2): exact wedge count vs the ~1e8
+    # crossover; on this fixture the expected pick follows 2LT, and the
+    # auto wall must track the better of the two measured forms (its
+    # own wall = the picked form + the O(m) wedge agg)
+    best_auto = None
+    for _ in range(2):
+        t0 = time.time()
+        auto_row = triangle_summary_auto(pairs).collect()[0]
+        dt = time.time() - t0
+        best_auto = dt if best_auto is None else min(best_auto, dt)
+    expected_plan = "capped" if auto_row["n_wedges"] > 100_000_000 else "plain"
+    assert auto_row["plan"] == expected_plan, auto_row
+    assert auto_row["n_triangles"] == rows["uncapped"]["n_triangles"], auto_row
+
     out = {
+        "auto_sec": round(best_auto, 3),
+        "auto_plan": auto_row["plan"],
+        "auto_n_wedges": auto_row["n_wedges"],
         "fixture": {"L": L, "M": M, "T": T, "n_pairs": n_pairs},
         "n_triangles": rows["uncapped"]["n_triangles"],
         "n_hubs": rows["capped"]["n_hubs"],

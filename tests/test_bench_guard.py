@@ -1,0 +1,59 @@
+"""Unit tests for bench.py's load_guard (VERDICT r9 #5): the bounded
+refuse-or-retry on a loaded measurement window, driven with forced
+fake load samples — no Spark session, no real sleeping."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "fairy_bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+)
+_bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_bench)
+
+
+def _marker(la1: float) -> dict:
+    return {"loadavg_1m": la1, "loadavg_5m": la1, "loadavg_15m": la1, "jvm_procs": 0}
+
+
+def test_idle_window_passes_immediately():
+    samples = iter([_marker(0.7)])
+    slept = []
+    marker, contaminated, waits = _bench.load_guard(
+        lambda: next(samples), threshold=4.0, retries=3, sleep_sec=60, sleep_fn=slept.append
+    )
+    assert not contaminated and waits == 0 and slept == []
+    assert marker["loadavg_1m"] == 0.7
+
+
+def test_loaded_window_retries_until_clean():
+    # forced load: two dirty samples, then the box drains
+    samples = iter([_marker(8.8), _marker(6.1), _marker(1.2)])
+    slept = []
+    marker, contaminated, waits = _bench.load_guard(
+        lambda: next(samples), threshold=4.0, retries=3, sleep_sec=60, sleep_fn=slept.append
+    )
+    assert not contaminated and waits == 2 and slept == [60, 60]
+    assert marker["loadavg_1m"] == 1.2
+
+
+def test_persistently_loaded_window_is_stamped_contaminated():
+    # the box never drains: bounded retries, then proceed with the
+    # stamp — the driver still gets its number, self-described
+    samples = iter([_marker(9.0)] * 10)
+    slept = []
+    marker, contaminated, waits = _bench.load_guard(
+        lambda: next(samples), threshold=4.0, retries=3, sleep_sec=60, sleep_fn=slept.append
+    )
+    assert contaminated and waits == 3 and slept == [60, 60, 60]
+    assert marker["loadavg_1m"] == 9.0
+
+
+def test_nonlinux_loadavg_fallback_never_contaminates():
+    # host_load_marker reports -1.0 when loadavg is unavailable
+    marker, contaminated, waits = _bench.load_guard(
+        lambda: _marker(-1.0), threshold=4.0, retries=3, sleep_sec=60, sleep_fn=lambda s: None
+    )
+    assert not contaminated and waits == 0

@@ -110,3 +110,30 @@ def test_pretrain_corpus_through_engine(engine, spark, sf_dir):
 
     no_probe = engine.pretrain_corpus(corpus).select("doc_id").collect()
     assert {r["doc_id"] for r in out} <= {r["doc_id"] for r in no_probe}
+
+
+def test_triangles_through_engine(engine, spark):
+    """Engine.triangles: the three modes agree on the count; auto
+    reports its pick and the exact wedge row count."""
+    import itertools
+
+    import pytest
+
+    edges = list(itertools.combinations(range(5), 2))  # K5: 10 triangles
+    pairs = spark.createDataFrame(edges, "u INT, v INT")
+    auto = engine.triangles(pairs).collect()[0]
+    assert auto.plan == "plain" and auto.n_triangles == 10 and auto.n_wedges == 10
+    assert engine.triangles(pairs, mode="plain").collect()[0].n_triangles == 10
+    assert engine.triangles(pairs, mode="capped").collect()[0].n_triangles == 10
+    with pytest.raises(ValueError, match="mode"):
+        engine.triangles(pairs, mode="bogus")
+
+
+def test_pretrain_corpus_scale_geometry_through_engine(engine, spark, sf_dir):
+    """The (16,2) production geometry flows through the Engine knob —
+    same contract shape as the default geometry (VERDICT r9 #1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = engine.pretrain_corpus(docs, num_hashes=16, band_rows=2).collect()
+    assert out, "scale-geometry pipeline produced no survivors"
+    for r in out[:20]:
+        assert r["split"] in ("train", "valid", "test")

@@ -424,3 +424,24 @@ def test_expire_older_than_noop_when_nothing_stale(kv):
     assert kv.get("k") == b"v"
     # a second expiry after the tombstone-free no-op still sees k live
     assert kv.expire_older_than(wm) == 0
+
+
+def test_multi_get_batched_lookup(kv):
+    # one scan serves the batch; missing + tombstoned keys are absent
+    kv.put_batch([("a", b"1"), ("b", b"2"), ("c", b"3")])
+    kv.put("b", b"2v2")          # latest seq must win
+    kv.delete("c")               # tombstone must be absent
+    out = kv.multi_get(["a", "b", "c", "nope"])
+    assert out == {"a": b"1", "b": b"2v2"}
+    assert kv.multi_get([]) == {}
+
+
+def test_multi_get_in_filter_in_plan(kv):
+    # the design point: the batch probe is a single In filter on the
+    # key column (pushed to the bucketed scan), not per-key jobs
+    kv.put_batch([("a", b"1"), ("b", b"2")])
+    from pyspark.sql import functions as F
+
+    df = kv._log().filter(F.col("key").isin(["a", "b"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "key#" in plan and " IN (a,b)" in plan, plan

@@ -48,6 +48,15 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "GreaterThan(l_quantity" in plan, plan
 
 
+def test_multi_get_in_filter_pushed_to_scan(spark, sf_dir):
+    """kv_multi_get's design point: the batched key probe must reach
+    the parquet scan as ONE pushed In filter (row-group stats serve
+    the whole batch); probing a cast-derived key column would keep the
+    filter post-scan and silently forfeit the pruning."""
+    plan = plan_of(QUERIES["kv_multi_get"](spark, str(sf_dir)))
+    assert "PushedFilters: [In(doc_id" in plan, plan
+
+
 def test_column_pruning_in_scan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     df = li.select("l_orderkey", "l_quantity")
@@ -417,6 +426,7 @@ BNLJ_BOUNDED: dict[str, int] = {
 
     "events_power_curve": 1, "stats_chi_square": 1, "stats_ks_two_sample": 1,
     "graph_triangles": 1, "graph_triangles_capped": 1,
+    "graph_triangles_auto": 1,  # same 1-row stat crossJoins, plan picked by wedge count
     "graph_kcore": 1, "sketch_kmv_setops": 1,
     "graph_hits": 1, "ml_decision_stump": 1, "ml_adaboost_stumps": 1,
     "ml_mutual_information": 1,

@@ -47,3 +47,35 @@ def test_triangle_free_bipartite(spark, cap):
     row = triangle_summary_capped(_pairs_df(spark, edges), cap=cap).collect()[0]
     assert row.n_triangles == 0
     assert row.n_edges == 9
+
+
+def test_auto_selector_picks_by_wedge_count(spark):
+    # K5: 5 middles with wedge product, total wedge rows = Σ indeg·outdeg;
+    # with the default 1e8 threshold auto must pick 'plain', and with a
+    # forced threshold of 0 it must pick 'capped' — same count both ways
+    from fairy_spark.operators.wedges import (
+        triangle_summary_auto,
+        wedge_row_count,
+    )
+
+    edges = list(itertools.combinations(range(5), 2))
+    pairs = _pairs_df(spark, edges)
+    plain_row = triangle_summary_auto(pairs).collect()[0]
+    assert plain_row.plan == "plain" and plain_row.n_triangles == 10
+    capped_row = triangle_summary_auto(pairs, wedge_threshold=0).collect()[0]
+    assert capped_row.plan == "capped" and capped_row.n_triangles == 10
+    # the reported wedge count equals the independent O(m) agg
+    from fairy_spark.operators.wedges import orient_edges
+
+    n_wedges = wedge_row_count(orient_edges(pairs)).collect()[0]["n_wedges"]
+    assert plain_row.n_wedges == n_wedges == capped_row.n_wedges
+    # K5 oriented: out-degrees (4,3,2,1,0) by orientation, wedges = sum
+    # over middles of indeg*outdeg = 1*3 + 2*2 + 3*1 = 10
+    assert n_wedges == 10
+
+
+def test_wedge_row_count_empty_graph(spark):
+    from fairy_spark.operators.wedges import orient_edges, wedge_row_count
+
+    pairs = _pairs_df(spark, [(1, 2)])  # single edge: no middle
+    assert wedge_row_count(orient_edges(pairs)).collect()[0]["n_wedges"] == 0
