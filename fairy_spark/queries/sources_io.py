@@ -1009,8 +1009,13 @@ def sink_compaction_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORIGINAL table. Scale: the rewrite is one shuffle on the group
     key (group sizes are target-bounded by the planner, so tasks are
     balanced by construction); the verify is one scan of the
-    compacted output. Delta OPTIMIZE / Iceberg rewrite_data_files
-    analog, executed."""
+    compacted output. The broadcast of the group plan is bounded by
+    FILE count, not row count — one row per manifest chunk, the same
+    file list every table-format OPTIMIZE materializes on its
+    coordinator (a 100 TB table at a 1 GiB file target is ~1e5 rows);
+    a caller compacting a pathological million-small-file table drops
+    the hint and Catalyst shuffles the (source, chunk) equi-join.
+    Delta OPTIMIZE / Iceberg rewrite_data_files analog, executed."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
