@@ -258,7 +258,14 @@ def main() -> None:
     # graph is the documented ~1.3× knob cost — the lever's win case is
     # measured in hubcap_bench.py's power-law fixture (SCALE.md r9).
     wedge_secs: dict[str, float] = {}
-    for wname in ("graph_triangles", "graph_triangles_capped"):
+    for wname in (
+        "graph_triangles",
+        "graph_triangles_capped",
+        # r10: the auto-selector — its wall must track the picked form
+        # plus the O(m) wedge agg (the selection overhead, measured
+        # per round instead of asserted)
+        "graph_triangles_auto",
+    ):
         ws: list[float] = []
         for _ in range(2):
             gc.collect()
@@ -266,6 +273,18 @@ def main() -> None:
             QUERIES[wname](spark, sf_dir).count()
             ws.append(time.perf_counter() - t0)
         wedge_secs[wname] = round(median(ws), 3)
+
+    # Informational (non-gated, r10): the composed-pipeline pair —
+    # declarative (the oracle anchor) vs the staged parquet boundary
+    # that SCALE.md r10 measured 2.7x faster at sf0.1. One rep each
+    # (minutes-scale queries); tracked per round so the staged win is
+    # a trend, not a one-round observation.
+    pipeline_secs: dict[str, float] = {}
+    for pname in ("pipeline_pretrain_corpus", "pipeline_pretrain_corpus_staged"):
+        gc.collect()
+        t0 = time.perf_counter()
+        QUERIES[pname](spark, sf_dir).count()
+        pipeline_secs[pname] = round(time.perf_counter() - t0, 3)
 
     per_query = {name: round(median(ts), 3) for name, ts in samples.items()}
     spread = {
@@ -284,8 +303,12 @@ def main() -> None:
                 "spread": spread,
                 "minhash_warm_query_sec": minhash_warm,
                 "minhash_band2_cold_sec": round(median(band2_samples), 3),
-                # non-headline wedge-family trend (VERDICT r8 #7)
+                # non-headline wedge-family trend (VERDICT r8 #7);
+                # + auto-selector overhead (r10)
                 "wedge_secs": wedge_secs,
+                # non-headline composed-pipeline pair (r10): the
+                # staged-boundary win as a per-round trend
+                "pipeline_secs": pipeline_secs,
                 # per-rep stall attribution: a slow rep with flat
                 # jvm_gc_ms is host noise, not driver GC
                 "minhash_reps": minhash_reps,
