@@ -116,6 +116,69 @@ def near_dup_removed(
     return docs.join(removed, id_col, "left_anti")
 
 
+def gopher_repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc Gopher repetition statistics (Rae et al. 2112.11446
+    Table A1, the character-occupancy half): (id, top2_char_frac,
+    dup5_char_frac, keep) where top2_char_frac is the fraction of
+    lowercased characters covered by the most char-covering word
+    2-gram (a deterministic coverage MAX — no most-frequent tie-break
+    needed), dup5_char_frac the fraction covered by word 5-grams
+    occurring more than once (count·len occupancy), and keep the
+    Table A1 ≤0.20 / ≤0.15 verdict. Plan: one gram explode per n, two
+    hash aggs, one id-keyed join — corpus-linear, no window. The
+    registered `text_gopher_repetition` pins this exact computation
+    against its DuckDB oracle at three scales."""
+    from fairy_spark.operators.text import tokenize, word_ngrams
+
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.lower(F.col(text_col))).alias("_n_chars_lc"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            t.select(
+                "_id", "_n_chars_lc", F.explode(word_ngrams(F.col("_toks"), n)).alias("gram")
+            )
+            .groupBy("_id", "_n_chars_lc", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    c2 = (
+        gram_counts(2)
+        .groupBy("_id", "_n_chars_lc")
+        .agg(F.max(F.col("cnt") * F.length("gram")).cast("bigint").alias("_top2_chars"))
+    )
+    c5 = (
+        gram_counts(5)
+        .groupBy("_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("_dup5_chars")
+        )
+    )
+    top2 = F.col("_top2_chars").cast("double") / F.col("_n_chars_lc")
+    dup5 = (
+        F.coalesce(F.col("_dup5_chars"), F.lit(0)).cast("double") / F.col("_n_chars_lc")
+    )
+    return (
+        c2.join(c5, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(top2, 6).alias("top2_char_frac"),
+            F.round(dup5, 6).alias("dup5_char_frac"),
+            ((top2 <= 0.20) & (dup5 <= 0.15)).alias("keep"),
+        )
+    )
+
+
 BROADCAST_PROBE_DOCS_MAX = 100_000
 
 

@@ -32,6 +32,7 @@ from fairy_spark.operators.text import (
     shingle_set,
     stopword_ratio,
     tokenize,
+    word_ngrams,
 )
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
@@ -1366,6 +1367,80 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_gopher_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, LENGTH(lower(text)) AS n_chars_lc, {_TOKS_SQL} AS toks
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id, n_chars_lc,
+             unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM t
+    ), c2 AS (
+      SELECT doc_id, ANY_VALUE(n_chars_lc) AS n_chars_lc,
+             CAST(MAX(cnt * LENGTH(gram)) AS BIGINT) AS top2_chars
+      FROM (SELECT doc_id, n_chars_lc, gram, COUNT(*) AS cnt
+            FROM g2 GROUP BY doc_id, n_chars_lc, gram)
+      GROUP BY doc_id
+    ), g5 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks)-4, 0)),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM t
+    ), c5 AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(gram) END), 0)
+                  AS BIGINT) AS dup5_chars
+      FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, gram)
+      GROUP BY doc_id
+    )
+    SELECT c2.doc_id,
+           ROUND(CAST(c2.top2_chars AS DOUBLE) / c2.n_chars_lc, 6) AS top2_char_frac,
+           ROUND(CAST(COALESCE(c5.dup5_chars, 0) AS DOUBLE) / c2.n_chars_lc, 6)
+             AS dup5_char_frac,
+           (CAST(c2.top2_chars AS DOUBLE) / c2.n_chars_lc <= 0.20
+            AND CAST(COALESCE(c5.dup5_chars, 0) AS DOUBLE) / c2.n_chars_lc <= 0.15)
+             AS keep
+    FROM c2 LEFT JOIN c5 ON c2.doc_id = c5.doc_id
+    ORDER BY c2.doc_id
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION rule pack (Rae et al. 2112.11446 §A1.1
+    Table A1 — the character-occupancy half that `text_gopher_filters`'
+    word-statistics pack does not cover, and `text_repetition`'s
+    duplicate-trigram COUNT ratio only approximates):
+
+      * top2_char_frac — fraction of (lowercased) characters covered by
+        occurrences of the most char-covering word 2-gram, computed as
+        MAX over grams of count·len(gram) — a deterministic scalar MAX,
+        so no cross-engine most-frequent tie-break is needed (two grams
+        tying on count but differing in length resolve by coverage,
+        which is the quantity the rule thresholds anyway)
+      * dup5_char_frac — fraction of characters covered by word 5-grams
+        occurring more than once: Σ over duplicated grams of
+        count·len(gram). Both use the standard count·length occupancy
+        simplification of the paper's non-overlapping span measure —
+        identical on both engines, stated in the name of exactness.
+      * keep — Table A1 thresholds (top 2-gram ≤ 0.20, dup 5-gram
+        ≤ 0.15), the drop decision a cleaning pipeline composes with
+        the word-statistics pack.
+
+    Plan: one gram explode per n, hash agg per (doc, gram), hash agg
+    per doc, one doc-keyed join — corpus-linear, no window, no
+    driver-side work; gram bytes (not pair counts) bound the shuffle,
+    the same cost shape as dedup_substring_exact's profiled gram
+    digests. Computation lives in operators/pipeline.py
+    gopher_repetition_stats (unit-tested on known-by-construction
+    frames); this row pins it against the oracle."""
+    from fairy_spark.operators.pipeline import gopher_repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_repetition_stats(d).orderBy("doc_id")
 
 
 @register(

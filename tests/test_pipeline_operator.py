@@ -187,3 +187,44 @@ def test_simhash_max_hamming_bound_rejected(spark):
         simhash64_pairs(docs, max_hamming=8)
     # the boundary value is fine
     simhash64_pairs(docs, max_hamming=7)
+
+
+def test_gopher_repetition_stats_known_fractions(spark):
+    # doc 1: "ab cd ab cd ab" (lowercased len 14). Word 2-grams:
+    # "ab cd" x2, "cd ab" x2 -> top coverage = 2*5 = 10 chars -> 10/14.
+    # 5-gram "ab cd ab cd ab" occurs once -> dup5 = 0. keep: top2
+    # 0.714 > 0.20 -> False.
+    # doc 2: "alpha beta gamma delta epsilon" (len 30): every 2-gram
+    # unique -> top coverage = count 1 * len of the longest 2-gram
+    # ("gamma delta"/"delta epsilon"... max len = len("delta epsilon")=13)
+    # -> 13/30 ≈ 0.433 (still > 0.20: short docs are repetition-dense
+    # by construction, which is why Gopher pairs these rules with the
+    # 30-word floor); dup5 = 0.
+    from fairy_spark.operators.pipeline import gopher_repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd ab cd ab"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_stats(docs).collect()}
+    assert rows[1]["top2_char_frac"] == round(10 / 14, 6)
+    assert rows[1]["dup5_char_frac"] == 0.0
+    assert rows[1]["keep"] is False
+    assert rows[2]["top2_char_frac"] == round(13 / 30, 6)
+    assert rows[2]["dup5_char_frac"] == 0.0
+
+
+def test_gopher_repetition_dup5_and_keep(spark):
+    # 10 tokens = the same 5-token phrase twice: the 5-gram
+    # "a1 b2 c3 d4 e5" occurs twice (positions 1 and 6), every other
+    # 5-gram once -> dup5 = 2 * len("aa bb cc dd ee")=2*14=28 over the
+    # lowercased doc length 29 -> 28/29 > 0.15 -> keep False.
+    from fairy_spark.operators.pipeline import gopher_repetition_stats
+
+    phrase = "aa bb cc dd ee"
+    docs = spark.createDataFrame(
+        [(1, phrase + " " + phrase)], "doc_id BIGINT, text STRING"
+    )
+    r = gopher_repetition_stats(docs).collect()[0]
+    assert r["dup5_char_frac"] == round(28 / 29, 6)
+    assert r["keep"] is False
