@@ -130,6 +130,47 @@ def mean_token_len(tokens: Column) -> Column:
     return F.when(F.size(tokens) > 0, total / F.size(tokens)).otherwise(F.lit(0.0))
 
 
+def winnow_fingerprints(tokens: Column, k: int = 4, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS local-fingerprint algorithm, public): hash
+    every token k-gram, then keep the MINIMUM hash of each length-w
+    window of consecutive gram hashes. Guarantee: two documents
+    sharing any token run of length >= k + w - 1 share at least one
+    selected fingerprint, while only ~2/(w+1) of gram hashes are kept
+    — local (per-passage) matching that whole-document fingerprints
+    (rolling_fingerprint) cannot do.
+
+    Returns the DISTINCT selected hashes as array<bigint>. Documents
+    with fewer than w gram windows fall back to the single global min
+    (every doc with >= k tokens keeps >= 1 fingerprint); docs shorter
+    than k tokens return an empty array. All built-in HOFs, one md5
+    per gram, zero shuffle: the window minima come from w-1 shifted
+    zip_with/least passes (the word_ngrams trick — per-index slice
+    inside a transform is quadratic per doc) and ties need no
+    rightmost-position rule because the 60-bit gram hashes are
+    injective for practical purposes AND the output is the distinct
+    hash set, which is tie-order-free by construction."""
+    grams = word_ngrams(tokens, k)
+    hs = F.transform(grams, lambda g: portable_hash64(g, "win"))
+    sz = F.size(hs)
+    z = hs
+    for t in range(1, w):
+        # zip_with pads the shorter (shifted) side with nulls; least()
+        # skips nulls, and the final slice drops the ragged tail where
+        # windows would be short.
+        z = F.zip_with(
+            z,
+            F.slice(hs, t + 1, F.greatest(sz - t, F.lit(0))),
+            lambda a, b: F.least(a, b),
+        )
+    full = F.array_distinct(F.slice(z, 1, F.greatest(sz - (w - 1), F.lit(0))))
+    return (
+        F.when(sz >= w, full)
+        .when(sz > 0, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def rolling_fingerprint(tokens: Column) -> Column:
     """Polynomial rolling hash over the token stream — order-sensitive
     document fingerprint (same docs → same print, permuted docs → different).

@@ -158,6 +158,100 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 3, 0)),
+                            i -> array_to_string(toks[i:i+3], ' ')) AS grams
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, len(grams) AS n_grams,
+             list_transform(grams, g -> {portable_hash_sql('g', 'win')}) AS hs
+      FROM g
+    ),
+    s AS (
+      SELECT doc_id, n_grams,
+             CASE WHEN n_grams >= 4 THEN
+                    list_distinct(list_transform(generate_series(1, n_grams - 3),
+                                                 j -> list_aggregate(hs[j:j+3], 'min')))
+                  WHEN n_grams > 0 THEN [list_aggregate(hs, 'min')]
+                  ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM h
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+    c AS (SELECT fp, COUNT(*) AS nd FROM e GROUP BY fp),
+    sh AS (
+      SELECT e.doc_id, SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_shared
+      FROM e JOIN c USING (fp) GROUP BY e.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(len(fps) AS INTEGER) AS n_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_sort(fps), f -> f % 1000000000)),
+             (a, b) -> (a * 131 + b) % 1000000007) AS fp_checksum,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared_fp
+    FROM s LEFT JOIN sh ON s.doc_id = sh.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD 2003 — MOSS; public): per-doc LOCAL fingerprints = minimum
+    gram hash of every 4-window over token 4-gram hashes, so any two
+    docs sharing a >= 7-token run share a fingerprint — the
+    shared-passage detector whole-doc prints can't express. Per doc:
+    gram/fingerprint counts, an order-pinned checksum over the sorted
+    distinct fingerprint set, and how many of its fingerprints appear
+    in at least one OTHER document (n_shared_fp — the corpus overlap
+    signal that feeds crawl dedup).
+
+    100 TB shape: selection is per-row HOFs (one md5 per gram, zero
+    shuffle, ~2/(w+1) of grams kept); the corpus leg is one hash agg
+    on the fingerprint key + a key join back — cost proportional to
+    selected fingerprints, never doc pairs. Reference analog: fairy
+    stores content under digest keys (common/src/kv_store/mod.rs
+    short_hash); winnowing is that digest discipline applied to
+    passages instead of whole blobs."""
+    from fairy_spark.operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.size(word_ngrams(tokenize(F.col("text")), 4)).alias("n_grams"),
+        winnow_fingerprints(tokenize(F.col("text")), k=4, w=4).alias("fps"),
+    )
+    base = s.select(
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.size("fps").cast("int").alias("n_fp"),
+        F.aggregate(
+            F.array_sort("fps"),
+            F.lit(0).cast("bigint"),
+            lambda a, x: F.pmod(a * 131 + F.pmod(x, F.lit(1000000000)), F.lit(1000000007)),
+        ).alias("fp_checksum"),
+        F.col("fps"),
+    )
+    e = base.select("doc_id", F.explode("fps").alias("fp"))
+    counts = e.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    shared = (
+        e.join(counts, "fp")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("bigint").alias("n_shared_fp"))
+    )
+    return (
+        base.drop("fps")
+        .join(shared, "doc_id", "left")
+        .withColumn("n_shared_fp", F.coalesce("n_shared_fp", F.lit(0).cast("bigint")))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_tf_top",
     oracle=f"""
     WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)

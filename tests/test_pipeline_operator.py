@@ -228,3 +228,68 @@ def test_gopher_repetition_dup5_and_keep(spark):
     r = gopher_repetition_stats(docs).collect()[0]
     assert r["dup5_char_frac"] == round(28 / 29, 6)
     assert r["keep"] is False
+
+
+# --- winnowing fingerprints (operators/text.py::winnow_fingerprints) --------
+
+
+def _winnow_fps(spark, texts, k=4, w=4):
+    from fairy_spark.operators.text import tokenize, winnow_fingerprints
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id BIGINT, text STRING")
+    rows = (
+        df.select("id", winnow_fingerprints(tokenize(F.col("text")), k=k, w=w).alias("fps"))
+        .orderBy("id")
+        .collect()
+    )
+    return [set(r["fps"]) for r in rows]
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # Two docs sharing a k+w-1 = 7-token run MUST share >= 1 fingerprint
+    # (the winnowing guarantee, Schleimer et al. 2003 Thm 1).
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    a, b = _winnow_fps(
+        spark,
+        [
+            "one two three " + shared + " four five six",
+            "red green blue " + shared + " cyan magenta yellow",
+        ],
+    )
+    assert a & b, "7-token shared run produced no shared fingerprint"
+
+
+def test_winnow_disjoint_docs_share_nothing(spark):
+    a, b = _winnow_fps(
+        spark,
+        [
+            "one two three four five six seven eight nine ten",
+            "red green blue cyan magenta yellow black white pink gray",
+        ],
+    )
+    assert not (a & b)
+
+
+def test_winnow_compression_and_short_doc_fallback(spark):
+    full, short, tiny = _winnow_fps(
+        spark,
+        [
+            " ".join(f"t{i}" for i in range(64)),  # 61 grams, 58 windows
+            "a b c d e",                           # 2 grams < w -> single global min
+            "a b c",                               # < k tokens -> no fingerprint
+        ],
+    )
+    # winnowing keeps roughly 2/(w+1) of gram hashes: far fewer than 61
+    assert 1 <= len(full) < 30
+    assert len(short) == 1
+    assert len(tiny) == 0
+
+
+def test_winnow_is_local_prefix_edit_preserves_tail_fingerprints(spark):
+    # Locality: editing the FIRST token leaves fingerprints selected
+    # from windows past the edit untouched (the property global
+    # rolling_fingerprint lacks).
+    base = " ".join(f"w{i}" for i in range(40))
+    edited = "zzz " + base.split(" ", 1)[1]
+    a, b = _winnow_fps(spark, [base, edited])
+    assert a & b, "prefix edit destroyed all fingerprints"
