@@ -130,6 +130,52 @@ def mean_token_len(tokens: Column) -> Column:
     return F.when(F.size(tokens) > 0, total / F.size(tokens)).otherwise(F.lit(0.0))
 
 
+def cdc_chunks(tokens: Column, mod: int = 8) -> Column:
+    """Content-defined chunking (the token-level analog of Rabin/gear
+    CDC used by dedup stores — boundary rule is a pure function of
+    LOCAL content, public since Muthitacharoen et al. LBFS, SOSP 2001):
+    a chunk boundary falls AFTER every token whose portable hash is
+    0 mod `mod`, giving variable-size chunks of expected length `mod`
+    that RE-SYNCHRONIZE after an insertion/deletion — a prefix edit
+    perturbs only the chunks up to the next boundary, unlike
+    fixed-position blocks (dedup_chunks) where one inserted token
+    shifts every downstream block.
+
+    Returns array<string> of space-joined chunk texts covering the
+    token stream exactly (concat of chunks == token stream). Built as
+    ONE linear aggregate() fold over the tokens (accumulator =
+    finished chunks + current chunk): the natural boundary-positions →
+    per-index-slice formulation re-expands the boundary pipeline per
+    chunk index at plan time (Catalyst does not CSE across
+    higher-order functions — the minhash_signature lesson; measured
+    112 s vs 3 s at sf0.01), while the fold touches each token once at
+    runtime. One md5 per token, zero shuffle, corpus-linear."""
+
+    def step(acc: Column, t: Column) -> Column:
+        flag = F.pmod(portable_hash64(t, "cdc"), F.lit(mod)) == 0
+        newcur = F.when(acc["cur"] == "", t).otherwise(
+            F.concat(acc["cur"], F.lit(" "), t)
+        )
+        return F.struct(
+            F.when(flag, F.array_append(acc["done"], newcur))
+            .otherwise(acc["done"])
+            .alias("done"),
+            F.when(flag, F.lit("")).otherwise(newcur).alias("cur"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("done"), F.lit("").alias("cur")
+    )
+    return F.aggregate(
+        tokens,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["cur"] != "", F.array_append(acc["done"], acc["cur"])
+        ).otherwise(acc["done"]),
+    )
+
+
 def winnow_fingerprints(tokens: Column, k: int = 4, w: int = 4) -> Column:
     """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003 — the MOSS local-fingerprint algorithm, public): hash

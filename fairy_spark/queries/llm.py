@@ -2017,6 +2017,91 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    f AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_filter(generate_series(1, len(toks)),
+                         i -> {portable_hash_sql("list_extract(toks, i)", "cdc")} % 8 = 0) AS bpos
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(generate_series(1, len(bpos) + 1),
+                 j -> array_to_string(
+                        toks[list_extract(list_prepend(1, list_transform(bpos, p -> p + 1)), j)
+                             :list_extract(list_append(bpos, n), j)], ' ')),
+               c -> c <> '')) AS chunk
+      FROM f
+    ),
+    e AS (
+      SELECT doc_id, md5(chunk) AS dig,
+             len(string_split(chunk, ' ')) AS ctoks
+      FROM ch
+    ),
+    c AS (SELECT dig, COUNT(DISTINCT doc_id) AS ndocs FROM e GROUP BY dig)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ctoks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN ctoks ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(SUM(ctoks) AS BIGINT) AS dup_tok_ppm
+    FROM e JOIN c USING (dig)
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (LBFS/gear-CDC discipline,
+    Muthitacharoen et al. SOSP 2001, public): chunk boundaries fall
+    after tokens whose portable hash is 0 mod 8, so chunking
+    RE-SYNCHRONIZES after insertions — the variable-size complement to
+    `dedup_chunks`' fixed 8-token blocks, where one inserted token
+    shifts every downstream block and defeats block-level dedup on
+    edited boilerplate. Per doc: chunk count, exact token coverage
+    (chunks partition the stream — n_tokens doubles as a structural
+    self-check), cross-document duplicated-chunk count, and the
+    duplicated-token fraction (ppm, exact integers).
+
+    100 TB shape: chunk build is per-row HOFs (one md5 per token, zero
+    shuffle); the corpus leg keys one hash agg + join back on the
+    32-hex chunk digest, never the chunk text; everything downstream
+    is chunk-count-linear. Reference analog: fairy's chunked transport
+    (`local_kv_options.rs:24` chuck_size) slices blobs at FIXED
+    offsets; CDC is the dedup-aware slicing a cache layer would adopt
+    to share storage across near-identical blobs."""
+    from fairy_spark.operators.text import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(cdc_chunks(tokenize(F.col("text")), mod=8)).alias("chunk"),
+    )
+    e = ch.select(
+        "doc_id",
+        F.md5("chunk").alias("dig"),
+        F.size(F.split("chunk", " ")).alias("ctoks"),
+    )
+    counts = e.groupBy("dig").agg(F.countDistinct("doc_id").alias("ndocs"))
+    dup = F.when(F.col("ndocs") > 1, True)
+    return (
+        e.join(counts, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("ctoks").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("ctoks")).otherwise(0)).cast("bigint").alias("_dup_toks"),
+        )
+        .withColumn("dup_tok_ppm", F.expr("_dup_toks * 1000000L DIV n_tokens"))
+        .drop("_dup_toks")
+        .orderBy("doc_id")
+    )
+
+
 _MH_EST_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents

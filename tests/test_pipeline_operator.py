@@ -293,3 +293,56 @@ def test_winnow_is_local_prefix_edit_preserves_tail_fingerprints(spark):
     edited = "zzz " + base.split(" ", 1)[1]
     a, b = _winnow_fps(spark, [base, edited])
     assert a & b, "prefix edit destroyed all fingerprints"
+
+
+# --- content-defined chunking (operators/text.py::cdc_chunks) ---------------
+
+
+def _cdc(spark, texts, mod=8):
+    from fairy_spark.operators.text import cdc_chunks, tokenize
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id BIGINT, text STRING")
+    rows = (
+        df.select("id", cdc_chunks(tokenize(F.col("text")), mod=mod).alias("ch"))
+        .orderBy("id")
+        .collect()
+    )
+    return [list(r["ch"]) for r in rows]
+
+
+def test_cdc_chunks_partition_the_token_stream(spark):
+    text = " ".join(f"tok{i}" for i in range(100))
+    (chunks,) = _cdc(spark, [text])
+    assert " ".join(chunks) == text.lower()
+    assert len(chunks) > 1  # expected chunk length 8 over 100 tokens
+
+
+def test_cdc_boundary_rule_every_chunk_ends_on_boundary_token(spark):
+    from fairy_spark.operators.text import portable_hash64
+
+    text = " ".join(f"tok{i}" for i in range(100))
+    (chunks,) = _cdc(spark, [text])
+    # recompute the boundary predicate for each chunk's LAST token
+    last_toks = [c.split(" ")[-1] for c in chunks]
+    df = spark.createDataFrame([(t,) for t in last_toks], "t STRING")
+    flags = [
+        r["f"]
+        for r in df.select(
+            (F.pmod(portable_hash64(F.col("t"), "cdc"), F.lit(8)) == 0).alias("f")
+        ).collect()
+    ]
+    # every chunk but possibly the final one ends on a boundary token
+    assert all(flags[:-1])
+
+
+def test_cdc_resyncs_after_prefix_insertion(spark):
+    # THE property fixed blocks lack: inserting one token at the front
+    # only perturbs chunks up to the next boundary; all later chunks
+    # are byte-identical.
+    base = " ".join(f"w{i}" for i in range(120))
+    edited = "zzz " + base
+    a, b = _cdc(spark, [base, edited])
+    shared = set(a) & set(b)
+    assert len(shared) >= len(a) - 2, (
+        f"CDC failed to re-sync: only {len(shared)} of {len(a)} chunks survived a prefix edit"
+    )
