@@ -310,6 +310,61 @@ def ivf_topk(
     )
 
 
+def jl_matrix(k_out: int = 16, dims: int = 64) -> list[list[int]]:
+    """Achlioptas sparse ternary Johnson-Lindenstrauss matrix (public:
+    Achlioptas, PODS 2001): r_jd ∈ {+1, −1, 0} with probabilities
+    {1/6, 1/6, 2/3}, derived from md5('jl{j}:{d}') % 6 — deterministic,
+    no RNG state (SURVEY.md §7.5), computed driver-side so the matrix
+    embeds as LITERALS in the plan (the plane_weights discipline)."""
+    import hashlib
+
+    def entry(j: int, d: int) -> int:
+        h = int(hashlib.md5(f"jl{j}:{d}".encode()).hexdigest()[:15], 16) % 6
+        return 1 if h == 0 else (-1 if h == 1 else 0)
+
+    return [[entry(j, d) for d in range(dims)] for j in range(k_out)]
+
+
+def jl_project(vec: Column, k_out: int = 16, dims: int = 64, scale: int = 1024) -> Column:
+    """Project a float vector to k_out integer components: p_j =
+    Σ_d floor(v_d·scale)·r_jd over the ternary JL matrix — EXACT
+    bigint arithmetic end-to-end (quantize once per value, ±1/0
+    weights), so the projection is bit-identical in any engine and
+    hash-checkable, unlike a float Gaussian projection. Per-row HOFs,
+    zero shuffle; the 2/3-sparse matrix means ~dims/3 adds per output
+    component. The 100 TB use: an 8-byte×k_out sketch of each
+    embedding cheap enough to sort/join/band on before any exact
+    distance work."""
+    q = quantized_vec(vec, scale)
+    rows = jl_matrix(k_out, dims)
+    comps = []
+    for r in rows:
+        w = F.array(*[F.lit(x).cast("bigint") for x in r])
+        comps.append(
+            F.aggregate(
+                F.zip_with(q, w, lambda x, wd: x * wd),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*comps)
+
+
+def jl_project_sql(k_out: int = 16, dims: int = 64, scale: int = 1024, vec: str = "embedding") -> str:
+    """DuckDB list expression mirroring jl_project (same literals,
+    same left-fold order)."""
+    parts = []
+    for r in jl_matrix(k_out, dims):
+        w = "[" + ", ".join(str(x) for x in r) + "]"
+        parts.append(
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            f" list_transform(generate_series(1, {dims}),"
+            f" i -> CAST(floor(CAST({vec}[i] AS DOUBLE) * {scale}) AS BIGINT)"
+            f" * ({w})[i])), (a, b) -> a + b)"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
 def quantized_vec(vec: Column, scale: int = 1024) -> Column:
     """Integer-quantized copy of a float vector: q_d = floor(v_d * scale)
     with scale a power of two, so float→double widening, the multiply,

@@ -2248,6 +2248,92 @@ def ml_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "pos")
 
 
+def _jl_oracle() -> str:
+    from fairy_spark.operators.similarity import jl_project_sql
+
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             {jl_project_sql(16, 64, 1024)} AS proj,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 64),
+                 i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT)
+                      * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT))),
+               (a, b) -> a + b) AS qnorm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(proj, x -> ((x % 1000000000) + 1000000000) % 1000000000)),
+             (a, b) -> (a * 131 + b) % 1000000007) AS proj_checksum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(proj, x -> x * x)), (a, b) -> a + b) AS pnorm,
+           qnorm,
+           CASE WHEN qnorm > 0
+                THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(proj, x -> x * x)), (a, b) -> a + b)
+                     * 3000000 // (16 * qnorm)
+                ELSE 0 END AS norm_ratio_ppm
+    FROM p
+    ORDER BY vec_id
+    """
+
+
+@register("ml_random_projection", oracle=_jl_oracle())
+def ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims
+    (Achlioptas sparse ternary matrix, PODS 2001 — public): the cheap
+    dimensionality cut an embedding pipeline takes BEFORE ANN
+    indexing at 100 TB (4× fewer bytes per vector to shuffle, band,
+    or sort). Entries ±1/0 from the portable md5 stream embed as
+    plan literals; vectors quantize once (floor(v·1024), exact), so
+    every projected component is an exact bigint — the projection is
+    hash-checkable where a float Gaussian JL never is. Output per
+    vector: an order-pinned checksum of the 16 components, exact
+    projected/original squared norms, and the JL norm-preservation
+    ratio in ppm (E[pnorm] = k/3 · qnorm for the ternary matrix, so
+    ratio_ppm concentrates near 1e6 — materializing the property the
+    lemma promises). Zero shuffle: one codegen'd corpus scan."""
+    from fairy_spark.operators.similarity import jl_project, quantized_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id",
+        jl_project(F.col("embedding"), k_out=16, dims=64, scale=1024).alias("proj"),
+        F.aggregate(
+            F.transform(quantized_vec(F.col("embedding"), 1024), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("qnorm"),
+    )
+    d = d.select(
+        "vec_id",
+        F.aggregate(
+            F.col("proj"),
+            F.lit(0).cast("bigint"),
+            lambda a, x: F.pmod(a * 131 + F.pmod(x, F.lit(1000000000)), F.lit(1000000007)),
+        ).alias("proj_checksum"),
+        F.aggregate(
+            F.transform("proj", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("pnorm"),
+        "qnorm",
+    )
+    return d.select(
+        "vec_id",
+        "proj_checksum",
+        "pnorm",
+        "qnorm",
+        F.when(
+            F.col("qnorm") > 0, F.expr("pnorm * 3000000L DIV (16 * qnorm)")
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("norm_ratio_ppm"),
+    ).orderBy("vec_id")
+
+
 @register(
     "ml_embed_quantize_int8",
     oracle="""

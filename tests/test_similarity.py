@@ -159,3 +159,52 @@ def test_pq_adc_single_subspace_equals_exact_l2(spark, emb):
         ds.sort()
         for rn in (1, 2, 3):
             assert pq[(qid, rn)] == (ds[rn - 1][1], ds[rn - 1][0])
+
+
+# --- Johnson-Lindenstrauss ternary projection (jl_project) ------------------
+
+
+def test_jl_project_matches_numpy_exactly(spark, emb):
+    import math
+
+    import numpy as np
+
+    from fairy_spark.operators.similarity import jl_matrix, jl_project
+
+    rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding", jl_project(F.col("embedding")).alias("proj"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    R = np.array(jl_matrix(16, 64), dtype=np.int64)
+    for r in rows:
+        q = np.array([math.floor(float(x) * 1024) for x in r["embedding"]], dtype=np.int64)
+        assert list(R @ q) == list(r["proj"]), f"vec {r['vec_id']} mismatch"
+
+
+def test_jl_pairwise_distances_preserved_in_expectation(spark, emb):
+    # JL with k=16: squared pair distances scaled by 3/k concentrate
+    # around the originals. Check the MEAN ratio over a bounded pair
+    # slice is within +-35% (deterministic matrix, fixed data - this
+    # is a regression pin, not a statistical test).
+    import numpy as np
+
+    from fairy_spark.operators.similarity import jl_matrix
+
+    vecs = {
+        r["vec_id"]: np.array([np.floor(np.float64(x) * 1024) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 24).collect()
+    }
+    R = np.array(jl_matrix(16, 64), dtype=np.int64)
+    ratios = []
+    ids = sorted(vecs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = vecs[ids[i]] - vecs[ids[j]]
+            od = float(d @ d)
+            pd_ = float((R @ d) @ (R @ d))
+            if od > 0:
+                ratios.append(3.0 * pd_ / (16.0 * od))
+    m = sum(ratios) / len(ratios)
+    assert 0.65 < m < 1.35, f"mean JL ratio {m}"
