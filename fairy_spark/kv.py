@@ -399,6 +399,37 @@ class KVStore:
         class (single-writer contract)."""
         latest = self._latest().filter(F.col("value").isNotNull())
         snapshot = latest.select("key", "value", F.lit(1).cast("long").alias("seq"))
+        self._replace_with(snapshot)
+
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Migrate the store to a different hash fanout — the
+        reference's ``num_bucket`` setting (local_kv_options.rs:23)
+        made changeable: every key's bucket id ``pmod(hash(key), n)``
+        changes with n, so the reference would have to re-derive
+        data_path and move every blob file
+        (local_file_kv_store.rs:62-70); here it is ONE bucketBy
+        shuffle of the log into the new layout plus the compact()
+        crash-safe swap discipline. The FULL history is preserved
+        (every seq — scan_as_of / time travel survive the migration:
+        this is a layout move, not a compaction), and point-lookup
+        bucket pruning works immediately at the new fanout. O(store),
+        run like a major compaction. Single-writer contract applies."""
+        if new_num_buckets == self.num_buckets or not self._exists_table():
+            self.num_buckets = new_num_buckets
+            return
+        snapshot = self._log().select("key", "value", "seq")
+        old = self.num_buckets
+        self.num_buckets = new_num_buckets
+        try:
+            self._replace_with(snapshot)
+        except Exception:
+            self.num_buckets = old
+            raise
+
+    def _replace_with(self, snapshot: DataFrame) -> None:
+        """Atomically replace the backing table with ``snapshot``
+        (written at the CURRENT ``self.num_buckets``), using the
+        crash-safe swap order documented on compact()."""
         if self.location is not None:
             self._compact_external(snapshot)
             return

@@ -680,6 +680,106 @@ def kv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kv_rebucket",
+    oracle="""
+    WITH snap1 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS k, text AS v
+      FROM documents WHERE doc_id < 80
+    ), cur AS (
+      SELECT CAST(doc_id AS VARCHAR) AS k,
+             CASE WHEN doc_id < 40 THEN upper(text) ELSE text END AS v
+      FROM documents
+      WHERE doc_id < 80 AND NOT (doc_id BETWEEN 40 AND 49)
+    )
+    SELECT 'asof' AS phase, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(concat('0x', substr(md5(k || ':' || v), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT) AS checksum
+    FROM snap1
+    UNION ALL
+    SELECT 'current', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(concat('0x', substr(md5(k || ':' || v), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT)
+    FROM cur
+    UNION ALL
+    SELECT 'layout', (SELECT COUNT(*) FROM cur), 16
+    ORDER BY phase
+    """,
+)
+def kv_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-fanout migration on the REAL store (kv.py::rebucket):
+    the reference's ``num_bucket`` setting (local_kv_options.rs:23)
+    fixes every blob's placement dir at write time
+    (local_file_kv_store.rs:62-70 ``hash % num_bucket``), so changing
+    it would strand every existing key in the wrong bucket — the
+    classic resharding problem. Here: ingest 80 docs at fanout 4,
+    overwrite half, tombstone ten, then ``rebucket(16)`` — ONE
+    bucketBy shuffle of the log into the new layout behind the
+    compact() swap discipline. The oracle pins that BOTH the current
+    state AND the pre-overwrite MVCC snapshot (scan_as_of across the
+    migration — history must move with the layout) hash-match the
+    independently derived states, and the 'layout' row pins the
+    catalog's post-migration bucket count to literal 16 — a rebucket
+    that silently kept the old layout fails structurally. Scale:
+    O(store) one-shuffle migration, exactly what an operator does to
+    a 100 TB store when key cardinality outgrows the fanout."""
+    from fairy_spark.kv import KVStore
+    from fairy_spark.operators.text import portable_hash64
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.encode(F.col("text"), "UTF-8").alias("value"),
+            F.col("doc_id").alias("did"),
+            F.col("text"),
+        )
+    )
+    kv = KVStore(spark, name="rebucket_probe", num_buckets=4)
+    kv.drop()
+    kv.put_df(docs.select("key", "value"))
+    s1 = kv.current_seq()
+    kv.put_df(
+        docs.filter(F.col("did") < 40).select(
+            "key", F.encode(F.upper(F.col("text")), "UTF-8").alias("value")
+        )
+    )
+    kv.delete_batch([str(i) for i in range(40, 50)])
+    kv.rebucket(16)
+    # post-migration fanout, read back from the catalog (bounded)
+    n_buckets = 0
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {kv.table}").collect():
+        if row["col_name"] == "Num Buckets":
+            n_buckets = int(row["data_type"])
+
+    def checksum(df: DataFrame, phase: str) -> DataFrame:
+        kv_str = F.concat(F.col("key"), F.lit(":"), F.col("value").cast("string"))
+        return df.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            (F.sum(portable_hash64(kv_str).cast("decimal(38,0)"))
+             % 1000000000000000)
+            .cast("bigint")
+            .alias("checksum"),
+        ).select(F.lit(phase).alias("phase"), "n_keys", "checksum")
+
+    layout = (
+        kv.scan()
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .select(
+            F.lit("layout").alias("phase"),
+            F.col("n_keys").cast("bigint"),
+            F.lit(n_buckets).cast("bigint").alias("checksum"),
+        )
+    )
+    return (
+        checksum(kv.scan_as_of(s1), "asof")
+        .unionAll(checksum(kv.scan(), "current"))
+        .unionAll(layout)
+        .orderBy("phase")
+    )
+
+
+@register(
     "kv_compaction_equivalence",
     oracle="""
     WITH live AS (

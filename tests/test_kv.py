@@ -445,3 +445,62 @@ def test_multi_get_in_filter_in_plan(kv):
     df = kv._log().filter(F.col("key").isin(["a", "b"]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "key#" in plan and " IN (a,b)" in plan, plan
+
+
+def test_rebucket_preserves_state_and_history(kv):
+    kv.put_batch([(f"k{i}", f"v{i}".encode()) for i in range(20)])
+    s1 = kv.current_seq()
+    kv.put("k3", b"v3-new")
+    kv.delete("k7")
+    kv.rebucket(32)
+    assert kv.num_buckets == 32
+    # current state survives the layout move
+    assert kv.get("k3") == b"v3-new"
+    assert kv.multi_get(["k1", "k7", "k19"]) == {"k1": b"v1", "k19": b"v19"}
+    with pytest.raises(KeyNotFound):
+        kv.get("k7")
+    # MVCC history moved with the layout
+    asof = {r["key"]: bytes(r["value"]) for r in kv.scan_as_of(s1).collect()}
+    assert asof["k3"] == b"v3" and asof["k7"] == b"v7"
+    # catalog really carries the new fanout
+    nb = {
+        r["col_name"]: r["data_type"]
+        for r in kv.spark.sql(f"DESCRIBE TABLE EXTENDED {kv.table}").collect()
+    }
+    assert int(nb["Num Buckets"]) == 32
+
+
+def test_rebucket_same_fanout_is_noop(kv):
+    kv.put("a", b"1")
+    kv.rebucket(kv.num_buckets)
+    assert kv.get("a") == b"1"
+
+
+def test_rebucket_point_lookup_still_bucket_pruned(kv):
+    kv.put_batch([(f"k{i}", b"x") for i in range(16)])
+    kv.rebucket(4)
+    plan = kv._log().filter("key = 'k5'")._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+
+
+def test_rebucket_location_store_survives_restart(kv_loc, spark):
+    kv_loc.put_batch([("a", b"1"), ("b", b"2")])
+    kv_loc.put("a", b"3")
+    kv_loc.rebucket(8)
+    assert kv_loc.get("a") == b"3"
+    spark.sql(f"DROP TABLE IF EXISTS {kv_loc.table}")  # catalog amnesia
+    fresh = KVStore(
+        spark, name="durable_test", num_buckets=8, location=kv_loc.location
+    )
+    assert fresh.get("a") == b"3"
+    assert fresh.get("b") == b"2"
+
+
+def test_rebucket_then_compact_composes(kv):
+    kv.put_batch([(f"k{i}", b"x") for i in range(10)])
+    kv.put("k0", b"y")
+    kv.rebucket(16)
+    kv.compact()
+    assert kv.get("k0") == b"y"
+    assert kv.scan().count() == 10
+    assert kv._log().count() == 10  # compact folded history at new fanout
