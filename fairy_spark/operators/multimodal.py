@@ -183,3 +183,70 @@ def audio_energy_windows(media: DataFrame, window_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(gen, AUDIO_ENERGY_SCHEMA)
+
+
+IMAGE_POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("n_out_bytes", T.LongType()),
+        T.StructField("pool_checksum", T.LongType()),
+    ]
+)
+
+
+def image_downsample_pool(media: DataFrame, in_w: int = 16) -> DataFrame:
+    """2×2 average-pool downsample — the IMAGE-PIXEL leg of the
+    multimodal family (resize_stub covers geometry only; this touches
+    the pixels): payload bytes stand in for a row-major in_w-wide
+    8-bit grayscale image (deterministic fake decode, same discipline
+    as audio_energy_windows; a real decoder slots in at the reshape),
+    each 2×2 block reduces to floor(mean) in EXACT integer arithmetic
+    inside an Arrow-vectorized mapInPandas, and the pooled image is
+    rebuilt as real bytes (the stage's actual output at scale — here
+    reduced to dims + an order-pinned checksum so the result is
+    engine-hashable without shipping blobs through the oracle).
+
+    The Python boundary emits integers only; numpy does the strided
+    2×2 sums without per-pixel Python. Fan-out is one row per payload
+    (row-linear, no shuffle)."""
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "in_w", "in_h", "out_w", "out_h",
+                    "n_out_bytes", "pool_checksum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(
+                    bytes(payload) if payload is not None else b"", np.uint8
+                ).astype(np.int64)
+                in_h = len(b) // in_w
+                ow, oh = in_w // 2, in_h // 2
+                if oh > 0:
+                    img = b[: in_h * in_w].reshape(in_h, in_w)[: oh * 2, : ow * 2]
+                    pooled = (
+                        img[0::2, 0::2] + img[0::2, 1::2]
+                        + img[1::2, 0::2] + img[1::2, 1::2]
+                    ) // 4
+                    flat = pooled.ravel()
+                    # the stage's real product: pooled bytes
+                    blob = pooled.astype(np.uint8).tobytes()
+                    cs = 0
+                    for v in flat.tolist():
+                        cs = (cs * 131 + int(v)) % 1000000007
+                else:
+                    blob, flat, cs = b"", np.array([], np.int64), 0
+                out["media_id"].append(mid)
+                out["in_w"].append(in_w)
+                out["in_h"].append(in_h)
+                out["out_w"].append(ow if oh > 0 else 0)
+                out["out_h"].append(oh)
+                out["n_out_bytes"].append(len(blob))
+                out["pool_checksum"].append(cs)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(gen, IMAGE_POOL_SCHEMA)

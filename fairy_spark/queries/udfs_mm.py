@@ -555,3 +555,63 @@ def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("frame_index", F.col("frame_index").cast("int"))
         .orderBy("media_id", "frame_index")
     )
+
+
+@register(
+    "mm_image_downsample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             CAST(LENGTH(text) AS INTEGER) AS n
+      FROM documents WHERE doc_id <= 60
+    ), d AS (
+      SELECT media_id, text, n // 16 AS in_h, (n // 16) // 2 AS oh FROM m
+    ), p AS (
+      SELECT media_id, in_h, oh,
+             CASE WHEN oh > 0 THEN
+               list_transform(generate_series(0, oh * 8 - 1), idx ->
+                 ( ord(substr(text, ((idx // 8) * 2) * 16 + ((idx % 8) * 2) + 1, 1))
+                 + ord(substr(text, ((idx // 8) * 2) * 16 + ((idx % 8) * 2) + 2, 1))
+                 + ord(substr(text, ((idx // 8) * 2 + 1) * 16 + ((idx % 8) * 2) + 1, 1))
+                 + ord(substr(text, ((idx // 8) * 2 + 1) * 16 + ((idx % 8) * 2) + 2, 1))
+                 ) // 4)
+             ELSE CAST([] AS BIGINT[]) END AS pooled
+      FROM d
+    )
+    SELECT media_id,
+           16 AS in_w,
+           CAST(in_h AS INTEGER) AS in_h,
+           CAST(CASE WHEN oh > 0 THEN 8 ELSE 0 END AS INTEGER) AS out_w,
+           CAST(oh AS INTEGER) AS out_h,
+           CAST(len(pooled) AS BIGINT) AS n_out_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), pooled),
+                       (a, b) -> (a * 131 + b) % 1000000007) AS pool_checksum
+    FROM p
+    ORDER BY media_id
+    """,
+)
+def mm_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 average-pool image downsample — the image-PIXEL leg of the
+    multimodal family (mm_frame_extract slices bytes, resize covers
+    geometry; this is the stage that actually reduces pixels):
+    payload bytes stand in for a 16-wide row-major 8-bit grayscale
+    image, every 2×2 block floors to its integer mean inside an
+    Arrow-vectorized mapInPandas
+    (operators/multimodal.py::image_downsample_pool), the pooled
+    image is rebuilt as REAL bytes executor-side, and the row ships
+    dims + an order-pinned checksum over the pooled pixel stream so
+    the whole pixel algebra is engine-hashable (ASCII corpus ⇒
+    byte == ord, the mm_frame_extract discipline). The Python
+    boundary emits integers only; numpy does the strided 2×2 sums.
+    Scale: one row per payload, row-linear, no shuffle before the
+    presentation sort — exactly how a 100 TB thumbnail pass runs,
+    with a real decoder slotting in at the reshape."""
+    from fairy_spark.operators.multimodal import image_downsample_pool
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 60)
+    media = media_table_from_documents(docs)
+    return (
+        image_downsample_pool(media, in_w=16)
+        .withColumn("in_w", F.col("in_w").cast("int"))
+        .orderBy("media_id")
+    )

@@ -208,3 +208,45 @@ def test_jl_pairwise_distances_preserved_in_expectation(spark, emb):
                 ratios.append(3.0 * pd_ / (16.0 * od))
     m = sum(ratios) / len(ratios)
     assert 0.65 < m < 1.35, f"mean JL ratio {m}"
+
+
+# --- multimodal image downsample (image_downsample_pool) --------------------
+
+
+def test_image_downsample_pool_exact_pixel_algebra(spark):
+    import numpy as np
+
+    from fairy_spark.operators.multimodal import image_downsample_pool
+
+    # 16x5 "image" (80 bytes) + 7 tail bytes that must be truncated;
+    # odd height 5 -> bottom row dropped by the 2x2 pool
+    rng = np.random.RandomState(7)
+    raw = rng.randint(0, 256, 87).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(raw.tobytes()))], "media_id LONG, payload BINARY"
+    )
+    (row,) = image_downsample_pool(df, in_w=16).collect()
+    assert (row["in_w"], row["in_h"], row["out_w"], row["out_h"]) == (16, 5, 8, 2)
+    img = raw[:80].reshape(5, 16).astype(np.int64)[:4]
+    pooled = (img[0::2, 0::2] + img[0::2, 1::2] + img[1::2, 0::2] + img[1::2, 1::2]) // 4
+    cs = 0
+    for v in pooled.ravel().tolist():
+        cs = (cs * 131 + int(v)) % 1000000007
+    assert row["n_out_bytes"] == 16
+    assert row["pool_checksum"] == cs
+
+
+def test_image_downsample_pool_short_payload_degenerates(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"0123456789")), (2, None)], "media_id LONG, payload BINARY"
+    )
+    rows = {r["media_id"]: r for r in image_pool_rows(spark, df)}
+    for mid in (1, 2):
+        r = rows[mid]
+        assert (r["out_w"], r["out_h"], r["n_out_bytes"], r["pool_checksum"]) == (0, 0, 0, 0)
+
+
+def image_pool_rows(spark, df):
+    from fairy_spark.operators.multimodal import image_downsample_pool
+
+    return image_downsample_pool(df, in_w=16).collect()
