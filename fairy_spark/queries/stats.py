@@ -672,3 +672,103 @@ def stats_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.atan2(2 * b, a - c) / 2, 6).alias("principal_angle"),
         F.round((a + c + disc) / (2 * (a + c)), 6).alias("explained_ratio"),
     )
+
+
+@register(
+    "stats_spearman",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sp
+      FROM orders GROUP BY o_custkey
+    ), j AS (
+      SELECT c_nationkey AS nk, c_acctbal AS x, COALESCE(sp, 0) AS y
+      FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+    ), r AS (
+      SELECT nk,
+             2 * RANK() OVER (PARTITION BY nk ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY nk, x) - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY nk ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY nk, y) - 1 AS ry
+      FROM j
+    ), s AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+             SUM(rx * ry) AS sxy
+      FROM r GROUP BY nk
+    )
+    SELECT CAST(nk AS BIGINT) AS nationkey, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) / 1000000.0
+           ELSE 0.0 END AS spearman_rs
+    FROM s
+    ORDER BY nationkey
+    """,
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per nation between customer account
+    balance and realized spend — the tie-correct form: average ranks
+    (encoded as the INTEGER 2·RANK + tiecount − 1, exact in any
+    engine) fed through Pearson-on-ranks with the agg_corr_matrix
+    co-sum discipline (decimal(38,0) sums, one closed-form IEEE
+    sequence, half-up 6-decimal round). The 6Σd² shortcut would be
+    biased here — the zero-spend customers tie heavily. Plan: one
+    spend hash agg + one key join, then BOTH rank windows and both
+    peer-count frames ride ONE nation exchange (two sorts, no second
+    shuffle — the peer count is a rangeBetween(0,0) frame over the
+    same sort, not a (nation,value) repartition); co-sums are one
+    hash agg. 100 TB: rank windows partition by nation (bounded
+    fan-in per key is the usual caveat; per-group cardinality here is
+    corpus/25), everything shipped between workers is 6 numbers per
+    nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("sp")
+    )
+    j = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_acctbal").alias("x"),
+            F.coalesce("sp", F.lit(0)).alias("y"),
+        )
+    )
+    wx = Window.partitionBy("nk").orderBy("x")
+    wy = Window.partitionBy("nk").orderBy("y")
+    r = j.select(
+        "nk",
+        (2 * F.rank().over(wx)
+         + F.count(F.lit(1)).over(wx.rangeBetween(0, 0)) - 1).alias("rx"),
+        (2 * F.rank().over(wy)
+         + F.count(F.lit(1)).over(wy.rangeBetween(0, 0)) - 1).alias("ry"),
+    )
+    D = "decimal(38,0)"
+    rx, ry = F.col("rx").cast(D), F.col("ry").cast(D)
+    s = r.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rx).alias("sx"),
+        F.sum(ry).alias("sy"),
+        F.sum(rx * rx).alias("sxx"),
+        F.sum(ry * ry).alias("syy"),
+        F.sum(rx * ry).alias("sxy"),
+    )
+    n = F.col("n").cast(D)
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    rs = F.floor(
+        cov.cast("double")
+        / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint") / 1000000.0
+    return s.select(
+        F.col("nk").cast("bigint").alias("nationkey"),
+        "n",
+        F.when((varx > 0) & (vary > 0), rs).otherwise(F.lit(0.0)).alias("spearman_rs"),
+    ).orderBy("nationkey")
