@@ -45,6 +45,25 @@ from fairy_spark.operators.text import (
 )
 
 
+def gopher_keep_col(text_col: str = "text"):
+    """The Gopher rule-pack keep predicate as a single boolean Column
+    (word-count band, mean-word-length band, alphabetic-ratio floor,
+    stopword floor) — shared by the filter stage and the per-source
+    report so both grade documents with the IDENTICAL expression."""
+    toks = tokenize(F.col(text_col))
+    n_words = F.size(toks)
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double") / n_words
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return (
+        n_words.between(30, 10000)
+        & mean_token_len(toks).between(3, 10)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+
+
 def gopher_quality_filter(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Rows of ``docs`` passing the Gopher rule pack (word-count band,
     mean-word-length band, alphabetic-ratio floor, stopword floor).
@@ -52,19 +71,7 @@ def gopher_quality_filter(docs: DataFrame, id_col: str = "doc_id", text_col: str
     The keep predicate is built inline (no temp columns), so caller
     frames with ANY column names pass through untouched — Catalyst
     common-subexpression-eliminates the repeated tokenize."""
-    toks = tokenize(F.col(text_col))
-    n_words = F.size(toks)
-    alpha_ratio = (
-        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double") / n_words
-    )
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    keep = (
-        n_words.between(30, 10000)
-        & mean_token_len(toks).between(3, 10)
-        & (alpha_ratio >= 0.8)
-        & (stop_hits >= 2)
-    )
-    return docs.filter(keep)
+    return docs.filter(gopher_keep_col(text_col))
 
 
 def near_dup_removed(

@@ -5012,3 +5012,79 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(SUM(freq * toks) AS BIGINT) * 1000000)"
         " DIV CAST(SUM(freq * chars) AS BIGINT) AS compression_ppm",
     )
+
+
+@register(
+    "pipeline_source_report",
+    oracle=f"""
+    WITH t AS (SELECT source, text, {_TOKS_SQL} AS toks FROM documents),
+    d AS (
+      SELECT source, sha256(text) AS dig, LEN(toks) AS n_words,
+             CASE WHEN LEN(toks) BETWEEN 30 AND 10000
+                   AND (list_reduce(list_prepend(0.0,
+                          list_transform(toks, x -> CAST(LENGTH(x) AS DOUBLE))),
+                          (a,b) -> a+b) / LEN(toks)) BETWEEN 3 AND 10
+                   AND (CAST(LEN(list_filter(toks,
+                          x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+                        / LEN(toks)) >= 0.8
+                   AND LEN(list_filter(toks,
+                          x -> list_contains({_STOPWORDS_SQL}, x))) >= 2
+             THEN 1 ELSE 0 END AS keep
+      FROM t
+    ),
+    c AS (SELECT dig, COUNT(*) AS cnt FROM d GROUP BY dig)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.keep) AS BIGINT) * 1000000 // COUNT(*) AS gopher_keep_ppm,
+           CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // COUNT(*) AS exact_dup_ppm,
+           CAST(SUM(d.n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(d.n_words) AS BIGINT) // COUNT(*) AS mean_tokens
+    FROM d JOIN c USING (dig)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the dashboard a data curator
+    reads before deciding mixture weights: document count, Gopher
+    rule-pack keep rate (the EXACT predicate the filter stage applies,
+    shared via operators/pipeline.py::gopher_keep_col), exact-duplicate
+    incidence (docs whose sha2 digest appears more than once
+    corpus-wide — cross-source copies count in every source holding
+    one), and token volume. All ratios are exact integer ppm.
+
+    Plan: ONE corpus scan computes (source, digest, n_words, keep) —
+    the quality predicate and tokenize share a codegen span; one hash
+    agg on the 64-hex digest + a digest-keyed join back (never doc
+    pairs); one per-source agg. At 100 TB this is the cheapest
+    full-corpus pass that yields per-source curation signals — and at
+    ~5 sources the final agg ships 5 rows."""
+    from fairy_spark.operators.pipeline import gopher_keep_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.sha2(F.col("text"), 256).alias("dig"),
+        F.size(tokenize(F.col("text"))).alias("n_words"),
+        gopher_keep_col("text").cast("int").alias("keep"),
+    )
+    counts = d.groupBy("dig").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        d.join(counts, "dig")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("_keeps"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("bigint").alias("_dups"),
+            F.sum("n_words").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("_keeps * 1000000L DIV n_docs").alias("gopher_keep_ppm"),
+            F.expr("_dups * 1000000L DIV n_docs").alias("exact_dup_ppm"),
+            "total_tokens",
+            F.expr("total_tokens DIV n_docs").alias("mean_tokens"),
+        )
+        .orderBy("source")
+    )
