@@ -108,6 +108,42 @@ class Engine:
             docs, id_col=id_col, text_col=text_col, max_hamming=max_hamming
         )
 
+    def dedup_cdc(self, docs: DataFrame, mod: int = 8, text_col: str = "text") -> DataFrame:
+        """Content-defined chunks per document (LBFS-style boundary
+        rule — re-syncs after edits where fixed blocks shift;
+        operators/text.py::cdc_chunks, the plan `dedup_cdc_chunks`
+        pins). Returns (id columns…, chunk) exploded rows ready for a
+        digest-keyed corpus dedup agg."""
+        from pyspark.sql import functions as F
+
+        from fairy_spark.operators.text import cdc_chunks, tokenize
+
+        return docs.withColumn(
+            "chunk", F.explode(cdc_chunks(tokenize(F.col(text_col)), mod=mod))
+        ).drop(text_col)
+
+    def fingerprints(self, docs: DataFrame, k: int = 4, w: int = 4, text_col: str = "text") -> DataFrame:
+        """Winnowing local fingerprints per document (Schleimer et al.
+        2003; operators/text.py::winnow_fingerprints — the plan
+        `text_winnow_fingerprint` pins): any two docs sharing a
+        >= k+w-1-token run share a fingerprint. Returns the input
+        plus a `fingerprints` array<bigint> column."""
+        from pyspark.sql import functions as F
+
+        from fairy_spark.operators.text import tokenize, winnow_fingerprints
+
+        return docs.withColumn(
+            "fingerprints", winnow_fingerprints(tokenize(F.col(text_col)), k=k, w=w)
+        )
+
+    def source_report(self, docs: DataFrame, source_col: str = "source") -> DataFrame:
+        """Per-source curation report card (the registered
+        `pipeline_source_report` over an arbitrary documents frame):
+        n_docs, Gopher keep ppm, exact-dup ppm, token volume/mean."""
+        from fairy_spark.operators.pipeline import source_report
+
+        return source_report(docs, source_col=source_col)
+
     def pretrain_corpus(
         self,
         docs: DataFrame,

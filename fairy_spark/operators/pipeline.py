@@ -64,6 +64,44 @@ def gopher_keep_col(text_col: str = "text"):
     )
 
 
+def source_report(docs: DataFrame, source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Per-source curation report card: n_docs, Gopher keep rate (the
+    IDENTICAL gopher_keep_col predicate the filter stage applies),
+    exact-duplicate incidence (sha2 digest seen more than once
+    corpus-wide), token volume and mean — exact integer ppm. ONE
+    corpus scan → one digest-keyed hash agg + join back → one
+    per-source agg; never doc pairs. Registered + oracle-checked as
+    `pipeline_source_report`."""
+    from fairy_spark.operators.text import tokenize as _tok
+
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.sha2(F.col(text_col), 256).alias("dig"),
+        F.size(_tok(F.col(text_col))).alias("n_words"),
+        gopher_keep_col(text_col).cast("int").alias("keep"),
+    )
+    counts = d.groupBy("dig").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        d.join(counts, "dig")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("_keeps"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("bigint").alias("_dups"),
+            F.sum("n_words").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("_keeps * 1000000L DIV n_docs").alias("gopher_keep_ppm"),
+            F.expr("_dups * 1000000L DIV n_docs").alias("exact_dup_ppm"),
+            "total_tokens",
+            F.expr("total_tokens DIV n_docs").alias("mean_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def gopher_quality_filter(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Rows of ``docs`` passing the Gopher rule pack (word-count band,
     mean-word-length band, alphabetic-ratio floor, stopword floor).

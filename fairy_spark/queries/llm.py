@@ -5060,31 +5060,6 @@ def pipeline_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs); one per-source agg. At 100 TB this is the cheapest
     full-corpus pass that yields per-source curation signals — and at
     ~5 sources the final agg ships 5 rows."""
-    from fairy_spark.operators.pipeline import gopher_keep_col
+    from fairy_spark.operators.pipeline import source_report
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "source",
-        F.sha2(F.col("text"), 256).alias("dig"),
-        F.size(tokenize(F.col("text"))).alias("n_words"),
-        gopher_keep_col("text").cast("int").alias("keep"),
-    )
-    counts = d.groupBy("dig").agg(F.count(F.lit(1)).alias("cnt"))
-    return (
-        d.join(counts, "dig")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("keep").cast("bigint").alias("_keeps"),
-            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("bigint").alias("_dups"),
-            F.sum("n_words").cast("bigint").alias("total_tokens"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            F.expr("_keeps * 1000000L DIV n_docs").alias("gopher_keep_ppm"),
-            F.expr("_dups * 1000000L DIV n_docs").alias("exact_dup_ppm"),
-            "total_tokens",
-            F.expr("total_tokens DIV n_docs").alias("mean_tokens"),
-        )
-        .orderBy("source")
-    )
+    return source_report(load_table(spark, sf_dir, "documents"))

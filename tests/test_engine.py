@@ -137,3 +137,20 @@ def test_pretrain_corpus_scale_geometry_through_engine(engine, spark, sf_dir):
     assert out, "scale-geometry pipeline produced no survivors"
     for r in out[:20]:
         assert r["split"] in ("train", "valid", "test")
+
+
+def test_engine_cdc_fingerprints_source_report(spark, sf_dir):
+    from fairy_spark.engine import Engine
+    from fairy_spark.queries import QUERIES
+    from fairy_spark.sources.tables import load_table
+
+    eng = Engine(spark)
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    ch = eng.dedup_cdc(docs)
+    assert "chunk" in ch.columns and ch.count() > 50
+    fp = eng.fingerprints(docs)
+    assert fp.filter("size(fingerprints) = 0").count() == 0
+    # façade == registered query on the same frame
+    rep = eng.source_report(load_table(spark, sf_dir, "documents")).collect()
+    reg = QUERIES["pipeline_source_report"](spark, sf_dir).collect()
+    assert rep == reg

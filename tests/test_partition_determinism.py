@@ -27,6 +27,13 @@ SWEEP = [
     "text_tfidf",
     "sketch_hll",
     "agg_weighted_median",
+    # r10 breadth rows: exact-integer by design; the sweep proves the
+    # corpus-overlap joins and rank windows don't leak arrival order
+    "stats_spearman",
+    "text_winnow_fingerprint",
+    "dedup_cdc_chunks",
+    "ml_random_projection",
+    "pipeline_source_report",
 ]
 
 
