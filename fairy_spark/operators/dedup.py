@@ -757,3 +757,68 @@ def simhash64_pairs(
         )
         .distinct()
     )
+
+
+def winnow_best_match(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_df: int = 2,
+    max_df: int = 50,
+):
+    """Per-document best match by shared WINNOWING fingerprints — the
+    MOSS report shape (Schleimer et al. 2003 §5, public): explode each
+    doc's winnowed fingerprint set, drop fingerprints appearing in
+    fewer than ``min_df`` docs (unshareable) or more than ``max_df``
+    docs (boilerplate "stop fingerprints" — the frequency cap that
+    bounds every fingerprint bucket's self-join fan-out at max_df², the
+    same move MOSS makes for common code idioms), equi-join on the
+    fingerprint key, aggregate shared counts per pair, then keep each
+    doc's best partner (most shared fingerprints, ties to smallest
+    partner id).
+
+    Returns (id, match_id, shared_fp, n_fp, score_ppm) with score =
+    shared / min(|fp_a|, |fp_b|) in exact integer ppm. Plan: fp
+    explode → fp-count hash agg → capped fp self-join → pair hash agg
+    → per-doc top-1 window (bounded per doc) — cost ∝ Σ_fp min(df,
+    max_df)², never doc pairs. Complements minhash (set overlap) and
+    simhash (fingerprint distance): winnowing matches PASSAGES, so a
+    doc embedding a long quote of another surfaces here even when its
+    global similarity is low."""
+    from pyspark.sql import Window
+
+    from fairy_spark.operators.text import tokenize, winnow_fingerprints
+
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprints(tokenize(F.col(text_col)), k=k, w=w).alias("fps"),
+    ).select("id", F.size("fps").alias("n_fp"), F.explode("fps").alias("fp"))
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    keep = fps.join(
+        df_counts.filter((F.col("df") >= min_df) & (F.col("df") <= max_df)), "fp"
+    ).select("id", "n_fp", "fp")
+    a, b = keep.alias("a"), keep.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id"),
+            F.col("a.n_fp").alias("n_fp"),
+            F.col("b.id").alias("match_id"),
+            F.col("b.n_fp").alias("n_fp_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+    )
+    scored = pairs.withColumn(
+        "score_ppm",
+        F.expr("shared_fp * 1000000L DIV least(n_fp, n_fp_b)"),
+    )
+    top = Window.partitionBy("id").orderBy(
+        F.desc("shared_fp"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select("id", "match_id", "shared_fp", F.col("n_fp").cast("int"), "score_ppm")
+    )

@@ -252,6 +252,80 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 3, 0)),
+                            i -> array_to_string(toks[i:i+3], ' ')) AS grams
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, len(grams) AS n_grams,
+             list_transform(grams, g -> {portable_hash_sql('g', 'win')}) AS hs
+      FROM g
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN n_grams >= 4 THEN
+                    list_distinct(list_transform(generate_series(1, n_grams - 3),
+                                                 j -> list_aggregate(hs[j:j+3], 'min')))
+                  WHEN n_grams > 0 THEN [list_aggregate(hs, 'min')]
+                  ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM h
+    ),
+    e AS (SELECT doc_id AS id, len(fps) AS n_fp, unnest(fps) AS fp FROM s),
+    dfc AS (SELECT fp, COUNT(*) AS df FROM e GROUP BY fp),
+    keep AS (
+      SELECT id, n_fp, e.fp FROM e JOIN dfc USING (fp)
+      WHERE df BETWEEN 2 AND 50
+    ),
+    p AS (
+      SELECT a.id AS id, a.n_fp AS n_fp, b.id AS match_id, b.n_fp AS n_fp_b,
+             COUNT(*) AS shared_fp
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.id <> b.id
+      GROUP BY 1, 2, 3, 4
+    ),
+    sc AS (
+      SELECT id, match_id, shared_fp, n_fp,
+             shared_fp * 1000000 // least(n_fp, n_fp_b) AS score_ppm,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY shared_fp DESC, match_id ASC) AS rn
+      FROM p
+    )
+    SELECT id, match_id, CAST(shared_fp AS BIGINT) AS shared_fp,
+           CAST(n_fp AS INTEGER) AS n_fp, CAST(score_ppm AS BIGINT) AS score_ppm
+    FROM sc WHERE rn = 1
+    ORDER BY id
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document best match by shared winnowing fingerprints — the
+    MOSS report (Schleimer et al. 2003 §5): the passage-level dedup
+    JOIN built on `text_winnow_fingerprint`'s selection. Fingerprints
+    in >50 docs are dropped as boilerplate "stop fingerprints" (the
+    frequency cap that bounds every bucket's self-join fan-out at
+    max_df² — MOSS's own move for common idioms), <2 are unshareable;
+    the rest equi-join on the fingerprint key, pair counts aggregate,
+    and each doc keeps its best partner (most shared prints, ties to
+    smallest id) with the containment-style score in exact ppm.
+
+    100 TB shape: fp explode (0.39× grams, SCALE.md r10) → fp-count
+    hash agg → capped fp self-join → pair hash agg → bounded per-doc
+    top-1 window — cost ∝ Σ_fp min(df, 50)², never doc pairs; the cap
+    is the knob that keeps a boilerplate-heavy crawl linear.
+    Complements minhash (set overlap) and simhash (fingerprint
+    distance): winnowing surfaces EMBEDDED PASSAGES — a doc quoting
+    another at length matches here even when global similarity is
+    low."""
+    from fairy_spark.operators.dedup import winnow_best_match
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_best_match(d, k=4, w=4, min_df=2, max_df=50).orderBy("id")
+
+
+@register(
     "text_tf_top",
     oracle=f"""
     WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)

@@ -346,3 +346,40 @@ def test_cdc_resyncs_after_prefix_insertion(spark):
     assert len(shared) >= len(a) - 2, (
         f"CDC failed to re-sync: only {len(shared)} of {len(a)} chunks survived a prefix edit"
     )
+
+
+# --- winnowing best-match join (operators/dedup.py::winnow_best_match) ------
+
+
+def test_winnow_best_match_finds_embedded_quote(spark):
+    from fairy_spark.operators.dedup import winnow_best_match
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    rows = [
+        (1, "intro words here " + quote + " closing remarks follow now"),
+        (2, "totally different document " + quote + " with other framing text"),
+        (3, "unrelated content " + " ".join(f"z{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["id"]: r for r in winnow_best_match(docs).collect()}
+    # 1 and 2 share the 12-token quote -> mutual best matches
+    assert out[1]["match_id"] == 2 and out[2]["match_id"] == 1
+    assert out[1]["shared_fp"] >= 1
+    # 3 shares nothing -> no row
+    assert 3 not in out
+
+
+def test_winnow_best_match_stop_fingerprint_cap(spark):
+    from fairy_spark.operators.dedup import winnow_best_match
+
+    # the same passage in EVERY doc: with max_df below the doc count,
+    # its fingerprints are boilerplate and produce no pairs
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} unique prefix tokens {i} " + boiler) for i in range(6)],
+        "doc_id BIGINT, text STRING",
+    )
+    none = winnow_best_match(docs, max_df=3).collect()
+    assert none == []
+    some = winnow_best_match(docs, max_df=10).collect()
+    assert len(some) == 6
