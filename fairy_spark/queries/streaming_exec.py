@@ -330,6 +330,76 @@ def stream_exec_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_exec_cdc_counts",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+    f AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_filter(generate_series(1, len(toks)),
+                         i -> CAST(concat('0x', substr(md5(concat('cdc', ':', list_extract(toks, i))), 1, 15)) AS BIGINT) % 8 = 0) AS bpos
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(generate_series(1, len(bpos) + 1),
+                 j -> array_to_string(
+                        toks[list_extract(list_prepend(1, list_transform(bpos, p -> p + 1)), j)
+                             :list_extract(list_append(bpos, n), j)], ' ')),
+               c -> c <> '')) AS chunk
+      FROM f
+    )
+    SELECT md5(chunk) AS dig, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM ch
+    GROUP BY dig
+    HAVING COUNT(*) > 1
+    ORDER BY dig
+    """,
+)
+def stream_exec_cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING content-defined-chunk dedup state through the LIVE
+    engine: the documents table replays as 4 micro-batches, each batch
+    explodes its CDC chunks (the per-row HOF fold runs INSIDE the
+    streaming plan — chunking needs no corpus context, which is the
+    whole point of content-defined boundaries), and a stateful
+    groupBy(digest).count() maintains the corpus-wide chunk-copy
+    counts in the state store across batches. Complete-mode final
+    emission = the converged duplicated-chunk table, hash-checked
+    against the batch CTE — green means the streaming state store
+    accumulated every chunk from every batch exactly once. This is
+    the storage-dedup ingest shape at 100 TB: per-batch work ∝ |delta|
+    chunks, state keyed on the 32-hex digest, never a corpus rescan;
+    dedup_cdc_chunks is the batch twin over the same boundary rule."""
+    from fairy_spark.operators.text import cdc_chunks, tokenize
+    from fairy_spark.streaming.pipeline import replay_dir_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    schema = docs.schema
+    app_dir = os.path.join(
+        tempfile.gettempdir(), "fairy_spark_stream", spark.sparkContext.applicationId
+    )
+    replay = os.path.join(app_dir, "docs_replay_" + sf_cache_key(sf_dir))
+    marker = os.path.join(replay, "_READY")
+    if not os.path.exists(marker):
+        replay_dir_from_documents(spark, sf_dir, replay, n_chunks=4)
+        with open(marker, "w"):
+            pass
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay, "chunk_*"))
+    )
+    counts = (
+        stream.select(F.explode(cdc_chunks(tokenize(F.col("text")), mod=8)).alias("chunk"))
+        .select(F.md5("chunk").alias("dig"))
+        .groupBy("dig")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+    )
+    sink = run_to_table(counts, mode="complete")
+    return sink.filter(F.col("n_copies") > 1).orderBy("dig")
+
+
 def tws_record_high_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas (Spark 4's typed-state successor to
     applyInPandasWithState) through the LIVE engine: per-user
