@@ -288,3 +288,47 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_eff") > 0)
         .orderBy("b")
     )
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           TRUE AS positions_unique,
+           TRUE AS row_index_dense,
+           TRUE AS file_sizes_positive
+    FROM lineitem
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `_metadata` hidden column on file sources (Spark 3.5+):
+    file_path / file_size / row_index — the provenance surface that
+    gives every row a STABLE physical identity (file, index-in-file),
+    unlike monotonically_increasing_id whose values depend on task
+    scheduling. At 100 TB this is how reproducible per-file sampling,
+    incremental re-reads, and corrupt-row triage address rows. The
+    values are physical-layout-dependent, so the oracle checks the
+    INVARIANTS (the fn_id_provenance discipline): (file, row_index)
+    is a unique address for every row, row_index is DENSE 0..n_f-1
+    within each file (no gaps — max == count-1 and min == 0), and
+    every file reports a positive size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("fs"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    per_file = li.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("ri").alias("nd"),
+        F.min("ri").alias("mn"),
+        F.max("ri").alias("mx"),
+        F.min("fs").alias("fs"),
+    )
+    return per_file.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min((F.col("nd") == F.col("n"))).alias("positions_unique"),
+        F.min((F.col("mn") == 0) & (F.col("mx") == F.col("n") - 1)).alias(
+            "row_index_dense"
+        ),
+        F.min(F.col("fs") > 0).alias("file_sizes_positive"),
+    )
