@@ -787,6 +787,11 @@ def winnow_best_match(
     simhash (fingerprint distance): winnowing matches PASSAGES, so a
     doc embedding a long quote of another surfaces here even when its
     global similarity is low."""
+    if min_df < 1 or max_df < min_df:
+        raise ValueError(
+            f"winnow_best_match needs 1 <= min_df <= max_df, got "
+            f"min_df={min_df} max_df={max_df}"
+        )
     from pyspark.sql import Window
 
     from fairy_spark.operators.text import tokenize, winnow_fingerprints

@@ -212,7 +212,11 @@ def image_downsample_pool(media: DataFrame, in_w: int = 16) -> DataFrame:
 
     The Python boundary emits integers only; numpy does the strided
     2×2 sums without per-pixel Python. Fan-out is one row per payload
-    (row-linear, no shuffle)."""
+    (row-linear, no shuffle). ``in_w`` must be even (the 2×2 pool
+    halves it; an odd width would silently drop a column — rejected
+    instead)."""
+    if in_w < 2 or in_w % 2 != 0:
+        raise ValueError(f"image_downsample_pool needs an even in_w >= 2, got {in_w}")
     import numpy as np
 
     def gen(batches):

@@ -335,6 +335,10 @@ def jl_project(vec: Column, k_out: int = 16, dims: int = 64, scale: int = 1024) 
     component. The 100 TB use: an 8-byte×k_out sketch of each
     embedding cheap enough to sort/join/band on before any exact
     distance work."""
+    if k_out < 1 or dims < 1:
+        raise ValueError(f"jl_project needs k_out >= 1 and dims >= 1, got {k_out}/{dims}")
+    # NB: dims must equal the vector length — zip_with null-pads a
+    # shorter weight row and least/mult would silently zero the tail.
     q = quantized_vec(vec, scale)
     rows = jl_matrix(k_out, dims)
     comps = []

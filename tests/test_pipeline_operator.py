@@ -383,3 +383,28 @@ def test_winnow_best_match_stop_fingerprint_cap(spark):
     assert none == []
     some = winnow_best_match(docs, max_df=10).collect()
     assert len(some) == 6
+
+
+def test_new_operator_parameter_guards(spark):
+    import pytest as _pytest
+
+    from fairy_spark.operators.dedup import winnow_best_match
+    from fairy_spark.operators.multimodal import image_downsample_pool
+    from fairy_spark.operators.similarity import jl_project
+    from fairy_spark.operators.text import cdc_chunks, winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(F.split("text", " "), k=0)
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(F.split("text", " "), w=0)
+    with _pytest.raises(ValueError):
+        cdc_chunks(F.split("text", " "), mod=0)
+    with _pytest.raises(ValueError):
+        winnow_best_match(df, min_df=0)
+    with _pytest.raises(ValueError):
+        winnow_best_match(df, min_df=5, max_df=2)
+    with _pytest.raises(ValueError):
+        jl_project(F.col("text"), k_out=0)
+    with _pytest.raises(ValueError):
+        image_downsample_pool(df, in_w=15)
