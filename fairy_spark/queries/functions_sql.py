@@ -1246,3 +1246,56 @@ def fn_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "fn_bitwise_agg",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             user_id % 256 AS mask,
+             event_id
+      FROM events
+    )
+    SELECT event_type,
+           CAST(bit_and(mask) AS BIGINT) AS and_mask,
+           CAST(bit_or(mask) AS BIGINT) AS or_mask,
+           CAST(bit_xor(mask) AS BIGINT) AS xor_mask,
+           CAST(bit_xor(event_id) AS BIGINT) AS xor_ids,
+           CAST(SUM(bit_count(CAST(mask AS BIGINT))) AS BIGINT) AS total_bits,
+           CAST(MAX(mask * 4) AS BIGINT) AS max_shifted
+    FROM t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def fn_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate + scalar family: BIT_AND / BIT_OR / BIT_XOR
+    grouped aggregates (all three are commutative-associative, so the
+    distributed partial-agg merge is order-independent by algebra —
+    no quantization discipline needed, unlike float sums), bit_count
+    population counts, and shiftleft as the scalar leg. XOR over a
+    key column doubles as the classic order-free set checksum
+    (xor_ids — the same trick the KV checksum rows use additively).
+    One hash agg, map-side combined; the 100 TB shape for permission
+    masks, feature flags, and bitmap-index maintenance. DuckDB
+    mirrors shiftleft as *4 (same value, no shift operator
+    portability risk)."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(256)).alias("mask"),
+        "event_id",
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.bit_and("mask").cast("bigint").alias("and_mask"),
+            F.bit_or("mask").cast("bigint").alias("or_mask"),
+            F.bit_xor("mask").cast("bigint").alias("xor_mask"),
+            F.bit_xor("event_id").cast("bigint").alias("xor_ids"),
+            F.sum(F.bit_count(F.col("mask").cast("bigint"))).cast("bigint").alias("total_bits"),
+            F.max(F.shiftleft(F.col("mask"), 2)).cast("bigint").alias("max_shifted"),
+        )
+        .orderBy("event_type")
+    )
