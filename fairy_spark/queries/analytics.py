@@ -2927,3 +2927,120 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age")
     )
+
+
+@register(
+    "events_window_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    v AS (SELECT user_id, us AS t1 FROM e WHERE event_type = 'view'),
+    a2 AS (
+      SELECT v.user_id, v.t1, MIN(c.us) AS t2
+      FROM v LEFT JOIN e c
+        ON c.user_id = v.user_id AND c.event_type = 'click'
+       AND c.us > v.t1 AND c.us <= v.t1 + 21600000000
+      GROUP BY v.user_id, v.t1
+    ),
+    a3 AS (
+      SELECT a2.user_id, a2.t1, a2.t2, MIN(p.us) AS t3
+      FROM a2 LEFT JOIN e p
+        ON p.user_id = a2.user_id AND p.event_type = 'purchase'
+       AND p.us > a2.t2 AND p.us <= a2.t1 + 21600000000
+      GROUP BY a2.user_id, a2.t1, a2.t2
+    ),
+    u AS (
+      SELECT user_id,
+             MAX(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS max_step
+      FROM a3 GROUP BY user_id
+    ),
+    f AS (
+      SELECT s.step, CAST(COUNT(u.user_id) AS BIGINT) AS n_users
+      FROM (VALUES (1), (2), (3)) s(step)
+      LEFT JOIN u ON u.max_step >= s.step
+      GROUP BY s.step
+    )
+    SELECT step, n_users,
+           n_users * 1000000 // (SELECT n_users FROM f WHERE step = 1) AS conv_ppm
+    FROM f
+    ORDER BY step
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel (the ClickHouse/Snowplow sequence-conversion
+    primitive, public): per user, the longest ordered chain
+    view → click → purchase where every later step lands within 6
+    HOURS OF THE ANCHOR view and strictly after the previous step —
+    greedy-earliest chaining (each step takes the MIN qualifying
+    timestamp), which is deterministic and what the funnel owner
+    means by "converted within the window". Distinct from
+    `events_funnel` (fixed 2-step, per-user min) and
+    `events_sequence_match` (order pattern without a time window).
+
+    Plan: anchors = view events; two LEFT interval joins, each an
+    equi-join on user_id with the time range riding INSIDE the join
+    condition (the events_funnel streaming-safe shape) followed by a
+    min-agg — cost ∝ Σ per-user views×clicks, corpus-linear under
+    bounded per-user activity, never a cartesian. Time arithmetic in
+    exact µs epochs (unix_micros/epoch_us — no interval-type
+    portability risk). Output: users reaching ≥ each step + exact
+    integer-ppm conversion vs the step-1 population."""
+    W = 21600000000  # 6 h in µs
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    v = e.filter(F.col("event_type") == "view").select("user_id", F.col("us").alias("t1"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("us").alias("cus")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("us").alias("pus")
+    )
+    a2 = (
+        v.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cus") > F.col("t1"))
+            & (F.col("cus") <= F.col("t1") + W),
+            "left",
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("cus").alias("t2"))
+    )
+    a3 = (
+        a2.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pus") > F.col("t2"))
+            & (F.col("pus") <= F.col("t1") + W),
+            "left",
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("pus").alias("t3"))
+    )
+    u = a3.groupBy("user_id").agg(
+        F.max(
+            F.lit(1)
+            + F.col("t2").isNotNull().cast("int")
+            + F.col("t3").isNotNull().cast("int")
+        ).alias("max_step")
+    )
+    steps = spark.range(1, 4).select(F.col("id").cast("int").alias("step"))
+    f = (
+        steps.join(u, F.col("max_step") >= F.col("step"), "left")
+        .groupBy("step")
+        .agg(F.count("user_id").cast("bigint").alias("n_users"))
+    )
+    base = f.filter(F.col("step") == 1).select(F.col("n_users").alias("base"))
+    return (
+        f.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "n_users",
+            F.expr("n_users * 1000000L DIV base").alias("conv_ppm"),
+        )
+        .orderBy("step")
+    )
