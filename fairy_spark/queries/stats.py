@@ -772,3 +772,100 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when((varx > 0) & (vary > 0), rs).otherwise(F.lit(0.0)).alias("spearman_rs"),
     ).orderBy("nationkey")
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey AS nk,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 1024) AS BIGINT) AS v
+      FROM customer
+    ), g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS qq
+      FROM q GROUP BY nk
+    ), packed AS (
+      SELECT list_sort(list({'nk': nk, 'n': n, 's': s, 'qq': qq})) AS gs,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(SUM(qq) AS BIGINT) AS qt,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ), t AS (
+      SELECT k, nn,
+             list_reduce(list_prepend(0.0,
+               list_transform(gs, x -> CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+                                        / CAST(x.n AS DOUBLE))),
+               (a, b) -> a + b) AS t1,
+             CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS t0,
+             CAST(qt AS DOUBLE) AS qtd
+      FROM packed
+    )
+    SELECT k, nn AS n_total,
+           CAST(FLOOR((t1 - t0) / 1048576 * 1000 + 0.5) AS BIGINT) / 1000.0 AS ssb,
+           CAST(FLOOR((qtd - t1) / 1048576 * 1000 + 0.5) AS BIGINT) / 1000.0 AS ssw,
+           CAST(FLOOR(((t1 - t0) / (k - 1)) / ((qtd - t1) / (nn - k))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS f_stat
+    FROM t
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over account balance by nation — the k-group
+    generalization of stats_welch_ttest: per-group sufficient stats
+    (n, Σv, Σv²) accumulate as EXACT integers (values quantized once
+    by the power-of-two 1024), and the only float work is the final
+    closed form. The between-group term Σ S_i²/n_i is a float fold
+    over k groups, so it runs in PINNED KEY ORDER: the 25 bounded
+    group rows collect into one sorted array and fold via a
+    higher-order reduce — the identical IEEE sequence on both engines
+    (the bounded-group-fold discipline). SS values are reported in
+    original units (÷1024², half-up 3dp) and F at 6dp. Plan: one hash
+    agg (map-side combined sufficient stats), one 25-row collect into
+    a single-row frame — nothing corpus-sized crosses the driver."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.floor(F.col("c_acctbal").cast("double") * 1024).cast("bigint").alias("v"),
+    )
+    g = q.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("qq"),
+    )
+    packed = g.agg(
+        F.sort_array(F.collect_list(F.struct("nk", "n", "s", "qq"))).alias("gs"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("qq").cast("bigint").alias("qt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    t1 = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda a, x: a + x["s"].cast("double") * x["s"].cast("double") / x["n"].cast("double"),
+    )
+    t = packed.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        t1.alias("t1"),
+        (F.col("ss").cast("double") * F.col("ss").cast("double") / F.col("nn").cast("double")).alias("t0"),
+        F.col("qt").cast("double").alias("qtd"),
+    )
+    scale = 1024.0 * 1024.0
+    return t.select(
+        "k",
+        "n_total",
+        (F.floor((F.col("t1") - F.col("t0")) / scale * 1000 + F.lit(0.5)).cast("bigint") / 1000.0).alias("ssb"),
+        (F.floor((F.col("qtd") - F.col("t1")) / scale * 1000 + F.lit(0.5)).cast("bigint") / 1000.0).alias("ssw"),
+        (
+            F.floor(
+                ((F.col("t1") - F.col("t0")) / (F.col("k") - 1))
+                / ((F.col("qtd") - F.col("t1")) / (F.col("n_total") - F.col("k")))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("f_stat"),
+    )

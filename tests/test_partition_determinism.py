@@ -34,6 +34,7 @@ SWEEP = [
     "dedup_cdc_chunks",
     "ml_random_projection",
     "pipeline_source_report",
+    "stats_anova_oneway",
 ]
 
 
