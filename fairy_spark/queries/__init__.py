@@ -42,7 +42,7 @@ sink_zorder_skip_stats (#8c) — window occupancy 1 + 41 + 7 = 49 of
 and the sf0.1 audit before registration.
 
 Round 10 entered with ZERO debt (r9 went fully green; cap ~49) and
-registered 19: the five VERDICT-r9 ordered items
+registered 20: the five VERDICT-r9 ordered items
 (pipeline_pretrain_corpus_scale, pipeline_pretrain_corpus_staged,
 graph_triangles_auto, kv_multi_get, sink_compaction_exec), the
 Gopher repetition pack (text_gopher_repetition), then the breadth
@@ -50,8 +50,8 @@ block: text_winnow_fingerprint, dedup_cdc_chunks,
 ml_random_projection, kv_rebucket, mm_image_downsample,
 stats_spearman, pipeline_source_report, dedup_winnow_pairs,
 stream_exec_cdc_counts, scan_file_metadata, fn_bitwise_agg,
-events_window_funnel, stats_anova_oneway. Window occupancy:
-1 flagship + 19 new + 2 pins = 22 of 50 — the rest of the window rotates the
+events_window_funnel, stats_anova_oneway, sink_parquet_zstd.
+Window occupancy: 1 flagship + 20 new + 2 pins = 23 of 50 — the rest of the window rotates the
 least-verified tier. Every r10 row is oracle-green at sf0.01, sf0.1
 AND the sf1 replica before registration (AUDIT_r10_* appendices).
 """

@@ -1056,3 +1056,59 @@ def sink_compaction_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "group_id")
     )
+
+
+@register(
+    "sink_parquet_zstd",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           'ZSTD' AS codec
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSTD parquet sink/scan round-trip with the codec pinned from
+    the FOOTER (the sink_compaction_exec structural-gate discipline):
+    lineitem → zstd parquet → read-back aggregate, plus a pyarrow
+    footer probe of every written part asserting each column chunk's
+    compression is literally ZSTD — a sink that silently fell back to
+    the snappy default hash-fails on the pinned codec column. Why a
+    100 TB pipeline cares: zstd cuts cold-storage bytes 2-3× vs
+    snappy at similar scan speed and parquet stays SPLITTABLE under
+    it (unlike the gzip-CSV trade-off `sink_csv_compressed` pins), so
+    it is the archival-tier codec choice. Bounded driver work: one
+    footer read per part file, no data through the driver."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = _scratch(spark, sf_dir, "lineitem_zstd")
+    cols = ["l_orderkey", "l_returnflag", "l_quantity"]
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select(*cols)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+    codecs = set()
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for c in range(md.row_group(rg).num_columns):
+                codecs.add(md.row_group(rg).column(c).compression)
+    codec = codecs.pop() if len(codecs) == 1 else "MIXED:" + ",".join(sorted(codecs))
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+        .withColumn("codec", F.lit(codec))
+        .orderBy("l_returnflag")
+    )
