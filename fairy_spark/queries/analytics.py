@@ -3028,11 +3028,16 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("t3").isNotNull().cast("int")
         ).alias("max_step")
     )
+    # users reaching >= s: one row per (user, step<=max_step) via a
+    # bounded explode (3 rows max per user), then a hash agg — an
+    # equi-join against the static step grid fills zero-user steps, so
+    # no non-equi (nested-loop) join ever plans
+    u2 = u.select(F.explode(F.sequence(F.lit(1), F.col("max_step"))).alias("step"))
+    counts = u2.groupBy("step").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     steps = spark.range(1, 4).select(F.col("id").cast("int").alias("step"))
     f = (
-        steps.join(u, F.col("max_step") >= F.col("step"), "left")
-        .groupBy("step")
-        .agg(F.count("user_id").cast("bigint").alias("n_users"))
+        steps.join(counts, "step", "left")
+        .withColumn("n_users", F.coalesce("n_users", F.lit(0).cast("bigint")))
     )
     base = f.filter(F.col("step") == 1).select(F.col("n_users").alias("base"))
     return (
