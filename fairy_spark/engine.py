@@ -48,6 +48,24 @@ class Engine:
             self._kv[name] = KVStore(self.spark, name, num_buckets=self.cfg.kv_num_buckets)
         return self._kv[name]
 
+    _stage_seq = 0
+
+    def _pipeline_stage_dir(self, docs: DataFrame) -> str:
+        """Default durable stage-boundary path for pretrain_corpus:
+        per-application (two sessions never collide) and per-call (a
+        later call never clobbers a boundary an earlier returned frame
+        still reads from)."""
+        import os
+
+        Engine._stage_seq += 1
+        from fairy_spark.queries.sources_io import _IO_ROOT
+
+        return os.path.join(
+            _IO_ROOT,
+            docs.sparkSession.sparkContext.applicationId,
+            f"pretrain_stage3_{Engine._stage_seq}",
+        )
+
     # -- LLM-data-pipeline surface (operators/*) ------------------------------
 
     def dedup_exact(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -157,24 +175,38 @@ class Engine:
         band_rows: int = 1,
         decontaminate_broadcast: bool | None = None,
         stage_dir: str | None = None,
+        staged: bool = True,
     ) -> DataFrame:
         """The end-to-end pretraining-corpus pipeline on the caller's
         own documents (operators/pipeline.py; the composition is
         oracle-proven by the registered `pipeline_pretrain_corpus` and,
         at the (16,2) production geometry, by
-        `pipeline_pretrain_corpus_scale`): Gopher quality rules ->
-        exact dedup -> minhash near-dup survivor selection -> 8-gram
+        `pipeline_pretrain_corpus_scale` +
+        `pipeline_pretrain_corpus_staged_scale`): Gopher quality rules
+        -> exact dedup -> minhash near-dup survivor selection -> 8-gram
         decontamination vs probe_docs (skipped when None) -> token
         packing -> deterministic hash split. Returns (id, n_tokens,
         bin_id, bucket, split).
 
+        STAGED BY DEFAULT (VERDICT r10 #2): the cleaned corpus is sunk
+        to parquet after stage 3 and re-read — measured 2.7× faster
+        than the declarative chain at sf0.1 (SCALE.md r10: durable
+        beat both lineage re-derivation and in-memory persist at every
+        measured SF) and the restartable shape a multi-TB dedup prefix
+        needs. ``stage_dir`` picks the boundary path (default: a
+        per-application scratch dir); ``staged=False`` restores the
+        pure-lineage form, value-identical by the shared oracle.
+
         (shingle_n, num_hashes, band_rows) is the near-dup LSH
         geometry — pass (3, 16, 2) at scale; decontaminate_broadcast
         switches the probe-gram join between broadcast and shuffle
-        (None = size-based); stage_dir sinks the cleaned corpus to
-        parquet after stage 3 for the durable 100 TB execution shape."""
+        (None = size-based)."""
         from fairy_spark.operators.pipeline import pretrain_corpus
 
+        if staged and stage_dir is None:
+            stage_dir = self._pipeline_stage_dir(docs)
+        elif not staged:
+            stage_dir = None
         return pretrain_corpus(
             docs,
             probe_docs=probe_docs,

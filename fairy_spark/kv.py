@@ -423,8 +423,29 @@ class KVStore:
         try:
             self._replace_with(snapshot)
         except Exception:
-            self.num_buckets = old
+            # _replace_with can fail AFTER the new-layout table is the
+            # live one (e.g. the trailing DROP of the _bak table) — an
+            # unconditional rollback to `old` would desync bucket_of
+            # from the on-disk layout and mis-prune point lookups. Set
+            # the handle's fanout to whatever the catalog actually
+            # holds now; fall back to `old` only when no live table is
+            # readable (swap never committed / crash-window state).
+            self.num_buckets = self._catalog_num_buckets(default=old)
             raise
+
+    def _catalog_num_buckets(self, default: int) -> int:
+        """The live table's bucket fanout as recorded in the catalog
+        ('Num Buckets' row of DESCRIBE TABLE EXTENDED), or ``default``
+        when the table is missing or unbucketed."""
+        try:
+            for row in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {self.table}"
+            ).collect():
+                if row["col_name"] == "Num Buckets":
+                    return int(row["data_type"])
+        except Exception:
+            pass
+        return default
 
     def _replace_with(self, snapshot: DataFrame) -> None:
         """Atomically replace the backing table with ``snapshot``

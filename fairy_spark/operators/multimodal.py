@@ -210,14 +210,38 @@ def image_downsample_pool(media: DataFrame, in_w: int = 16) -> DataFrame:
     reduced to dims + an order-pinned checksum so the result is
     engine-hashable without shipping blobs through the oracle).
 
-    The Python boundary emits integers only; numpy does the strided
-    2×2 sums without per-pixel Python. Fan-out is one row per payload
+    The Python boundary emits integers only; numpy does both the
+    strided 2×2 sums and the modular-Horner checksum (blockwise dot
+    products against a precomputed power table) without per-pixel
+    Python. Fan-out is one row per payload
     (row-linear, no shuffle). ``in_w`` must be even (the 2×2 pool
     halves it; an odd width would silently drop a column — rejected
     instead)."""
     if in_w < 2 or in_w % 2 != 0:
         raise ValueError(f"image_downsample_pool needs an even in_w >= 2, got {in_w}")
     import numpy as np
+
+    # Modular Horner fold, vectorized: cs = sum(v_i * 131^(n-1-i)) mod P
+    # as blockwise int64 dot products against a precomputed descending
+    # power table (built once here — a bounded _CHUNK-length loop, not
+    # per-pixel). Pixel values < 256 and weights < P keep every product
+    # under 2.6e11 and every _CHUNK-sum under 1.1e15 — no int64 overflow.
+    _P, _CHUNK = 1000000007, 4096
+    _wt = np.empty(_CHUNK, np.int64)
+    _acc = 1
+    for _j in range(_CHUNK - 1, -1, -1):
+        _wt[_j] = _acc
+        _acc = _acc * 131 % _P
+
+    def _horner_mod(flat: "np.ndarray") -> int:
+        cs = 0
+        for s in range(0, flat.size, _CHUNK):
+            chunk = flat[s : s + _CHUNK]
+            cs = (
+                cs * pow(131, chunk.size, _P)
+                + int(np.dot(chunk, _wt[_CHUNK - chunk.size :]) % _P)
+            ) % _P
+        return cs
 
     def gen(batches):
         for pdf in batches:
@@ -239,9 +263,7 @@ def image_downsample_pool(media: DataFrame, in_w: int = 16) -> DataFrame:
                     flat = pooled.ravel()
                     # the stage's real product: pooled bytes
                     blob = pooled.astype(np.uint8).tobytes()
-                    cs = 0
-                    for v in flat.tolist():
-                        cs = (cs * 131 + int(v)) % 1000000007
+                    cs = _horner_mod(flat)
                 else:
                     blob, flat, cs = b"", np.array([], np.int64), 0
                 out["media_id"].append(mid)

@@ -337,8 +337,11 @@ def jl_project(vec: Column, k_out: int = 16, dims: int = 64, scale: int = 1024) 
     distance work."""
     if k_out < 1 or dims < 1:
         raise ValueError(f"jl_project needs k_out >= 1 and dims >= 1, got {k_out}/{dims}")
-    # NB: dims must equal the vector length — zip_with null-pads a
-    # shorter weight row and least/mult would silently zero the tail.
+    # NB: dims must equal the vector length — on a mismatch zip_with
+    # null-pads the shorter side, the x*wd products go NULL, and the
+    # fold propagates NULL through the whole sum (NOT zero), so every
+    # projection component and downstream checksum would be silently
+    # NULL. Guarded at runtime: a wrong dims raises per-row instead.
     q = quantized_vec(vec, scale)
     rows = jl_matrix(k_out, dims)
     comps = []
@@ -351,7 +354,14 @@ def jl_project(vec: Column, k_out: int = 16, dims: int = 64, scale: int = 1024) 
                 lambda acc, x: acc + x,
             )
         )
-    return F.array(*comps)
+    return F.when(F.size(vec) == F.lit(dims), F.array(*comps)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"jl_project: dims={dims} != vector length "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
 
 
 def jl_project_sql(k_out: int = 16, dims: int = 64, scale: int = 1024, vec: str = "embedding") -> str:

@@ -155,25 +155,32 @@ def cdc_chunks(tokens: Column, mod: int = 8) -> Column:
 
     def step(acc: Column, t: Column) -> Column:
         flag = F.pmod(portable_hash64(t, "cdc"), F.lit(mod)) == 0
-        newcur = F.when(acc["cur"] == "", t).otherwise(
+        # cur is NULL when no token has been folded yet — distinct from
+        # cur == '' (an accumulated empty token, which must still get
+        # its positional ' ' separator, exactly like the oracle's
+        # array_to_string slice). Chunks that join to '' (a lone empty
+        # token) are dropped, mirroring the oracle's `c <> ''` filter.
+        newcur = F.when(acc["cur"].isNull(), t).otherwise(
             F.concat(acc["cur"], F.lit(" "), t)
         )
         return F.struct(
-            F.when(flag, F.array_append(acc["done"], newcur))
+            F.when(flag & (newcur != ""), F.array_append(acc["done"], newcur))
             .otherwise(acc["done"])
             .alias("done"),
-            F.when(flag, F.lit("")).otherwise(newcur).alias("cur"),
+            F.when(flag, F.lit(None).cast("string")).otherwise(newcur).alias("cur"),
         )
 
     init = F.struct(
-        F.array().cast("array<string>").alias("done"), F.lit("").alias("cur")
+        F.array().cast("array<string>").alias("done"),
+        F.lit(None).cast("string").alias("cur"),
     )
     return F.aggregate(
         tokens,
         init,
         step,
         lambda acc: F.when(
-            acc["cur"] != "", F.array_append(acc["done"], acc["cur"])
+            acc["cur"].isNotNull() & (acc["cur"] != ""),
+            F.array_append(acc["done"], acc["cur"]),
         ).otherwise(acc["done"]),
     )
 

@@ -2963,7 +2963,9 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY s.step
     )
     SELECT step, n_users,
-           n_users * 1000000 // (SELECT n_users FROM f WHERE step = 1) AS conv_ppm
+           CASE WHEN (SELECT n_users FROM f WHERE step = 1) > 0
+                THEN n_users * 1000000 // (SELECT n_users FROM f WHERE step = 1)
+                ELSE 0 END AS conv_ppm
     FROM f
     ORDER BY step
     """,
@@ -3039,13 +3041,24 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps.join(counts, "step", "left")
         .withColumn("n_users", F.coalesce("n_users", F.lit(0).cast("bigint")))
     )
-    base = f.filter(F.col("step") == 1).select(F.col("n_users").alias("base"))
+    # scalar agg ALWAYS yields exactly one row (even on a degenerate
+    # corpus with zero step-1 users), unlike a filtered frame; the
+    # division is guarded on both engine and oracle so a zero base
+    # reports conv_ppm = 0 instead of div-by-zero/NULL divergence
+    base = f.agg(
+        F.coalesce(
+            F.max(F.when(F.col("step") == 1, F.col("n_users"))),
+            F.lit(0).cast("bigint"),
+        ).alias("base")
+    )
     return (
         f.crossJoin(F.broadcast(base))
         .select(
             "step",
             "n_users",
-            F.expr("n_users * 1000000L DIV base").alias("conv_ppm"),
+            F.expr(
+                "CASE WHEN base > 0 THEN n_users * 1000000L DIV base ELSE 0 END"
+            ).alias("conv_ppm"),
         )
         .orderBy("step")
     )

@@ -38,12 +38,24 @@ _BASE_TOKENS = [
 
 
 def vocab(size: int) -> list[str]:
-    """First `size` tokens of the infinite family tok, tok1, tok2, ..."""
+    """First `size` tokens of the infinite family tok, toka, tokb, ...
+    Suffixes are ALPHABETIC (not digits) so the whole vocabulary
+    matches ^[a-z]+$ — the driver testdata corpus is all-alpha
+    (alphabetic ratio 1.0), and the Gopher alphabetic-ratio floor
+    must see the same shape here (VERDICT r10 #1)."""
+
+    def suffix(rep: int) -> str:
+        s = ""
+        while rep > 0:
+            rep, r = divmod(rep - 1, 26)
+            s = chr(ord("a") + r) + s
+        return s
+
     out: list[str] = []
     rep = 0
     while len(out) < size:
         for t in _BASE_TOKENS:
-            out.append(t if rep == 0 else f"{t}{rep}")
+            out.append(t if rep == 0 else f"{t}{suffix(rep)}")
             if len(out) == size:
                 return out
         rep += 1
@@ -59,6 +71,7 @@ def synth_documents(
     mutate_one_in: int = 10,
     n_sources: int = 20,
     seed: str = "scale",
+    stop_one_in: int = 16,
 ) -> DataFrame:
     """Deterministic corpus of `n_docs` rows with schema
     (doc_id, text, lang, source, n_chars).
@@ -67,8 +80,21 @@ def synth_documents(
     most ``back_window`` ids earlier, mutating ~1/``mutate_one_in`` of
     positions — near-dups with Jaccard well above random. source/lang
     follow the BASE doc, so blocked dedup variants can find the pair.
+
+    ``stop_one_in``: ~1/stop_one_in of token positions emit an English
+    stopword (hash-picked from operators.text.EN_STOPWORDS, keyed on
+    the BASE doc's content id so dup pairs share their stopword
+    positions). The default 16 reproduces the driver testdata's
+    measured ~6.3% stopword density, so the Gopher stopword floor —
+    and with it the whole composed pretraining pipeline — has a
+    non-degenerate survivor population on synthetic replicas
+    (VERDICT r10 #1: the old stopword-free vocabulary made the sf1
+    replica reject EVERY document). 0 disables the stratum.
     """
+    from fairy_spark.operators.text import EN_STOPWORDS
+
     varr = F.array(*[F.lit(t) for t in vocab(vocab_size)])
+    sarr = F.array(*[F.lit(t) for t in EN_STOPWORDS])
     langs = F.array(F.lit("en"), F.lit("zh"), F.lit("de"), F.lit("fr"))
     par = spark.sparkContext.defaultParallelism
     df = spark.range(0, n_docs, 1, par)
@@ -99,7 +125,20 @@ def synth_documents(
             F.pmod(h(pos_key(sid, i), "mut"), F.lit(mutate_one_in)) == 0
         )
         idx = F.when(mutate, mut_idx).otherwise(base_idx)
-        return F.element_at(varr, (idx + 1).cast("int"))
+        tok = F.element_at(varr, (idx + 1).cast("int"))
+        if stop_one_in <= 0:
+            return tok
+        # stopword positions + picks follow the BASE content id (cid),
+        # so a dup doc shares them with its base; a mutated position
+        # stays a vocab perturbation even if it lands on one
+        is_stop = F.pmod(h(pos_key(cid, i), "stop"), F.lit(stop_one_in)) == 0
+        stop_tok = F.element_at(
+            sarr,
+            (F.pmod(h(pos_key(cid, i), "stopv"), F.lit(len(EN_STOPWORDS))) + 1).cast(
+                "int"
+            ),
+        )
+        return F.when(is_stop & ~mutate, stop_tok).otherwise(tok)
 
     text = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n_toks), token_at))
     return df.select(

@@ -154,3 +154,16 @@ def test_engine_cdc_fingerprints_source_report(spark, sf_dir):
     rep = eng.source_report(load_table(spark, sf_dir, "documents")).collect()
     reg = QUERIES["pipeline_source_report"](spark, sf_dir).collect()
     assert rep == reg
+
+
+def test_pretrain_corpus_staged_default_matches_lineage_form(engine, spark, sf_dir):
+    """VERDICT r10 #2: the facade stages by default (a durable parquet
+    boundary after stage 3) and is value-identical to staged=False;
+    consecutive calls get distinct boundary dirs (no clobber)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    staged = engine.pretrain_corpus(docs).orderBy("doc_id").collect()
+    pure = engine.pretrain_corpus(docs, staged=False).orderBy("doc_id").collect()
+    assert staged and staged == pure
+    d1 = engine._pipeline_stage_dir(docs)
+    d2 = engine._pipeline_stage_dir(docs)
+    assert d1 != d2

@@ -504,3 +504,40 @@ def test_rebucket_then_compact_composes(kv):
     assert kv.get("k0") == b"y"
     assert kv.scan().count() == 10
     assert kv._log().count() == 10  # compact folded history at new fanout
+
+
+def test_rebucket_failure_after_swap_keeps_committed_fanout(kv, monkeypatch):
+    # ADVICE r10: if _replace_with throws AFTER the new-layout table is
+    # live (e.g. the trailing _bak DROP fails), the handle must adopt
+    # the committed fanout, not roll back to the stale one.
+    kv.put_batch([(f"k{i}", b"x") for i in range(12)])
+    real = type(kv)._replace_with
+
+    def swap_then_boom(self, snapshot):
+        real(self, snapshot)
+        raise RuntimeError("post-swap cleanup failed")
+
+    monkeypatch.setattr(type(kv), "_replace_with", swap_then_boom)
+    with pytest.raises(RuntimeError):
+        kv.rebucket(16)
+    monkeypatch.setattr(type(kv), "_replace_with", real)
+    # fanout matches the on-disk layout → pruning and gets stay correct
+    assert kv.num_buckets == 16
+    assert kv.get("k5") == b"x"
+    plan = kv._log().filter("key = 'k5'")._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 16" in plan, plan
+
+
+def test_rebucket_failure_before_swap_rolls_back_fanout(kv, monkeypatch):
+    kv.put_batch([("a", b"1"), ("b", b"2")])
+
+    def boom(self, snapshot):
+        raise RuntimeError("write failed before any swap")
+
+    monkeypatch.setattr(type(kv), "_replace_with", boom)
+    with pytest.raises(RuntimeError):
+        kv.rebucket(16)
+    monkeypatch.undo()
+    # live table is still the old layout; handle must agree with it
+    assert kv.num_buckets == kv._catalog_num_buckets(default=-1)
+    assert kv.get("a") == b"1"

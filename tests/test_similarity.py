@@ -183,6 +183,18 @@ def test_jl_project_matches_numpy_exactly(spark, emb):
         assert list(R @ q) == list(r["proj"]), f"vec {r['vec_id']} mismatch"
 
 
+def test_jl_project_wrong_dims_raises(spark):
+    # ADVICE r10: a dims/vector-length mismatch must raise per-row, not
+    # silently NULL every projection component via zip_with null-pad.
+    import pytest
+
+    from fairy_spark.operators.similarity import jl_project
+
+    df = spark.createDataFrame([(1, [0.5] * 64)], "id BIGINT, v ARRAY<FLOAT>")
+    with pytest.raises(Exception, match="jl_project: dims=32"):
+        df.select(jl_project(F.col("v"), k_out=4, dims=32).alias("p")).collect()
+
+
 def test_jl_pairwise_distances_preserved_in_expectation(spark, emb):
     # JL with k=16: squared pair distances scaled by 3/k concentrate
     # around the originals. Check the MEAN ratio over a bounded pair

@@ -17,14 +17,18 @@ def _ph64(s: str, seed: str) -> int:
 
 
 def _model_cdc(tokens: list[str], mod: int = 8) -> list[str]:
-    chunks, cur = [], []
+    # Positional fold: an '' token still contributes its ' ' separator
+    # (chunk of ['', 'a'] is ' a', like the oracle's array_to_string
+    # slice), and chunks that join to '' are dropped (`c <> ''`).
+    chunks, cur = [], None
     for t in tokens:
-        cur.append(t)
+        cur = t if cur is None else f"{cur} {t}"
         if _ph64(t, "cdc") % mod == 0:
-            chunks.append(" ".join(cur))
-            cur = []
-    if cur:
-        chunks.append(" ".join(cur))
+            if cur != "":
+                chunks.append(cur)
+            cur = None
+    if cur is not None and cur != "":
+        chunks.append(cur)
     return chunks
 
 
@@ -39,8 +43,10 @@ def _model_winnow(tokens: list[str], k: int = 4, w: int = 4) -> set[int]:
 
 
 # lowercase tokens from a tiny alphabet => heavy repetition, plus both
-# boundary-dense and boundary-free streams arise naturally
-_tok = st.text(alphabet="abc", min_size=1, max_size=3)
+# boundary-dense and boundary-free streams arise naturally; min_size=0
+# admits '' tokens (a leading-whitespace tokenize artifact) so the
+# positional-separator / empty-chunk-drop semantics are exercised
+_tok = st.text(alphabet="abc", min_size=0, max_size=3)
 _doc = st.lists(_tok, min_size=1, max_size=40)
 
 
