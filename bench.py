@@ -280,11 +280,25 @@ def main() -> None:
     # (minutes-scale queries); tracked per round so the staged win is
     # a trend, not a one-round observation.
     pipeline_secs: dict[str, float] = {}
-    for pname in ("pipeline_pretrain_corpus", "pipeline_pretrain_corpus_staged"):
+    for pname in (
+        "pipeline_pretrain_corpus",
+        "pipeline_pretrain_corpus_staged",
+        # r11: the production default (staged + (16,2) geometry) —
+        # the path Engine.pretrain_corpus actually runs
+        "pipeline_pretrain_corpus_staged_scale",
+    ):
         gc.collect()
         t0 = time.perf_counter()
         QUERIES[pname](spark, sf_dir).count()
         pipeline_secs[pname] = round(time.perf_counter() - t0, 3)
+
+    # Informational (non-gated, VERDICT r10 #5): the winnowing
+    # best-match join — the other expensive r10 path — gets the same
+    # per-round regression signal. One rep (tens-of-seconds query).
+    gc.collect()
+    t0 = time.perf_counter()
+    QUERIES["dedup_winnow_pairs"](spark, sf_dir).count()
+    winnow_sec = round(time.perf_counter() - t0, 3)
 
     per_query = {name: round(median(ts), 3) for name, ts in samples.items()}
     spread = {
@@ -307,8 +321,11 @@ def main() -> None:
                 # + auto-selector overhead (r10)
                 "wedge_secs": wedge_secs,
                 # non-headline composed-pipeline pair (r10): the
-                # staged-boundary win as a per-round trend
+                # staged-boundary win as a per-round trend; + the
+                # staged_scale production default (r11)
                 "pipeline_secs": pipeline_secs,
+                # non-headline winnow best-match trend (VERDICT r10 #5)
+                "winnow_pairs_sec": winnow_sec,
                 # per-rep stall attribution: a slow rep with flat
                 # jvm_gc_ms is host noise, not driver GC
                 "minhash_reps": minhash_reps,

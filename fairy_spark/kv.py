@@ -34,7 +34,7 @@ writes — the same LSM trade-off every real KV store at this scale makes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, Row, SparkSession, functions as F
 from pyspark.sql import types as T
 
 KV_SCHEMA = T.StructType(
@@ -297,6 +297,52 @@ class KVStore:
             return
         seq = self._alloc_seq()
         self._append([Row(key=k, value=None, seq=seq) for k in dict.fromkeys(keys)])
+
+    def delete_prefix(self, prefix: str) -> int:
+        """Tombstone every LIVE key under ``prefix`` — the directory-
+        remove analog of scan_prefix (reference: the FUSE namespace can
+        only unlink one inode per call; a cache layer wants the whole
+        listing gone in one write). The predicate is a StringStartsWith
+        on the bucketed table's sort column, pushed below the
+        latest-wins agg to the parquet scan, so the cost is
+        O(matching keys), not O(store). One tombstone batch under ONE
+        sequence — versioned like every delete (scan_as_of still
+        reconstructs pre-delete state). Returns the number of keys
+        tombstoned."""
+        return self._tombstone_where(F.col("key").startswith(prefix))
+
+    def delete_range(self, start: str, end: str) -> int:
+        """Tombstone every LIVE key in the half-open range
+        [``start``, ``end``) — the range-delete primitive LSM stores
+        expose (RocksDB DeleteRange, public). Both bounds are pushed
+        to the sorted bucketed scan like scan/kv_range_scan's. Returns
+        the number of keys tombstoned."""
+        if end <= start:
+            return 0
+        return self._tombstone_where((F.col("key") >= start) & (F.col("key") < end))
+
+    def _tombstone_where(self, pred: Column) -> int:
+        """Shared range/prefix delete body: live keys matching ``pred``
+        get a tombstone under one new sequence (expire_older_than's
+        materialize-then-append discipline — the plan reads the table
+        the append writes)."""
+        doomed_keys = (
+            self._latest()
+            .filter(F.col("value").isNotNull())
+            .filter(pred)
+            .select("key")
+        )
+        seq = self._alloc_seq()
+        doomed = (
+            doomed_keys.withColumn("value", F.lit(None).cast("binary"))
+            .withColumn("seq", F.lit(seq).cast("bigint"))
+            .select("key", "value", "seq")
+            .localCheckpoint(eager=True)
+        )
+        n = doomed.count()
+        if n:
+            self._append_df(doomed)
+        return n
 
     def expire_older_than(self, min_seq: int) -> int:
         """Cache-style TTL EVICTION (the op the reference, being a

@@ -112,6 +112,18 @@ def jaccard(a: Column, b: Column) -> Column:
 
 EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "for", "on")
 
+# Per-language stopword profiles for stopword-frequency language
+# guessing (Grefenstette, 1995 — "Comparing two language
+# identification schemes", the classic pre-fastText heuristic; public).
+# Ten highest-frequency function words per language; overlaps between
+# languages (de/la/en/in/...) are real and resolved by the argmax.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "zu", "den", "von", "mit", "nicht"),
+    "en": EN_STOPWORDS,
+    "es": ("el", "la", "los", "de", "y", "que", "en", "un", "es", "no"),
+    "fr": ("le", "la", "les", "de", "et", "une", "un", "des", "est", "dans"),
+}
+
 
 def stopword_ratio(tokens: Column) -> Column:
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])

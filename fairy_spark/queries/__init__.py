@@ -54,6 +54,18 @@ events_window_funnel, stats_anova_oneway, sink_parquet_zstd.
 Window occupancy: 1 flagship + 20 new + 2 pins = 23 of 50 — the rest of the window rotates the
 least-verified tier. Every r10 row is oracle-green at sf0.01, sf0.1
 AND the sf1 replica before registration (AUDIT_r10_* appendices).
+
+Round 11 entered with zero debt (r10 fully green; cap ~49) and
+registered 4: pipeline_pretrain_corpus_staged_scale (the production
+default — staged boundary at the (16,2) geometry, VERDICT r10 #2),
+then the breadth block text_langid_profile (stopword-profile LID,
+#6a), events_window_funnel_strict (ClickHouse strict_order mode,
+#6b), kv_range_delete (prefix/range tombstones, #6c). r11 also
+CONVERTED ml_ann_ivf_topk from the registry's last rows-only entry to
+a full oracle (integer Lloyd update — VERDICT r10 #4), closing the
+ANN ledger at rows-only = 0. Every r11 row is oracle-green at sf0.01,
+sf0.1 AND the (stopword-stratum-rebuilt) sf1 replica before
+registration.
 """
 
 from __future__ import annotations

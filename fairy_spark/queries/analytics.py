@@ -3062,3 +3062,118 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+@register(
+    "events_window_funnel_strict",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, us,
+             lead(event_type, 1) OVER w AS nxt_type,
+             lead(us, 1) OVER w AS nxt_us,
+             lead(event_type, 2) OVER w AS nxt2_type,
+             lead(us, 2) OVER w AS nxt2_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    a AS (
+      SELECT user_id,
+             CASE WHEN nxt_type = 'click' AND nxt_us <= us + 21600000000 THEN 1 ELSE 0 END AS s2,
+             CASE WHEN nxt_type = 'click' AND nxt_us <= us + 21600000000
+                   AND nxt2_type = 'purchase' AND nxt2_us <= us + 21600000000
+                  THEN 1 ELSE 0 END AS s3
+      FROM seq WHERE event_type = 'view'
+    ),
+    u AS (SELECT user_id, MAX(1 + s2 + s3) AS max_step FROM a GROUP BY user_id),
+    f AS (
+      SELECT s.step, CAST(COUNT(u.user_id) AS BIGINT) AS n_users
+      FROM (VALUES (1), (2), (3)) s(step)
+      LEFT JOIN u ON u.max_step >= s.step
+      GROUP BY s.step
+    )
+    SELECT step, n_users,
+           CASE WHEN (SELECT n_users FROM f WHERE step = 1) > 0
+                THEN n_users * 1000000 // (SELECT n_users FROM f WHERE step = 1)
+                ELSE 0 END AS conv_ppm
+    FROM f
+    ORDER BY step
+    """,
+)
+def events_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel in STRICT-ORDER mode (ClickHouse's strict_order
+    option, public): the chain view -> click -> purchase only counts
+    when the steps are CONSECUTIVE in the user's full event stream —
+    ANY interleaving event (an error, a signup, even a second view)
+    interrupts the sequence, unlike `events_window_funnel`'s greedy
+    form, which skips over unrelated events. Same 6-hour anchor
+    window, same output grid (users reaching >= each step + exact
+    integer-ppm conversion, zero-base guarded).
+
+    Plan: a completely different — and cheaper — shape than the greedy
+    funnel's two interval joins: ONE window pass per user (lead(1)/
+    lead(2) over (user_id, time, event_id) — event_id breaks timestamp
+    ties so the sequence, and with it the verdict, is deterministic on
+    both engines), then the hash-agg grid. One shuffle keyed on
+    user_id, corpus-linear, no join at all — strictness makes the
+    funnel CHEAPER at 100 TB, not dearer."""
+    W = 21600000000  # 6 h in us
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.lead("event_type", 1).over(w).alias("nxt_type"),
+        F.lead("us", 1).over(w).alias("nxt_us"),
+        F.lead("event_type", 2).over(w).alias("nxt2_type"),
+        F.lead("us", 2).over(w).alias("nxt2_us"),
+    )
+    s2 = (F.col("nxt_type") == "click") & (F.col("nxt_us") <= F.col("us") + W)
+    s3 = (
+        s2
+        & (F.col("nxt2_type") == "purchase")
+        & (F.col("nxt2_us") <= F.col("us") + W)
+    )
+    # when/otherwise, NOT a boolean cast: on the user's last event the
+    # leads are NULL, and a NULL condition must grade as 0 (the
+    # oracle's CASE semantics), not propagate NULL into the max_step
+    a = seq.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.when(s2, 1).otherwise(0).alias("s2"),
+        F.when(s3, 1).otherwise(0).alias("s3"),
+    )
+    u = a.groupBy("user_id").agg(
+        F.max(F.lit(1) + F.col("s2") + F.col("s3")).alias("max_step")
+    )
+    u2 = u.select(F.explode(F.sequence(F.lit(1), F.col("max_step"))).alias("step"))
+    counts = u2.groupBy("step").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    steps = spark.range(1, 4).select(F.col("id").cast("int").alias("step"))
+    f = (
+        steps.join(counts, "step", "left")
+        .withColumn("n_users", F.coalesce("n_users", F.lit(0).cast("bigint")))
+    )
+    base = f.agg(
+        F.coalesce(
+            F.max(F.when(F.col("step") == 1, F.col("n_users"))),
+            F.lit(0).cast("bigint"),
+        ).alias("base")
+    )
+    return (
+        f.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "n_users",
+            F.expr(
+                "CASE WHEN base > 0 THEN n_users * 1000000L DIV base ELSE 0 END"
+            ).alias("conv_ppm"),
+        )
+        .orderBy("step")
+    )

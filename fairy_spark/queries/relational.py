@@ -780,6 +780,83 @@ def kv_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kv_range_delete",
+    oracle="""
+    WITH base AS (
+      SELECT lpad(CAST(doc_id AS VARCHAR), 4, '0') AS k, text AS v
+      FROM documents WHERE doc_id < 100
+    ), cur AS (
+      SELECT k, v FROM base
+      WHERE NOT (k >= '0010' AND k < '0020') AND k NOT LIKE '003%'
+    )
+    SELECT 'asof' AS phase, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(concat('0x', substr(md5(k || ':' || v), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT) AS checksum
+    FROM base
+    UNION ALL
+    SELECT 'current', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(concat('0x', substr(md5(k || ':' || v), 1, 15)) AS BIGINT))
+                % 1000000000000000 AS BIGINT)
+    FROM cur
+    UNION ALL
+    SELECT 'deleted',
+           (SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM cur),
+           (SELECT COUNT(*) FROM base WHERE k >= '0010' AND k < '0020') * 1000
+             + (SELECT COUNT(*) FROM base WHERE k LIKE '003%')
+    ORDER BY phase
+    """,
+)
+def kv_range_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix + range DELETE on the REAL store (kv.py::delete_prefix /
+    delete_range — the RocksDB DeleteRange / FUSE rm -r primitives the
+    LSM surface was missing next to TTL expiry and rebucket): ingest
+    100 docs under zero-padded keys, range-tombstone [0010, 0020),
+    prefix-tombstone 003*, then checksum-compare three phases — the
+    pre-delete MVCC snapshot (deletes are versioned; scan_as_of
+    reconstructs), the surviving state, and the per-call tombstone
+    counts (range*1000 + prefix, so a wrong count on EITHER call
+    hash-fails). Both predicates are pushed below the latest-wins agg
+    to the sorted bucketed parquet scan — O(matching keys) per delete,
+    never O(store), the property that makes a range delete usable on
+    a 100 TB store."""
+    from fairy_spark.kv import KVStore
+    from fairy_spark.operators.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        F.lpad(F.col("doc_id").cast("string"), 4, "0").alias("key"),
+        F.encode(F.col("text"), "UTF-8").alias("value"),
+    )
+    kv = KVStore(spark, name="rangedel_probe", num_buckets=8)
+    kv.drop()
+    kv.put_df(docs)
+    s1 = kv.current_seq()
+    n_range = kv.delete_range("0010", "0020")
+    n_prefix = kv.delete_prefix("003")
+
+    def checksum(df: DataFrame, phase: str) -> DataFrame:
+        kv_str = F.concat(F.col("key"), F.lit(":"), F.col("value").cast("string"))
+        return df.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            (F.sum(portable_hash64(kv_str).cast("decimal(38,0)"))
+             % 1000000000000000)
+            .cast("bigint")
+            .alias("checksum"),
+        ).select(F.lit(phase).alias("phase"), "n_keys", "checksum")
+
+    deleted = spark.range(1).select(
+        F.lit("deleted").alias("phase"),
+        F.lit(n_range + n_prefix).cast("bigint").alias("n_keys"),
+        F.lit(n_range * 1000 + n_prefix).cast("bigint").alias("checksum"),
+    )
+    return (
+        checksum(kv.scan_as_of(s1), "asof")
+        .unionAll(checksum(kv.scan(), "current"))
+        .unionAll(deleted)
+        .orderBy("phase")
+    )
+
+
+@register(
     "kv_compaction_equivalence",
     oracle="""
     WITH live AS (

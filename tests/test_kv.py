@@ -541,3 +541,27 @@ def test_rebucket_failure_before_swap_rolls_back_fanout(kv, monkeypatch):
     # live table is still the old layout; handle must agree with it
     assert kv.num_buckets == kv._catalog_num_buckets(default=-1)
     assert kv.get("a") == b"1"
+
+
+def test_delete_prefix_tombstones_only_matching_live_keys(kv):
+    kv.put_batch([("a/1", b"x"), ("a/2", b"y"), ("b/1", b"z")])
+    s1 = kv.current_seq()
+    kv.delete("a/2")  # already dead — must not count again
+    n = kv.delete_prefix("a/")
+    assert n == 1
+    assert kv.exists("b/1") and not kv.exists("a/1") and not kv.exists("a/2")
+    # versioned: pre-delete state reconstructs
+    asof = {r["key"] for r in kv.scan_as_of(s1).collect()}
+    assert asof == {"a/1", "a/2", "b/1"}
+
+
+def test_delete_range_half_open_and_empty_noop(kv):
+    kv.put_batch([(f"{i:03d}", b"v") for i in range(10)])
+    seq_before = kv.current_seq()
+    assert kv.delete_range("007", "007") == 0
+    assert kv.delete_range("009", "002") == 0
+    assert kv.current_seq() == seq_before  # no seq burned on no-ops
+    n = kv.delete_range("003", "007")
+    assert n == 4  # 003,004,005,006 — end exclusive
+    live = {r["key"] for r in kv.scan().collect()}
+    assert live == {"000", "001", "002", "007", "008", "009"}

@@ -442,6 +442,7 @@ BNLJ_BOUNDED: dict[str, int] = {
     "ml_ann_ivf_recall": 16,       # 8-query integer-MIPS BF broadcast
     "sample_domain_balance_scale": 1,  # 1-row cap scalar cross join
     "events_window_funnel": 1,     # 1-row step-1 baseline scalar cross join
+    "events_window_funnel_strict": 1,  # same 1-row baseline scalar cross join
     "ml_ann_ivf_topk": 16,         # centroid frame + bounded probe set
     "dedup_semantic_semdedup": 16,  # n_clusters=16 centroid broadcast
     "ml_knn_vote": 40,             # bounded eval-query broadcast
