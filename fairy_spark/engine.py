@@ -275,6 +275,46 @@ class Engine:
             }
         )
 
+    def langid(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Stopword-profile language prediction per row (the registered
+        `text_langid_profile` algebra over an arbitrary frame):
+        appends per-language stopword hit counts (de/en/es/fr), the
+        argmax `pred_lang` ('unk' on zero hits, alphabetical
+        tie-break) and `conf_ppm` — winning hits per million tokens.
+        Pure per-row HOFs, zero shuffle."""
+        from pyspark.sql import functions as F
+
+        from fairy_spark.operators.text import LANG_STOPWORDS, tokenize
+
+        toks = tokenize(F.col(text_col))
+        out = docs.withColumn("_n_toks", F.size(toks).cast("bigint"))
+
+        # single-parameter lambda per profile: a defaulted second param
+        # would make PySpark bind the array INDEX to it
+        def hit_filter(ws: tuple[str, ...]):
+            return lambda x: x.isin(*ws)
+
+        for lang, ws in sorted(LANG_STOPWORDS.items()):
+            out = out.withColumn(
+                f"hits_{lang}",
+                F.size(F.filter(toks, hit_filter(ws))).cast("bigint"),
+            )
+        mx = F.greatest(*[f"hits_{lang}" for lang in sorted(LANG_STOPWORDS)])
+        out = out.withColumn("_mx", mx)
+        pred = F.when(F.col("_mx") == 0, "unk")
+        for lang in sorted(LANG_STOPWORDS):
+            pred = pred.when(F.col(f"hits_{lang}") == F.col("_mx"), lang)
+        return (
+            out.withColumn("pred_lang", pred)
+            .withColumn(
+                "conf_ppm",
+                F.when(
+                    F.col("_n_toks") > 0, F.expr("_mx * 1000000L DIV _n_toks")
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .drop("_mx", "_n_toks")
+        )
+
     def profile(self, df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         """One-pass per-column stats (operators/profiling.py)."""
         from fairy_spark.operators.profiling import profile_table

@@ -167,3 +167,18 @@ def test_pretrain_corpus_staged_default_matches_lineage_form(engine, spark, sf_d
     d1 = engine._pipeline_stage_dir(docs)
     d2 = engine._pipeline_stage_dir(docs)
     assert d1 != d2
+
+
+def test_langid_through_engine(engine, spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and a dog"),
+            (2, "der hund ist zu den haus von mit nicht"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in engine.langid(docs).collect()}
+    assert out[1]["pred_lang"] == "en" and out[1]["hits_en"] >= 4
+    assert out[2]["pred_lang"] == "de"
+    assert out[3]["pred_lang"] == "unk" and out[3]["conf_ppm"] == 0
