@@ -26,6 +26,7 @@ class Engine:
         self.spark = spark or get_spark(self.cfg)
         self.catalog = Catalog(self.spark)
         self._kv: dict[str, KVStore] = {}
+        self._stage_dirs: list[str] = []
         # make module-referenced UDFs importable on executor workers
         # regardless of the driver process's cwd (shipping.py)
         from fairy_spark.shipping import ensure_package_shipped
@@ -48,23 +49,43 @@ class Engine:
             self._kv[name] = KVStore(self.spark, name, num_buckets=self.cfg.kv_num_buckets)
         return self._kv[name]
 
-    _stage_seq = 0
-
     def _pipeline_stage_dir(self, docs: DataFrame) -> str:
         """Default durable stage-boundary path for pretrain_corpus:
         per-application (two sessions never collide) and per-call (a
         later call never clobbers a boundary an earlier returned frame
-        still reads from)."""
+        still reads from). uuid4-minted, so concurrent threads can
+        never race to the same dir (ADVICE r11: the previous class
+        counter was incremented non-atomically); every minted dir is
+        tracked on this Engine for ``cleanup_stage_dirs``."""
         import os
+        import uuid
 
-        Engine._stage_seq += 1
         from fairy_spark.queries.sources_io import _IO_ROOT
 
-        return os.path.join(
+        d = os.path.join(
             _IO_ROOT,
             docs.sparkSession.sparkContext.applicationId,
-            f"pretrain_stage3_{Engine._stage_seq}",
+            f"pretrain_stage3_{uuid.uuid4().hex}",
         )
+        self._stage_dirs.append(d)
+        return d
+
+    def cleanup_stage_dirs(self) -> int:
+        """Remove every stage-boundary dir this Engine minted for
+        staged ``pretrain_corpus`` calls and return how many were
+        dropped (ADVICE r11: long-lived sessions otherwise grow a new
+        stage-3 parquet copy per call with no cleanup path). Call it
+        once the frames returned by those calls are no longer needed —
+        a frame whose boundary dir is removed will fail on its next
+        action. Caller-supplied ``stage_dir``s are the caller's to
+        manage and are not tracked here."""
+        import shutil
+
+        n = 0
+        while self._stage_dirs:
+            shutil.rmtree(self._stage_dirs.pop(), ignore_errors=True)
+            n += 1
+        return n
 
     # -- LLM-data-pipeline surface (operators/*) ------------------------------
 
@@ -205,8 +226,13 @@ class Engine:
 
         if staged and stage_dir is None:
             stage_dir = self._pipeline_stage_dir(docs)
-        elif not staged:
-            stage_dir = None
+        elif not staged and stage_dir is not None:
+            # Previously the explicit dir was silently discarded
+            # (ADVICE r11) — the combination is contradictory, reject.
+            raise ValueError(
+                "stage_dir is only meaningful with staged=True; "
+                f"got staged=False with stage_dir={stage_dir!r}"
+            )
         return pretrain_corpus(
             docs,
             probe_docs=probe_docs,

@@ -22,6 +22,26 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from fairy_spark.operators.text import portable_hash64
 
 
+# Shared centroid-frame pool: a new IVF build evicts the previous
+# build's final persisted Lloyd frame (wedges.py's leak discipline) —
+# repeated ivf_index/ivf_mips_topk calls no longer accumulate cached
+# k×dim frames until the context cleaner collects them (ADVICE r11).
+_CENT_PERSISTED: list = []
+
+
+def _persist_centroids(df: DataFrame) -> DataFrame:
+    """Materialize a Lloyd-round centroid frame, evicting whichever
+    frame the pool held (the previous round's, or a previous call's
+    final one). Truncates lineage each round — without it every
+    iteration re-derives all prior assign+mean rounds from scratch."""
+    while _CENT_PERSISTED:
+        _CENT_PERSISTED.pop().unpersist(blocking=False)
+    df = df.persist()
+    df.count()
+    _CENT_PERSISTED.append(df)
+    return df
+
+
 def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -238,7 +258,6 @@ def ivf_index(
         [(i, list(r["_v"])) for i, r in enumerate(seed_rows)],
         "_cid INT, _cvec ARRAY<DOUBLE>",
     )
-    prev = None
     for _ in range(lloyd_iters):
         assigned = _nearest_centroid(corpus, cent, "_v", n_probe=1)
         cent = (
@@ -253,15 +272,11 @@ def ivf_index(
                 ).alias("_cvec")
             )
         )
-        # Truncate lineage each round: the centroid frame is k×dim
-        # (index metadata), but without materialization each iteration
-        # re-derives every previous assign+mean from scratch —
-        # quadratic recompute once lloyd_iters grows.
-        cent = cent.persist()
-        cent.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = cent
+        # The centroid frame is k×dim (index metadata); pool-persist
+        # it — without materialization each iteration re-derives every
+        # previous assign+mean from scratch (quadratic recompute once
+        # lloyd_iters grows), and the pool evicts the stale round.
+        cent = _persist_centroids(cent)
     assignments = _nearest_centroid(corpus, cent, "_v", n_probe=1).select(
         F.col("_id").alias(id_col), F.col("_v").alias(vec_col), F.col("_cid").alias("cluster")
     )
@@ -354,11 +369,20 @@ def jl_project(vec: Column, k_out: int = 16, dims: int = 64, scale: int = 1024) 
                 lambda acc, x: acc + x,
             )
         )
-    return F.when(F.size(vec) == F.lit(dims), F.array(*comps)).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"jl_project: dims={dims} != vector length "),
-                F.size(vec).cast("string"),
+    # NULL vectors pass through as NULL projections (the pre-guard
+    # behavior): size(NULL) is NULL, so without the explicit isNull
+    # branch the when-condition would fall to raise_error with a
+    # partially-NULL message (ADVICE r11). Only a present vector of
+    # the wrong length raises.
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("array<bigint>"))
+        .when(F.size(vec) == F.lit(dims), F.array(*comps))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"jl_project: dims={dims} != vector length "),
+                    F.size(vec).cast("string"),
+                )
             )
         )
     )
@@ -527,7 +551,6 @@ def ivf_mips_topk(
             .drop("_cvec", "_d2", "_cr")
         )
 
-    prev = None
     for _ in range(lloyd_iters):
         assigned = nearest(corpus, "_q", 1, cent)
         cent = (
@@ -543,11 +566,10 @@ def ivf_mips_topk(
                 ).alias("_cvec")
             )
         )
-        cent = cent.persist()
-        cent.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = cent
+        # Pool-persist each Lloyd round (ADVICE r11: the final frame
+        # used to stay persisted until GC; the pool evicts it on the
+        # next IVF build).
+        cent = _persist_centroids(cent)
 
     assigned = nearest(corpus, "_q", 1, cent).select(
         F.col("_id").alias("neighbor_id"),

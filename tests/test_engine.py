@@ -169,6 +169,24 @@ def test_pretrain_corpus_staged_default_matches_lineage_form(engine, spark, sf_d
     assert d1 != d2
 
 
+def test_pretrain_corpus_stage_dir_guard_and_cleanup(engine, spark, sf_dir):
+    """ADVICE r11: staged=False with an explicit stage_dir is a
+    contradiction and raises (it used to be silently discarded);
+    cleanup_stage_dirs removes every facade-minted boundary dir."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with pytest.raises(ValueError, match="staged=True"):
+        engine.pretrain_corpus(docs, staged=False, stage_dir="/tmp/never_used")
+    engine.cleanup_stage_dirs()  # drop dirs left by earlier tests
+    engine.pretrain_corpus(docs).count()
+    assert len(engine._stage_dirs) == 1
+    minted = engine._stage_dirs[0]
+    assert os.path.isdir(minted)
+    assert engine.cleanup_stage_dirs() == 1
+    assert not os.path.exists(minted) and engine._stage_dirs == []
+
+
 def test_langid_through_engine(engine, spark):
     docs = spark.createDataFrame(
         [

@@ -195,6 +195,36 @@ def test_jl_project_wrong_dims_raises(spark):
         df.select(jl_project(F.col("v"), k_out=4, dims=32).alias("p")).collect()
 
 
+def test_jl_project_null_vector_passes_through(spark):
+    # ADVICE r11: a NULL vector must project to NULL (the pre-guard
+    # behavior), not trip the dims guard's raise_error — size(NULL) is
+    # NULL, so the guard needs an explicit isNull branch.
+    from fairy_spark.operators.similarity import jl_project
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None)], "id BIGINT, v ARRAY<FLOAT>"
+    )
+    rows = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", jl_project(F.col("v"), k_out=4, dims=64).alias("p")
+        ).collect()
+    }
+    assert rows[2] is None
+    assert rows[1] is not None and len(rows[1]) == 4
+
+
+def test_ivf_centroid_pool_bounded_across_calls(spark, emb):
+    # ADVICE r11: repeated IVF builds must not accumulate persisted
+    # Lloyd frames — the module pool holds at most the latest one.
+    from fairy_spark.operators import similarity as S
+
+    q = emb.filter(F.col("vec_id") <= 3)
+    for _ in range(2):
+        S.ivf_mips_topk(emb, q, k=3, n_clusters=4, n_probe=2).count()
+    assert len(S._CENT_PERSISTED) <= 1
+
+
 def test_jl_pairwise_distances_preserved_in_expectation(spark, emb):
     # JL with k=16: squared pair distances scaled by 3/k concentrate
     # around the originals. Check the MEAN ratio over a bounded pair
