@@ -66,6 +66,17 @@ a full oracle (integer Lloyd update — VERDICT r10 #4), closing the
 ANN ledger at rows-only = 0. Every r11 row is oracle-green at sf0.01,
 sf0.1 AND the (stopword-stratum-rebuilt) sf1 replica before
 registration.
+
+Round 12 entered with zero debt (r11 fully green; cap ~49) and
+registers the three VERDICT-r11 breadth candidates:
+ml_ann_ivf_append (incremental IVF ingest — quantizer from base only,
+delta assigned to existing centroids, #4), dedup_image_dhash
+(perceptual difference-hash near-dup over the multimodal byte
+stand-in + banded hamming join, #5), dedup_lines_exact
+(RefinedWeb-style corpus-wide duplicate-line removal, #6). Every r12
+row is oracle-green at sf0.01, sf0.1 AND the sf1 replica before
+registration (per-row appendices in AUDIT_r12_sf1.txt; the r12 FULL
+sf1 + sf0.1 audits cover the pre-existing 362).
 """
 
 from __future__ import annotations

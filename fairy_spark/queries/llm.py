@@ -1043,6 +1043,99 @@ def ml_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_APPEND_ORACLE = f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, {_IVF_Q_FULL_SQL} AS q FROM embeddings
+    ), b AS MATERIALIZED (
+      SELECT vec_id, q FROM c WHERE vec_id % 5 != 4
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cid,
+             q AS cq
+      FROM b
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_int_l2_sql('b.q', 's.cq')}, s.cid) AS r
+        FROM b CROSS JOIN seeds s)
+      WHERE r = 1
+    ), m AS (
+      SELECT a0.cid, dim.i AS dim,
+             CAST(CAST(SUM(b.q[dim.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS mval
+      FROM a0 JOIN b USING (vec_id) CROSS JOIN generate_series(1, 64) AS dim(i)
+      GROUP BY a0.cid, dim.i
+    ), cent AS MATERIALIZED (
+      SELECT cid, list(mval ORDER BY dim) AS cq FROM m GROUP BY cid
+    ), d1 AS MATERIALIZED (
+      SELECT c.vec_id, cent.cid, {_int_l2_sql('c.q', 'cent.cq')} AS d2
+      FROM c CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM d1)
+      WHERE r = 1
+    ), probed AS (
+      SELECT vec_id AS query_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM d1 WHERE vec_id <= 10)
+      WHERE r <= 4
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, 64), i -> cq.q[i] * cn.q[i])),
+                  (x, y) -> x + y) AS BIGINT) AS dot
+      FROM probed p
+      JOIN assigned a ON p.cluster = a.cluster AND a.neighbor_id != p.query_id
+      JOIN c cq ON cq.vec_id = p.query_id
+      JOIN c cn ON cn.vec_id = a.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id) AS rn
+      FROM (SELECT DISTINCT query_id, neighbor_id, dot FROM scored)
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """
+
+
+@register("ml_ann_ivf_append", oracle=_IVF_APPEND_ORACLE)
+def ml_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest (VERDICT r11 #4 — the coarse-quantizer
+    analog of dedup_minhash_incremental / stream_exec_minhash_append):
+    the corpus is split deterministically into a BASE (vec_id % 5 !=
+    4, 80%) and a DELTA batch (the other 20%, proportional at every
+    SF); operators/similarity.ivf_mips_append builds the exact-integer
+    quantizer (md5-seeded init + one bigint-SUM-`DIV`-count Lloyd
+    round) from the base ONLY, assigns the delta to those EXISTING
+    centroids with no re-clustering, and answers top-5 over base ∪
+    delta at the ml_ann_ivf_topk geometry (n_clusters=16, n_probe=4,
+    queries vec_id <= 10 — ids 4 and 9 are themselves delta members,
+    so the appended batch is exercised on both the corpus and the
+    query side). The oracle mirrors the split algebra: seeds + Lloyd
+    over the base CTE, assignment/probe/score over the full corpus.
+    Scale: a 100 TB embedding store ingests batches continuously;
+    per-batch cost here is O(|delta|·k·dim) assignment against
+    broadcast k×dim centroid metadata — rebuilding the quantizer per
+    batch is the anti-pattern. Empty-delta equivalence with
+    ml_ann_ivf_topk is pinned in tests/test_similarity.py."""
+    from fairy_spark.operators.similarity import ivf_mips_append
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 4)
+    delta = e.filter(F.col("vec_id") % 5 == 4)
+    q = e.filter(F.col("vec_id") <= 10)
+    return ivf_mips_append(base, delta, q, k=5, n_clusters=16, n_probe=4).orderBy(
+        "query_id", "rn"
+    )
+
+
 _IVF_Q_SQL = (
     "list_transform(generate_series(1, 64), "
     "i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT))"

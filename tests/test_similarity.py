@@ -214,6 +214,40 @@ def test_jl_project_null_vector_passes_through(spark):
     assert rows[1] is not None and len(rows[1]) == 4
 
 
+def test_ivf_append_empty_delta_equals_full_build(spark, emb):
+    """ivf_mips_append's exact invariant: with an empty delta it IS
+    ivf_mips_topk at the same geometry (same quantizer build, same
+    probe/score code path)."""
+    from fairy_spark.operators.similarity import ivf_mips_append, ivf_mips_topk
+
+    q = emb.filter(F.col("vec_id") <= 5)
+    empty = emb.filter(F.lit(False))
+    a = (
+        ivf_mips_append(emb, empty, q, k=3, n_clusters=4, n_probe=2)
+        .orderBy("query_id", "rn")
+        .collect()
+    )
+    b = (
+        ivf_mips_topk(emb, q, k=3, n_clusters=4, n_probe=2)
+        .orderBy("query_id", "rn")
+        .collect()
+    )
+    assert a == b
+
+
+def test_ivf_append_delta_searchable_without_recluster(spark, emb):
+    """Appended delta vectors are assigned to the base-built centroids
+    and become retrievable neighbors; the quantizer itself is built
+    from the base only (seeds are base members)."""
+    from fairy_spark.operators.similarity import ivf_mips_append
+
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    q = emb.filter(F.col("vec_id") <= 5)
+    out = ivf_mips_append(base, delta, q, k=5, n_clusters=4, n_probe=4).collect()
+    assert out and any(r["neighbor_id"] % 5 == 4 for r in out)
+
+
 def test_ivf_centroid_pool_bounded_across_calls(spark, emb):
     # ADVICE r11: repeated IVF builds must not accumulate persisted
     # Lloyd frames — the module pool holds at most the latest one.
