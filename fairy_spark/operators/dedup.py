@@ -827,3 +827,68 @@ def winnow_best_match(
         .filter(F.col("rn") == 1)
         .select("id", "match_id", "shared_fp", F.col("n_fp").cast("int"), "score_ppm")
     )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    bits: int,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "sig",
+) -> DataFrame:
+    """Generic banded hamming near-dup join over ONE BIGINT fingerprint
+    column (the simhash16/simhash64_pairs geometry, factored so any
+    integer perceptual hash — simhash, image dHash, audio chromaprint
+    stand-ins — reuses the same plan): split the ``bits``-wide hash
+    into ``n_bands`` equal bands; by pigeonhole any pair at hamming <=
+    max_hamming < n_bands agrees exactly on >= 1 band, so candidates
+    come from the (band_id, band_val) shuffle equi-join — pair cost
+    Sum|bucket|^2, never corpus^2 — and are verified by the exact
+    bit_count(xor). Returns distinct (id_a, id_b, hamming), id_a <
+    id_b. ``max_hamming`` must stay below n_bands (the recall bound:
+    n_bands differing bits can spread one per band) and ``bits`` must
+    split evenly into bands — both rejected loudly instead of
+    returning silently incomplete pairs."""
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} does not split into {n_bands} equal bands")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {n_bands}-band recall "
+            f"bound: candidates are only guaranteed complete for hamming < "
+            f"{n_bands} (pigeonhole)"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col(hash_col), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"), F.explode(bands).alias("b")
+    ).select("id", "h", "b.band_id", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -276,3 +276,67 @@ def image_downsample_pool(media: DataFrame, in_w: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(gen, IMAGE_POOL_SCHEMA)
+
+
+def image_dhash(media: DataFrame, in_w: int = 9, rows: int = 5) -> DataFrame:
+    """Perceptual difference hash (dHash — the public average/
+    difference-hash family used for image near-dup detection): payload
+    bytes stand in for a row-major ``in_w``-wide 8-bit grayscale image
+    (deterministic fake decode, image_downsample_pool's discipline —
+    a real decoder+resample slots in at the reshape), and each of the
+    first ``rows`` pixel rows contributes ``in_w - 1`` horizontal
+    gradient bits: bit = 1 iff p(r,c) < p(r,c+1). The
+    rows·(in_w-1)-bit fingerprint packs into ONE BIGINT (callers keep
+    rows·(in_w-1) < 63 so the hash stays positive — the default 9×5
+    geometry is the classic 40-bit shape of a 9-wide dHash over 5
+    rows), so downstream banding/XOR is plain integer algebra any
+    engine reproduces. Payloads shorter than in_w·rows are DROPPED
+    (no partial grid — callers filter the same bound so oracle row
+    sets align).
+
+    Scale: one row per payload, row-linear, no shuffle — the hash is
+    Arrow-batched numpy (strided compare + power-of-two dot), and the
+    100 TB near-dup pass that follows is the banded hamming equi-join
+    (operators/dedup.py hamming_pairs), never an all-pairs distance."""
+    n_bits = rows * (in_w - 1)
+    if in_w < 2 or rows < 1 or n_bits >= 63:
+        raise ValueError(
+            f"image_dhash needs in_w >= 2, rows >= 1 and rows*(in_w-1) < 63 "
+            f"(one positive BIGINT), got {in_w}x{rows} = {n_bits} bits"
+        )
+    import numpy as np
+
+    need = in_w * rows
+    pow2 = (np.int64(1) << np.arange(n_bits, dtype=np.int64)).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < need:
+                    continue
+                grid = (
+                    np.frombuffer(raw[:need], np.uint8)
+                    .astype(np.int64)
+                    .reshape(rows, in_w)
+                )
+                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64).ravel()
+                ids.append(mid)
+                hashes.append(int(np.dot(bits, pow2)))
+            # explicit int64 dtype: an all-dropped batch would otherwise
+            # infer object/float columns and fail Arrow conversion
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(gen, schema)

@@ -326,3 +326,52 @@ def image_pool_rows(spark, df):
     from fairy_spark.operators.multimodal import image_downsample_pool
 
     return image_downsample_pool(df, in_w=16).collect()
+
+
+def test_image_dhash_exact_bit_algebra_and_short_drop(spark):
+    import numpy as np
+
+    from fairy_spark.operators.multimodal import image_dhash
+
+    rng = np.random.RandomState(12)
+    raw = rng.randint(0, 256, 50).astype(np.uint8)  # 45 needed + 5 tail
+    df = spark.createDataFrame(
+        [(1, bytearray(raw.tobytes())), (2, bytearray(b"short"))],
+        "media_id LONG, payload BINARY",
+    )
+    rows = image_dhash(df, in_w=9, rows=5).collect()
+    assert [r["media_id"] for r in rows] == [1]  # short payload dropped
+    grid = raw[:45].reshape(5, 9).astype(np.int64)
+    expect = sum(
+        (1 << (r * 8 + c))
+        for r in range(5)
+        for c in range(8)
+        if grid[r, c] < grid[r, c + 1]
+    )
+    assert rows[0]["dhash"] == expect
+
+
+def test_image_dhash_geometry_guard(spark):
+    from fairy_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "media_id LONG, payload BINARY")
+    with pytest.raises(ValueError, match="positive BIGINT"):
+        image_dhash(df, in_w=9, rows=8)  # 64 bits would go negative
+
+
+def test_hamming_pairs_guards_and_exactness(spark):
+    from fairy_spark.operators.dedup import hamming_pairs
+
+    sig = spark.createDataFrame(
+        [(1, 0b0000000000), (2, 0b0000000011), (3, 0b1111100000)],
+        "doc_id LONG, sig LONG",
+    )
+    with pytest.raises(ValueError, match="does not split"):
+        hamming_pairs(sig, bits=10, n_bands=4)
+    with pytest.raises(ValueError, match="recall"):
+        hamming_pairs(sig, bits=10, n_bands=2, max_hamming=2)
+    # 5 bands x 2 bits: (1,2) differ in 2 bits of one band and agree on
+    # the rest -> candidate, hamming 2 kept; 3 is 5 resp. 7 bits away
+    # from 1 and 2 -> filtered even where a band happens to collide
+    out = hamming_pairs(sig, bits=10, n_bands=5, max_hamming=2).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 2)]
