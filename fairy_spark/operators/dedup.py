@@ -892,3 +892,73 @@ def hamming_pairs(
         )
         .distinct()
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact duplicate-LINE removal (the RefinedWeb /
+    CCNet line-dedup stage, public: Penedo et al. 2306.01116 drop
+    every repeated line before document-level passes — boilerplate
+    headers/footers repeat across pages and poison doc-level minhash
+    by making unrelated pages look similar, so STAGE ORDER matters:
+    line dedup runs FIRST, then exact/near doc dedup on the cleaned
+    text). Lines are ``\\n``-delimited; the FIRST occurrence
+    corpus-wide (smallest (id, line_no)) survives, later occurrences
+    are dropped; lines shorter than ``min_line_chars`` (default:
+    empty lines only) are never deduped — removing the nth blank line
+    corpus-wide would mangle formatting, not boilerplate. Returns one
+    row per doc: n_lines, n_kept, and kept_text (surviving lines
+    re-joined in original order).
+
+    Scale: corpus-linear — explode lines, ONE hash-agg on the md5
+    digest (never the line text itself: the shuffle ships 16-byte
+    keys, not boilerplate strings), an equi-join back on the digest,
+    one per-doc re-assembly agg. No all-pairs anything; skewed
+    boilerplate (the same cookie banner a billion times) lands on one
+    digest key whose group is reduced by the min() agg, not
+    materialized."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+    ).withColumn("_dig", F.md5(F.col("_line")))
+    firsts = (
+        lines.filter(F.length("_line") >= min_line_chars)
+        .groupBy("_dig")
+        .agg(F.min(F.struct("_id", "_line_no")).alias("_first"))
+    )
+    kept = (
+        lines.join(firsts, "_dig", "left")
+        .withColumn(
+            "_keep",
+            (F.length("_line") < min_line_chars)
+            | (
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_line_no") == F.col("_first._line_no"))
+            ),
+        )
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_line_no", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_lines", "n_kept", "kept_text"
+        )
+    )

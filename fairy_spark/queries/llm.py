@@ -3899,6 +3899,74 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_DEDUP_LINES_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, (len(tk) + 11) // 12 - 1),
+               g -> array_to_string(tk[g*12+1 : g*12+12], ' ')) AS lines
+      FROM toks
+    ), l AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, len(lines))) - 1 AS line_no,
+             UNNEST(lines) AS line
+      FROM t
+    ), s AS (
+      SELECT doc_id, line_no, line,
+             ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_no) AS rnk
+      FROM l
+    ), k AS (
+      SELECT doc_id, line_no, line,
+             (LENGTH(line) < 1 OR rnk = 1) AS keep
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_no), '') AS kept_text
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("dedup_lines_exact", oracle=_DEDUP_LINES_ORACLE)
+def dedup_lines_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact duplicate-LINE removal (VERDICT r11 #6 —
+    RefinedWeb's line-dedup stage, Penedo et al. 2306.01116: repeated
+    boilerplate lines are dropped BEFORE document-level passes,
+    because shared headers/footers make unrelated pages minhash-
+    similar; see operators/dedup.py dedup_lines for the stage-order
+    note). The fixture corpus has no newlines, so the query first
+    segments each doc into deterministic 12-token pseudo-lines
+    (identical slice algebra on both engines) joined by chr(10) —
+    production text arrives newline-delimited and skips that step.
+    The operator explodes lines, hash-aggs on the md5 digest (the
+    shuffle ships 16-byte keys, never the boilerplate strings),
+    keeps each line's first corpus-wide occurrence (min (doc_id,
+    line_no)), and reassembles per-doc kept_text in original order
+    via the sorted-struct collect discipline. Empty lines are never
+    deduped (formatting, not boilerplate). At sf0.01 the corpus holds
+    2,477 lines of which 110 are corpus-wide repeats — non-degenerate
+    with zero exact-dup docs. Scale: corpus-linear, one digest
+    hash-agg + one digest equi-join + one per-doc agg; a billion-fold
+    boilerplate line lands on ONE digest key reduced by min(), never
+    materialized as pairs. DuckDB knife-edge handled: string_agg over
+    zero kept rows is NULL, COALESCE'd to '' to match Spark's
+    array_join of an empty array."""
+    from fairy_spark.operators.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), "
+            "g -> array_join(slice(split(text, ' '), g*12+1, 12), ' ')), chr(10))"
+        ).alias("text"),
+    )
+    return dedup_lines(docs).orderBy("doc_id")
+
+
 _SIMHASH_SCALE_BITS = 32
 _SIMHASH_SCALE_BAND_BITS = 8
 _SIMHASH_SCALE_BANDS = _SIMHASH_SCALE_BITS // _SIMHASH_SCALE_BAND_BITS

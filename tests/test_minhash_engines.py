@@ -98,3 +98,35 @@ def test_block_keyed_cache_detects_corpus_mutation_under_same_key(spark):
         dedup.minhash_lsh_candidates(mutated, cache_key="blk-k").count()
     finally:
         dedup.clear_signature_cache(spark)
+
+
+def test_dedup_lines_first_occurrence_survives(spark):
+    """RefinedWeb line dedup semantics on a hand-built corpus: the
+    smallest (doc_id, line_no) occurrence of each line survives,
+    in-doc repeats are dropped too, empty lines are never deduped,
+    and kept_text preserves original line order."""
+    from fairy_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, "b\nc\n\nd"), (3, "\nc")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["kept_text"]) == (3, 2, "a\nb")
+    # doc2: 'b' already seen in doc1; empty line kept unconditionally
+    assert (out[2]["n_lines"], out[2]["n_kept"], out[2]["kept_text"]) == (4, 3, "c\n\nd")
+    # doc3: 'c' seen in doc2; only the (kept) empty line remains
+    assert (out[3]["n_lines"], out[3]["n_kept"], out[3]["kept_text"]) == (2, 1, "")
+
+
+def test_dedup_lines_min_line_chars_threshold(spark):
+    """Lines shorter than min_line_chars are exempt from dedup (kept
+    everywhere), longer ones dedup corpus-wide."""
+    from fairy_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "xy\nlongline"), (2, "xy\nlongline")], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_line_chars=3).collect()}
+    assert out[1]["kept_text"] == "xy\nlongline"
+    assert out[2]["kept_text"] == "xy"  # short 'xy' exempt, longline deduped
