@@ -962,3 +962,82 @@ def dedup_lines(
             F.col("_id").alias(id_col), "n_lines", "n_kept", "kept_text"
         )
     )
+
+
+def dedup_lines_append(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Incremental line dedup: clean a DELTA batch against an already-
+    ingested base corpus without re-deduping the base (the
+    minhash_lsh_append / ivf_mips_append symmetry at the line level —
+    a continuous crawl dedups each day's batch against yesterday's
+    line index, never re-reads the corpus). Ingest contract: every
+    delta id sorts AFTER every base id (batches arrive in id order),
+    so first-occurrence survivorship is PREFIX-STABLE — appending can
+    never change a base doc's outcome, and a delta line survives iff
+    its digest is absent from the base AND it is the first occurrence
+    within the delta. Exact invariant (it IS the registered oracle):
+    append(base, delta) == dedup_lines(base ∪ delta) restricted to
+    delta docs. Returns the per-delta-doc summary (n_lines, n_kept,
+    kept_text).
+
+    Scale: the base contributes ONE distinct-digest projection — at
+    100 TB that digest set is the durable line index you maintain as
+    a bucketed table, so per-batch cost is |delta| explode + one
+    digest anti-probe + one |delta| agg, independent of base size.
+    Lines under ``min_line_chars`` are exempt exactly as in
+    dedup_lines."""
+    base_digs = (
+        base_docs.select(
+            F.explode(F.split(F.col(text_col), "\n")).alias("_line")
+        )
+        .filter(F.length("_line") >= min_line_chars)
+        .select(F.md5("_line").alias("_dig"))
+        .distinct()
+        .withColumn("_in_base", F.lit(True))
+    )
+    lines = delta_docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+    ).withColumn("_dig", F.md5(F.col("_line")))
+    delta_firsts = (
+        lines.filter(F.length("_line") >= min_line_chars)
+        .groupBy("_dig")
+        .agg(F.min(F.struct("_id", "_line_no")).alias("_first"))
+    )
+    kept = (
+        lines.join(delta_firsts, "_dig", "left")
+        .join(base_digs, "_dig", "left")
+        .withColumn(
+            "_keep",
+            (F.length("_line") < min_line_chars)
+            | (
+                F.col("_in_base").isNull()
+                & (F.col("_id") == F.col("_first._id"))
+                & (F.col("_line_no") == F.col("_first._line_no"))
+            ),
+        )
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_line_no", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+        .select(F.col("_id").alias(id_col), "n_lines", "n_kept", "kept_text")
+    )

@@ -68,15 +68,18 @@ sf0.1 AND the (stopword-stratum-rebuilt) sf1 replica before
 registration.
 
 Round 12 entered with zero debt (r11 fully green; cap ~49) and
-registers the three VERDICT-r11 breadth candidates:
-ml_ann_ivf_append (incremental IVF ingest — quantizer from base only,
-delta assigned to existing centroids, #4), dedup_image_dhash
+registers the three VERDICT-r11 breadth candidates plus one symmetry
+row: ml_ann_ivf_append (incremental IVF ingest — quantizer from base
+only, delta assigned to existing centroids, #4), dedup_image_dhash
 (perceptual difference-hash near-dup over the multimodal byte
 stand-in + banded hamming join, #5), dedup_lines_exact
-(RefinedWeb-style corpus-wide duplicate-line removal, #6). Every r12
-row is oracle-green at sf0.01, sf0.1 AND the sf1 replica before
-registration (per-row appendices in AUDIT_r12_sf1.txt; the r12 FULL
-sf1 + sf0.1 audits cover the pre-existing 362).
+(RefinedWeb-style corpus-wide duplicate-line removal, #6), and
+dedup_lines_incremental (the minhash_lsh_append symmetry at the line
+level — delta cleaned against the base digest index, oracle = full
+algebra restricted to delta). Every r12 row is oracle-green at
+sf0.01, sf0.1 AND the sf1 replica before registration (per-row
+appendices in AUDIT_r12_sf*.txt; the r12 FULL sf1 + sf0.1 audits
+cover the pre-existing 362).
 """
 
 from __future__ import annotations

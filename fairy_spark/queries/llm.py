@@ -3967,6 +3967,72 @@ def dedup_lines_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs).orderBy("doc_id")
 
 
+_DEDUP_LINES_APPEND_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, (len(tk) + 11) // 12 - 1),
+               g -> array_to_string(tk[g*12+1 : g*12+12], ' ')) AS lines
+      FROM toks
+    ), thr AS (
+      SELECT CAST((MAX(doc_id) + 1) * 4 // 5 AS BIGINT) AS thr FROM documents
+    ), l AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, len(lines))) - 1 AS line_no,
+             UNNEST(lines) AS line
+      FROM t
+    ), s AS (
+      SELECT doc_id, line_no, line,
+             ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_no) AS rnk
+      FROM l
+    ), k AS (
+      SELECT doc_id, line_no, line,
+             (LENGTH(line) < 1 OR rnk = 1) AS keep
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_no), '') AS kept_text
+    FROM k, thr WHERE k.doc_id >= thr.thr
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("dedup_lines_incremental", oracle=_DEDUP_LINES_APPEND_ORACLE)
+def dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line dedup (the minhash_lsh_append symmetry at the
+    line level — r12, after VERDICT r11 #6): the corpus splits at the
+    80th-percentile doc_id (a 1-row scalar carry, proportional at
+    every SF) into an already-ingested BASE and a DELTA batch whose
+    ids all sort after the base — the ingest contract under which
+    first-occurrence survivorship is prefix-stable. operators/dedup.py
+    dedup_lines_append cleans the delta against ONE distinct-digest
+    projection of the base (at 100 TB: the durable line index as a
+    bucketed table; per-batch cost |delta| + one digest anti-probe,
+    independent of base size) with no base re-dedup. The ORACLE runs
+    the FULL dedup_lines algebra over base ∪ delta restricted to
+    delta docs — so every hash-green run re-proves the exact
+    invariant append(base, delta) == full-build |delta|, the same
+    proof shape ml_ann_ivf_append uses."""
+    from fairy_spark.operators.dedup import dedup_lines_append
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), "
+            "g -> array_join(slice(split(text, ' '), g*12+1, 12), ' ')), chr(10))"
+        ).alias("text"),
+    )
+    thr = docs.agg(F.expr("(max(doc_id) + 1) * 4 div 5").alias("_thr"))
+    base = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("_thr")).drop("_thr")
+    delta = docs.join(F.broadcast(thr)).filter(F.col("doc_id") >= F.col("_thr")).drop("_thr")
+    return dedup_lines_append(base, delta).orderBy("doc_id")
+
+
 _SIMHASH_SCALE_BITS = 32
 _SIMHASH_SCALE_BAND_BITS = 8
 _SIMHASH_SCALE_BANDS = _SIMHASH_SCALE_BITS // _SIMHASH_SCALE_BAND_BITS

@@ -130,3 +130,32 @@ def test_dedup_lines_min_line_chars_threshold(spark):
     out = {r["doc_id"]: r for r in dedup_lines(docs, min_line_chars=3).collect()}
     assert out[1]["kept_text"] == "xy\nlongline"
     assert out[2]["kept_text"] == "xy"  # short 'xy' exempt, longline deduped
+
+
+def test_dedup_lines_append_equals_full_build_restricted(spark):
+    """The incremental contract: with delta ids after base ids,
+    append(base, delta) == dedup_lines(base ∪ delta) restricted to
+    the delta docs — in-delta repeats, base-seen lines, and exempt
+    empty lines all behave identically."""
+    from fairy_spark.operators.dedup import dedup_lines, dedup_lines_append
+
+    base = spark.createDataFrame(
+        [(1, "a\nb"), (2, "c\n\nb")], "doc_id BIGINT, text STRING"
+    )
+    delta = spark.createDataFrame(
+        [(3, "b\nd\nd"), (4, "d\n\ne\na")], "doc_id BIGINT, text STRING"
+    )
+    full = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_text"])
+        for r in dedup_lines(base.unionByName(delta)).collect()
+        if r["doc_id"] >= 3
+    }
+    app = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_text"])
+        for r in dedup_lines_append(base, delta).collect()
+    }
+    assert app == full
+    assert app[3] == (3, 1, "d")  # 'b' seen in base, 2nd 'd' in-delta dup
+    # doc4 = [d, '', e, a]: 'd' delta-first in doc3, 'a' in base, empty
+    # line exempt, 'e' genuinely new
+    assert app[4] == (4, 2, "\ne")

@@ -445,6 +445,7 @@ BNLJ_BOUNDED: dict[str, int] = {
     "events_window_funnel_strict": 1,  # same 1-row baseline scalar cross join
     "ml_ann_ivf_topk": 16,         # centroid frame + bounded probe set
     "ml_ann_ivf_append": 16,       # same base-built centroid frame broadcast
+    "dedup_lines_incremental": 1,  # 1-row 80th-percentile-id split scalar
     "dedup_semantic_semdedup": 16,  # n_clusters=16 centroid broadcast
     "ml_knn_vote": 40,             # bounded eval-query broadcast
     "ml_naive_bayes": 64,          # |classes| x 32-bucket model grid
