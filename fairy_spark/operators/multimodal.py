@@ -340,3 +340,62 @@ def image_dhash(media: DataFrame, in_w: int = 9, rows: int = 5) -> DataFrame:
         ]
     )
     return media.select("media_id", "payload").mapInPandas(gen, schema)
+
+
+def audio_fingerprint(
+    media: DataFrame, n_windows: int = 41, window_bytes: int = 2
+) -> DataFrame:
+    """Energy-difference audio fingerprint (the Haitsma–Kalker 2002
+    robust-audio-fingerprint family, public: the sign of the energy
+    difference between consecutive windows is the classic
+    noise-robust bit): payload bytes stand in for centered 8-bit PCM
+    (audio_energy_windows' fake-decode discipline), the first
+    ``n_windows`` fixed windows reduce to exact integer energies
+    Σ(b-128)², and each consecutive-window comparison contributes one
+    bit — (n_windows - 1) bits packed into ONE positive BIGINT
+    (callers keep n_windows <= 63), the same single-integer shape
+    image_dhash emits, so the SAME banded hamming join
+    (operators/dedup.py hamming_pairs) dedups audio. Payloads shorter
+    than n_windows·window_bytes are DROPPED (no partial fingerprint;
+    callers filter the same bound for oracle row alignment).
+
+    Scale: one row per payload, row-linear, no shuffle — Arrow-batched
+    numpy does the strided energy fold; the near-dup pass downstream
+    shuffles band values only."""
+    n_bits = n_windows - 1
+    if n_windows < 2 or window_bytes < 1 or n_bits >= 63:
+        raise ValueError(
+            f"audio_fingerprint needs 2 <= n_windows <= 63 (one positive "
+            f"BIGINT) and window_bytes >= 1, got {n_windows}/{window_bytes}"
+        )
+    import numpy as np
+
+    need = n_windows * window_bytes
+    pow2 = (np.int64(1) << np.arange(n_bits, dtype=np.int64)).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < need:
+                    continue
+                s = np.frombuffer(raw[:need], np.uint8).astype(np.int64) - 128
+                energy = (s * s).reshape(n_windows, window_bytes).sum(axis=1)
+                bits = (energy[:-1] < energy[1:]).astype(np.int64)
+                ids.append(mid)
+                fps.append(int(np.dot(bits, pow2)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "fingerprint": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("fingerprint", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(gen, schema)

@@ -375,3 +375,24 @@ def test_hamming_pairs_guards_and_exactness(spark):
     # from 1 and 2 -> filtered even where a band happens to collide
     out = hamming_pairs(sig, bits=10, n_bands=5, max_hamming=2).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 2)]
+
+
+def test_audio_fingerprint_exact_energy_algebra(spark):
+    import numpy as np
+
+    from fairy_spark.operators.multimodal import audio_fingerprint
+
+    rng = np.random.RandomState(3)
+    raw = rng.randint(0, 256, 90).astype(np.uint8)  # 82 needed + 8 tail
+    df = spark.createDataFrame(
+        [(1, bytearray(raw.tobytes())), (2, bytearray(b"too short"))],
+        "media_id LONG, payload BINARY",
+    )
+    rows = audio_fingerprint(df, n_windows=41, window_bytes=2).collect()
+    assert [r["media_id"] for r in rows] == [1]  # short payload dropped
+    s = raw[:82].astype(np.int64) - 128
+    e = (s * s).reshape(41, 2).sum(axis=1)
+    expect = sum((1 << i) for i in range(40) if e[i] < e[i + 1])
+    assert rows[0]["fingerprint"] == expect
+    with pytest.raises(ValueError, match="positive BIGINT"):
+        audio_fingerprint(df, n_windows=64)
