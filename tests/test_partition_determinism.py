@@ -35,6 +35,15 @@ SWEEP = [
     "ml_random_projection",
     "pipeline_source_report",
     "stats_anova_oneway",
+    # r12 breadth rows: integer-exact fingerprints and a base-built
+    # quantizer; the sweep proves the banded joins, the md5-digest
+    # survivor min(), and the Lloyd (cluster, dim) shuffle don't leak
+    # arrival order
+    "ml_ann_ivf_append",
+    "dedup_image_dhash",
+    "dedup_audio_fingerprint",
+    "dedup_lines_exact",
+    "dedup_lines_incremental",
 ]
 
 
