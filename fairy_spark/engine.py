@@ -161,6 +161,64 @@ class Engine:
             "chunk", F.explode(cdc_chunks(tokenize(F.col(text_col)), mod=mod))
         ).drop(text_col)
 
+    def dedup_lines(
+        self,
+        docs: DataFrame,
+        delta_docs: DataFrame | None = None,
+        min_line_chars: int = 1,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Corpus-wide exact duplicate-LINE removal (RefinedWeb's
+        boilerplate stage; operators/dedup.py dedup_lines — the plan
+        `dedup_lines_exact` pins): first corpus-wide occurrence of
+        each line survives, empty/short lines are exempt, per-doc
+        (n_lines, n_kept, kept_text) comes back. Run it BEFORE
+        doc-level exact/near dedup — shared boilerplate makes
+        unrelated docs minhash-similar. Pass ``delta_docs`` to clean
+        an incremental batch against ``docs`` as the already-ingested
+        base instead (dedup_lines_append / `dedup_lines_incremental`;
+        ingest contract: delta ids sort after base ids)."""
+        from fairy_spark.operators.dedup import dedup_lines, dedup_lines_append
+
+        if delta_docs is not None:
+            return dedup_lines_append(
+                docs, delta_docs, id_col=id_col, text_col=text_col,
+                min_line_chars=min_line_chars,
+            )
+        return dedup_lines(
+            docs, id_col=id_col, text_col=text_col, min_line_chars=min_line_chars
+        )
+
+    def dedup_media(
+        self,
+        media: DataFrame,
+        kind: str = "image",
+        max_hamming: int = 3,
+    ) -> DataFrame:
+        """Perceptual near-dup pairs over a media frame (media_id,
+        payload) — the multimodal leg of the dedup stack: kind='image'
+        fingerprints with the 40-bit dHash (multimodal.image_dhash,
+        the `dedup_image_dhash` plan), kind='audio' with the
+        Haitsma–Kalker energy-difference bits
+        (multimodal.audio_fingerprint, the `dedup_audio_fingerprint`
+        plan); both feed the same banded hamming equi-join
+        (dedup.hamming_pairs, 4×10-bit bands — pair cost
+        Σ|bucket|², never corpus²). Returns (id_a, id_b, hamming)."""
+        from fairy_spark.operators.dedup import hamming_pairs
+        from fairy_spark.operators.multimodal import audio_fingerprint, image_dhash
+
+        if kind == "image":
+            sig, col = image_dhash(media), "dhash"
+        elif kind == "audio":
+            sig, col = audio_fingerprint(media), "fingerprint"
+        else:
+            raise ValueError(f"kind must be image|audio, got {kind!r}")
+        return hamming_pairs(
+            sig, bits=40, n_bands=4, max_hamming=max_hamming,
+            id_col="media_id", hash_col=col,
+        )
+
     def fingerprints(self, docs: DataFrame, k: int = 4, w: int = 4, text_col: str = "text") -> DataFrame:
         """Winnowing local fingerprints per document (Schleimer et al.
         2003; operators/text.py::winnow_fingerprints — the plan

@@ -200,3 +200,26 @@ def test_langid_through_engine(engine, spark):
     assert out[1]["pred_lang"] == "en" and out[1]["hits_en"] >= 4
     assert out[2]["pred_lang"] == "de"
     assert out[3]["pred_lang"] == "unk" and out[3]["conf_ppm"] == 0
+
+
+def test_dedup_lines_through_engine(engine, spark):
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r["kept_text"] for r in engine.dedup_lines(docs).collect()}
+    assert out == {1: "a\nb", 2: "c"}
+    delta = spark.createDataFrame([(3, "c\nd")], "doc_id BIGINT, text STRING")
+    app = engine.dedup_lines(docs, delta_docs=delta).collect()
+    assert [(r["doc_id"], r["kept_text"]) for r in app] == [(3, "d")]
+
+
+def test_dedup_media_through_engine(engine, spark, sf_dir):
+    from fairy_spark.operators.multimodal import media_table_from_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 82)
+    media = media_table_from_documents(docs)
+    img = engine.dedup_media(media, kind="image").collect()
+    aud = engine.dedup_media(media, kind="audio").collect()
+    assert all(r["hamming"] <= 3 and r["id_a"] < r["id_b"] for r in img + aud)
+    with pytest.raises(ValueError, match="image|audio"):
+        engine.dedup_media(media, kind="video")
