@@ -1041,3 +1041,71 @@ def dedup_lines_append(
         )
         .select(F.col("_id").alias(id_col), "n_lines", "n_kept", "kept_text")
     )
+
+
+def hamming_pairs_append(
+    base_sig: DataFrame,
+    delta_sig: DataFrame,
+    bits: int,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "sig",
+) -> DataFrame:
+    """Incremental leg of hamming_pairs: the near-dup pairs INVOLVING
+    a fingerprint delta, without re-joining base×base (the
+    minhash_lsh_append shape for single-BIGINT perceptual hashes).
+    The arriving side probes the union's bands, pairs are normalized
+    to (least, greatest) and deduped — so replaying a corpus in ANY
+    batch order emits every pair exactly once, in the batch where its
+    LATER-ARRIVING member lands (a pair needs both members present,
+    and the earlier member is never on the probe side again).
+    Per-batch cost ∝ |delta| × bucket occupancy; the base contributes
+    one banding projection of its (id, hash) index — 16-byte rows,
+    not payloads."""
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} does not split into {n_bands} equal bands")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {n_bands}-band recall "
+            f"bound: candidates are only guaranteed complete for hamming < "
+            f"{n_bands} (pigeonhole)"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col(hash_col), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
+            F.explode(bands).alias("b"),
+        ).select("id", "h", "b.band_id", "b.band_val")
+
+    a = banded(base_sig.unionByName(delta_sig)).alias("a")
+    b = banded(delta_sig).alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -76,9 +76,12 @@ stand-in + banded hamming join, #5), dedup_lines_exact
 (RefinedWeb-style corpus-wide duplicate-line removal, #6), and
 dedup_lines_incremental (the minhash_lsh_append symmetry at the line
 level — delta cleaned against the base digest index, oracle = full
-algebra restricted to delta), and dedup_audio_fingerprint (the audio
+algebra restricted to delta), dedup_audio_fingerprint (the audio
 leg joined to the dedup stack: Haitsma–Kalker energy-sign bits +
-the shared hamming_pairs band join). Every r12 row is oracle-green at
+the shared hamming_pairs band join), and stream_exec_dhash_append
+(LIVE-engine image-ingest dedup: per-batch fingerprint + banded
+probe of the durable index, oracle = the full dedup_image_dhash
+join). Every r12 row is oracle-green at
 sf0.01, sf0.1 AND the sf1 replica before registration (per-row
 appendices in AUDIT_r12_sf*.txt; the r12 FULL sf1 + sf0.1 audits
 cover the pre-existing 362).

@@ -330,6 +330,75 @@ def stream_exec_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_exec_dhash_append", oracle=ORACLE["dedup_image_dhash"])
+def stream_exec_dhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual near-dup through the LIVE engine (r12 —
+    the stream_exec_minhash_append shape for the multimodal dedup
+    leg): documents replay as 4 micro-batches; every foreachBatch
+    invocation fingerprints ONLY the arriving batch (image_dhash over
+    the media stand-in — payloads under the 45-byte grid drop inside
+    the operator, so the oracle's LENGTH filter is matched without a
+    separate predicate), runs hamming_pairs_append(base=fingerprints
+    ingested so far, delta=batch) and appends the new pairs, then
+    appends the batch FINGERPRINTS (16-byte rows, never payloads)
+    into the durable index. Each pair materializes exactly once — in
+    the batch where its later-arriving member lands — so after the
+    replay the pairs table equals the full banded join and the oracle
+    is simply `dedup_image_dhash`'s. Per-batch cost: hash |delta| +
+    band-probe vs the accumulated index; the base's payload bytes are
+    never re-read — the contract a 100 TB continuous image-ingest
+    dedup needs."""
+    import uuid
+
+    from fairy_spark.operators.dedup import hamming_pairs_append
+    from fairy_spark.operators.multimodal import (
+        image_dhash,
+        media_table_from_documents,
+    )
+    from fairy_spark.streaming.pipeline import (
+        replay_dir_from_documents,
+        run_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    schema = docs.schema
+    app_dir = os.path.join(
+        tempfile.gettempdir(), "fairy_spark_stream", spark.sparkContext.applicationId
+    )
+    replay = os.path.join(app_dir, "docs_replay_" + sf_cache_key(sf_dir))
+    marker = os.path.join(replay, "_READY")
+    if not os.path.exists(marker):
+        replay_dir_from_documents(spark, sf_dir, replay, n_chunks=4)
+        with open(marker, "w"):
+            pass
+    run_id = uuid.uuid4().hex[:8]
+    acc = os.path.join(app_dir, f"dh_sig_{run_id}")
+    pairs_out = os.path.join(app_dir, f"dh_pairs_{run_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay, "chunk_*"))
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta_sig = image_dhash(media_table_from_documents(batch_df))
+        if os.path.isdir(acc):
+            base_sig = sess.read.parquet(acc)
+        else:
+            base_sig = sess.createDataFrame([], "media_id LONG, dhash LONG")
+        new_pairs = hamming_pairs_append(
+            base_sig, delta_sig, bits=40, n_bands=4, max_hamming=3,
+            id_col="media_id", hash_col="dhash",
+        )
+        new_pairs.write.mode("append").parquet(pairs_out)
+        delta_sig.write.mode("append").parquet(acc)
+
+    run_foreach_batch(stream, ingest)
+    return spark.read.parquet(pairs_out).orderBy("id_a", "id_b")
+
+
 @register(
     "stream_exec_cdc_counts",
     oracle="""

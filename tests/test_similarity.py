@@ -396,3 +396,34 @@ def test_audio_fingerprint_exact_energy_algebra(spark):
     assert rows[0]["fingerprint"] == expect
     with pytest.raises(ValueError, match="positive BIGINT"):
         audio_fingerprint(df, n_windows=64)
+
+
+def test_hamming_pairs_append_replay_equals_full(spark):
+    """Replaying a fingerprint corpus through hamming_pairs_append in
+    ARBITRARY batch order (ids interleaved across batches) emits every
+    pair exactly once; the union over batches equals the one-shot
+    hamming_pairs result."""
+    from fairy_spark.operators.dedup import hamming_pairs, hamming_pairs_append
+
+    sigs = [(i, (i % 7) * 3 + (i % 2)) for i in range(1, 21)]  # heavy collisions
+    full_df = spark.createDataFrame(sigs, "doc_id LONG, sig LONG")
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(full_df, bits=8, n_bands=4, max_hamming=2).collect()
+    }
+    batches = [sigs[0::3], sigs[1::3], sigs[2::3]]  # interleaved, not sorted
+    seen, emitted = [], []
+    for b in batches:
+        base = spark.createDataFrame(seen, "doc_id LONG, sig LONG") if seen else (
+            spark.createDataFrame([], "doc_id LONG, sig LONG")
+        )
+        delta = spark.createDataFrame(b, "doc_id LONG, sig LONG")
+        emitted += [
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs_append(
+                base, delta, bits=8, n_bands=4, max_hamming=2
+            ).collect()
+        ]
+        seen += b
+    assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
+    assert set(emitted) == full
