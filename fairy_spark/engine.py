@@ -62,6 +62,17 @@ class Engine:
 
         from fairy_spark.queries.sources_io import _IO_ROOT
 
+        # Default-minted dirs are cleaned with shutil.rmtree, which
+        # only reaches driver-local POSIX paths — on an HDFS/object-
+        # store _IO_ROOT the cleanup would be a silent no-op (ADVICE
+        # r12), so refuse to mint there: a remote stage root must come
+        # in as an explicit caller-managed ``stage_dir``.
+        if "://" in _IO_ROOT:
+            raise ValueError(
+                f"FAIRY_SPARK_IO_DIR={_IO_ROOT!r} is not a local path; "
+                "pass an explicit stage_dir to pretrain_corpus (caller-"
+                "managed) — default stage dirs must be rmtree-cleanable"
+            )
         d = os.path.join(
             _IO_ROOT,
             docs.sparkSession.sparkContext.applicationId,
@@ -73,18 +84,32 @@ class Engine:
     def cleanup_stage_dirs(self) -> int:
         """Remove every stage-boundary dir this Engine minted for
         staged ``pretrain_corpus`` calls and return how many were
-        dropped (ADVICE r11: long-lived sessions otherwise grow a new
-        stage-3 parquet copy per call with no cleanup path). Call it
-        once the frames returned by those calls are no longer needed —
-        a frame whose boundary dir is removed will fail on its next
-        action. Caller-supplied ``stage_dir``s are the caller's to
-        manage and are not tracked here."""
+        ACTUALLY removed (ADVICE r11: long-lived sessions otherwise
+        grow a new stage-3 parquet copy per call with no cleanup
+        path). Call it once the frames returned by those calls are no
+        longer needed — a frame whose boundary dir is removed will
+        fail on its next action. Caller-supplied ``stage_dir``s are
+        the caller's to manage and are not tracked here.
+
+        shutil.rmtree only works on driver-local POSIX paths; if
+        FAIRY_SPARK_IO_DIR points at an HDFS/object-store URI the
+        rmtree is a silent no-op (ADVICE r12), so the return value
+        counts post-rmtree existence checks — a caller seeing fewer
+        removals than mints knows cleanup didn't happen and the dirs
+        are re-queued here rather than dropped from tracking."""
+        import os
         import shutil
 
         n = 0
+        survivors: list[str] = []
         while self._stage_dirs:
-            shutil.rmtree(self._stage_dirs.pop(), ignore_errors=True)
-            n += 1
+            d = self._stage_dirs.pop()
+            shutil.rmtree(d, ignore_errors=True)
+            if os.path.exists(d):
+                survivors.append(d)  # non-local or undeletable: keep tracking
+            else:
+                n += 1
+        self._stage_dirs.extend(survivors)
         return n
 
     # -- LLM-data-pipeline surface (operators/*) ------------------------------

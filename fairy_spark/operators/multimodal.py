@@ -46,7 +46,15 @@ MEDIA_SCHEMA = T.StructType(
 
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table using document text bytes as stand-in
-    payloads (the engine treats payloads as opaque either way)."""
+    payloads (the engine treats payloads as opaque either way).
+
+    Stand-in assumption (ADVICE r12): the fixture corpus is ASCII, so
+    one character == one payload byte and the DuckDB oracles may read
+    "pixels"/"samples" via ord(substr(text, i, 1)). Queries that bound
+    payload size must bound on BYTES (F.octet_length / strlen), never
+    characters, so non-ASCII text diverges loudly at the length gate
+    instead of silently in the hash bits; the ASCII property itself is
+    pinned by tests/test_similarity.py's ASCII-fixture test."""
     payload = F.col("text").cast("binary")
     return docs.select(
         F.col("doc_id").alias("media_id"),

@@ -17,29 +17,53 @@ results → stable oracle hashes).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from fairy_spark.operators.text import portable_hash64
 
 
-# Shared centroid-frame pool: a new IVF build evicts the previous
-# build's final persisted Lloyd frame (wedges.py's leak discipline) —
-# repeated ivf_index/ivf_mips_topk calls no longer accumulate cached
-# k×dim frames until the context cleaner collects them (ADVICE r11).
+# Final-frame pool for Lloyd centroid builds. INTERMEDIATE rounds are
+# evicted with a build-LOCAL prev handle inside _persist_centroids
+# (safe within one build: the new round's count() fully materializes
+# before the previous frame is dropped); only each build's FINAL
+# frame outlives its build and is parked here, so repeated
+# ivf_index/ivf_mips_topk calls don't accumulate cached k×dim frames
+# until the context cleaner collects them (ADVICE r11). The pool is
+# lock-guarded and keeps the _CENT_POOL_CAP most-recent final frames
+# (ADVICE r12: the old evict-all-on-persist pool let a NEW build drop
+# the centroid frame of an earlier build whose returned DataFrame was
+# still lazy, silently re-triggering that build's full Lloyd loop, and
+# concurrent builds could race the while-pop). Eviction beyond the cap
+# is correctness-safe — Spark recomputes an unpersisted frame on use —
+# it only costs that stale build's Lloyd rerun.
+_CENT_LOCK = threading.Lock()
 _CENT_PERSISTED: list = []
+_CENT_POOL_CAP = 4
 
 
-def _persist_centroids(df: DataFrame) -> DataFrame:
-    """Materialize a Lloyd-round centroid frame, evicting whichever
-    frame the pool held (the previous round's, or a previous call's
-    final one). Truncates lineage each round — without it every
-    iteration re-derives all prior assign+mean rounds from scratch."""
-    while _CENT_PERSISTED:
-        _CENT_PERSISTED.pop().unpersist(blocking=False)
+def _persist_centroids(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
+    """Materialize a Lloyd-round centroid frame and evict the CALLER'S
+    previous round (build-local — never another build's frame).
+    Truncates lineage each round; without it every iteration
+    re-derives all prior assign+mean rounds from scratch."""
     df = df.persist()
     df.count()
-    _CENT_PERSISTED.append(df)
+    if prev is not None:
+        prev.unpersist(blocking=False)
     return df
+
+
+def _park_final_centroids(df: DataFrame | None) -> None:
+    """Park a build's final persisted centroid frame in the bounded
+    pool (thread-safe); the oldest beyond _CENT_POOL_CAP is evicted."""
+    if df is None:
+        return
+    with _CENT_LOCK:
+        _CENT_PERSISTED.append(df)
+        while len(_CENT_PERSISTED) > _CENT_POOL_CAP:
+            _CENT_PERSISTED.pop(0).unpersist(blocking=False)
 
 
 def _dvec(col: Column) -> Column:
@@ -258,6 +282,7 @@ def ivf_index(
         [(i, list(r["_v"])) for i, r in enumerate(seed_rows)],
         "_cid INT, _cvec ARRAY<DOUBLE>",
     )
+    prev = None
     for _ in range(lloyd_iters):
         assigned = _nearest_centroid(corpus, cent, "_v", n_probe=1)
         cent = (
@@ -272,11 +297,14 @@ def ivf_index(
                 ).alias("_cvec")
             )
         )
-        # The centroid frame is k×dim (index metadata); pool-persist
-        # it — without materialization each iteration re-derives every
-        # previous assign+mean from scratch (quadratic recompute once
-        # lloyd_iters grows), and the pool evicts the stale round.
-        cent = _persist_centroids(cent)
+        # The centroid frame is k×dim (index metadata); persist it,
+        # evicting THIS build's previous round — without
+        # materialization each iteration re-derives every previous
+        # assign+mean from scratch (quadratic recompute once
+        # lloyd_iters grows).
+        cent = _persist_centroids(cent, prev)
+        prev = cent
+    _park_final_centroids(prev)
     assignments = _nearest_centroid(corpus, cent, "_v", n_probe=1).select(
         F.col("_id").alias(id_col), F.col("_v").alias(vec_col), F.col("_cid").alias("cluster")
     )
@@ -567,6 +595,7 @@ def _mips_centroids(corpus: DataFrame, n_clusters: int, lloyd_iters: int) -> Dat
         [(i, list(r["_q"])) for i, r in enumerate(seed_rows)],
         "_cid INT, _cvec ARRAY<BIGINT>",
     )
+    prev = None
     for _ in range(lloyd_iters):
         assigned = _mips_nearest(corpus, "_q", 1, cent)
         cent = (
@@ -582,10 +611,13 @@ def _mips_centroids(corpus: DataFrame, n_clusters: int, lloyd_iters: int) -> Dat
                 ).alias("_cvec")
             )
         )
-        # Pool-persist each Lloyd round (ADVICE r11: the final frame
-        # used to stay persisted until GC; the pool evicts it on the
-        # next IVF build).
-        cent = _persist_centroids(cent)
+        # Persist each Lloyd round, evicting THIS build's previous one
+        # (ADVICE r11: frames must not accumulate until GC; ADVICE r12:
+        # eviction is build-local so a new build can't drop a lazy
+        # earlier build's frame — finals go to the bounded pool below).
+        cent = _persist_centroids(cent, prev)
+        prev = cent
+    _park_final_centroids(prev)
     return cent
 
 

@@ -244,13 +244,21 @@ def _driver_verified_counts() -> dict[str, int]:
 #   on all fixtures, re-pin deferred from r8 so they didn't displace
 #   debt rows (precedent: r6's NULL-mean deferral).
 _RECHECK_FIRST: set[str] = {
-    # r10: check semantics changed — formerly rows-only, now carries a
-    # full-geometry SQL oracle (VERDICT r9 #6)
-    "ml_ann_lsh_topk",
-    # r10: body refactored into the shared _pipeline_pretrain helper +
-    # explicit broadcast pin on the probe-gram join (same semantics,
-    # re-prove under the driver anyway)
-    "pipeline_pretrain_corpus",
+    # r13 (VERDICT r12 #1): ml_ann_ivf_topk's latest driver record is
+    # still r7 `err: no_oracle`, pre-dating its r11 oracle conversion —
+    # the only registered row whose latest driver sample isn't
+    # hash-green. Builder-side it is green at sf0.01/sf0.1/sf1 (full
+    # audits r12), but only a driver resample closes the loose end:
+    # pin it to the window head. Prune once CORRECTNESS_r13 lands it.
+    "ml_ann_ivf_topk",
+    # r13: the media-dedup length gates moved from characters to BYTES
+    # (ADVICE r12 — F.octet_length / strlen; value-identical on the
+    # ASCII fixtures, re-prove under the driver anyway), and the
+    # streaming append legs moved to batch_id-keyed idempotent writes.
+    "dedup_image_dhash",
+    "dedup_audio_fingerprint",
+    "stream_exec_dhash_append",
+    "stream_exec_minhash_append",
 }
 
 

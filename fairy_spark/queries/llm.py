@@ -3844,7 +3844,7 @@ _IMAGE_DHASH_ORACLE = """
                 < ord(substr(text, (idx // 8) * 9 + (idx % 8) + 2, 1))
         THEN CAST(1 AS BIGINT) << idx ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
           AS dhash
-      FROM documents WHERE LENGTH(text) >= 45
+      FROM documents WHERE strlen(text) >= 45
     ), bands AS (
       SELECT doc_id, dhash, b.band_id,
              (dhash >> (b.band_id * 10)) & 1023 AS band_val
@@ -3891,7 +3891,14 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_table_from_documents,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 45)
+    # BYTE-length bound (ADVICE r12): image_dhash drops payloads on
+    # byte length, so the pre-filter must count bytes too —
+    # F.octet_length here, strlen() (bytes) in the oracle. The
+    # ord(substr) pixel algebra additionally assumes the stand-in
+    # payloads are single-byte text (asserted by
+    # media_table_from_documents's discipline + the ASCII-fixture pin
+    # in tests/test_similarity.py); a real decoder replaces it anyway.
+    docs = load_table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 45)
     media = media_table_from_documents(docs)
     h = image_dhash(media, in_w=9, rows=5)
     return hamming_pairs(
@@ -4048,7 +4055,7 @@ _AUDIO_FP_ORACLE = f"""
         CASE WHEN {_audio_energy_sql('idx')} < {_audio_energy_sql('idx+1')}
         THEN CAST(1 AS BIGINT) << idx ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
           AS fp
-      FROM documents WHERE LENGTH(text) >= 82
+      FROM documents WHERE strlen(text) >= 82
     ), bands AS (
       SELECT doc_id, fp, b.band_id,
              (fp >> (b.band_id * 10)) & 1023 AS band_val
@@ -4095,7 +4102,11 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_table_from_documents,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 82)
+    # BYTE-length bound (ADVICE r12) — same discipline as
+    # dedup_image_dhash: octet_length on the engine side, strlen()
+    # (bytes) in the oracle, single-byte stand-in payloads pinned by
+    # the ASCII-fixture test.
+    docs = load_table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 82)
     media = media_table_from_documents(docs)
     fp = audio_fingerprint(media, n_windows=41, window_bytes=2)
     return hamming_pairs(

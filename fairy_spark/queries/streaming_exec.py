@@ -282,6 +282,7 @@ def stream_exec_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fairy_spark.operators.dedup import minhash_lsh_append
     from fairy_spark.streaming.pipeline import (
+        idempotent_batch_write,
         replay_dir_from_documents,
         run_foreach_batch,
     )
@@ -310,17 +311,22 @@ def stream_exec_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(replay, "chunk_*"))
     )
 
+    cols = [f.name for f in schema]
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         if os.path.isdir(acc):
-            base = sess.read.parquet(acc)
+            base = sess.read.parquet(acc).select(*cols)
         else:
             base = sess.createDataFrame([], schema)
         new_pairs = minhash_lsh_append(
             base, batch_df, shingle_n=3, num_hashes=8, band_rows=1, cache_key=None
         )
-        new_pairs.write.mode("append").parquet(pairs_out)
-        batch_df.write.mode("append").parquet(acc)
+        # batch_id-keyed OVERWRITE subdirs (ADVICE r12): a foreachBatch
+        # retry replaces its own partial output instead of appending
+        # duplicate pairs / double-ingesting the batch into the base.
+        idempotent_batch_write(new_pairs, pairs_out, batch_id)
+        idempotent_batch_write(batch_df, acc, batch_id)
 
     run_foreach_batch(stream, ingest)
     return (
@@ -356,6 +362,7 @@ def stream_exec_dhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_table_from_documents,
     )
     from fairy_spark.streaming.pipeline import (
+        idempotent_batch_write,
         replay_dir_from_documents,
         run_foreach_batch,
     )
@@ -385,18 +392,25 @@ def stream_exec_dhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess = batch_df.sparkSession
         delta_sig = image_dhash(media_table_from_documents(batch_df))
         if os.path.isdir(acc):
-            base_sig = sess.read.parquet(acc)
+            base_sig = sess.read.parquet(acc).select("media_id", "dhash")
         else:
             base_sig = sess.createDataFrame([], "media_id LONG, dhash LONG")
         new_pairs = hamming_pairs_append(
             base_sig, delta_sig, bits=40, n_bands=4, max_hamming=3,
             id_col="media_id", hash_col="dhash",
         )
-        new_pairs.write.mode("append").parquet(pairs_out)
-        delta_sig.write.mode("append").parquet(acc)
+        # batch_id-keyed OVERWRITE subdirs (ADVICE r12): a foreachBatch
+        # retry replaces its own partial output instead of appending
+        # duplicate pairs / double-ingesting fingerprints.
+        idempotent_batch_write(new_pairs, pairs_out, batch_id)
+        idempotent_batch_write(delta_sig, acc, batch_id)
 
     run_foreach_batch(stream, ingest)
-    return spark.read.parquet(pairs_out).orderBy("id_a", "id_b")
+    return (
+        spark.read.parquet(pairs_out)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(

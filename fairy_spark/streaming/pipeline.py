@@ -194,6 +194,18 @@ def run_to_completion(query_df: DataFrame, mode: str = "append") -> list:
     return run_to_table(query_df, mode).collect()
 
 
+def idempotent_batch_write(df: DataFrame, root: str, batch_id: int) -> None:
+    """Write a foreachBatch output into a ``batch=<id>``-keyed subdir
+    with OVERWRITE (ADVICE r12): a foreachBatch retry after a partial
+    failure then REPLACES its own earlier half-written output instead
+    of appending a duplicate — per-batch exactly-once without a full
+    streaming checkpoint, valid because foreachBatch re-delivers the
+    same batch_id with the same rows. The dir name follows Hive
+    partition layout, so one read of ``root`` discovers every batch
+    (plus a ``batch`` partition column callers drop/project away)."""
+    df.write.mode("overwrite").parquet(os.path.join(root, f"batch={int(batch_id)}"))
+
+
 def run_foreach_batch(query_df: DataFrame, fn, mode: str = "append") -> None:
     """Drive a finite stream through a foreachBatch sink (the engine's
     programmable ingest hook — analog of the reference's put path,

@@ -187,6 +187,31 @@ def test_pretrain_corpus_stage_dir_guard_and_cleanup(engine, spark, sf_dir):
     assert not os.path.exists(minted) and engine._stage_dirs == []
 
 
+def test_stage_dir_cleanup_counts_only_real_removals(engine, spark, sf_dir, monkeypatch):
+    """ADVICE r12: cleanup_stage_dirs must report what it actually
+    removed — a no-op rmtree (non-local filesystem, undeletable dir)
+    returns 0 and KEEPS the dir tracked instead of silently dropping
+    it; a URI-schemed _IO_ROOT refuses to mint default stage dirs at
+    all (rmtree can't reach it)."""
+    import os
+    import shutil as _shutil
+
+    from fairy_spark.queries import sources_io
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    engine.cleanup_stage_dirs()  # drop dirs left by earlier tests
+    engine.pretrain_corpus(docs).count()
+    minted = engine._stage_dirs[0]
+    monkeypatch.setattr(_shutil, "rmtree", lambda *a, **k: None)
+    assert engine.cleanup_stage_dirs() == 0
+    assert engine._stage_dirs == [minted] and os.path.isdir(minted)
+    monkeypatch.undo()
+    assert engine.cleanup_stage_dirs() == 1 and not os.path.exists(minted)
+    monkeypatch.setattr(sources_io, "_IO_ROOT", "hdfs://nn/fairy_io")
+    with pytest.raises(ValueError, match="not a local path"):
+        engine._pipeline_stage_dir(docs)
+
+
 def test_langid_through_engine(engine, spark):
     docs = spark.createDataFrame(
         [

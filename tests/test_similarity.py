@@ -250,13 +250,25 @@ def test_ivf_append_delta_searchable_without_recluster(spark, emb):
 
 def test_ivf_centroid_pool_bounded_across_calls(spark, emb):
     # ADVICE r11: repeated IVF builds must not accumulate persisted
-    # Lloyd frames — the module pool holds at most the latest one.
+    # Lloyd frames without bound — the module pool keeps at most
+    # _CENT_POOL_CAP final frames. ADVICE r12: within the cap, a new
+    # build must NOT evict an earlier build's final frame (its
+    # returned DataFrame may still be lazy), so the pool grows to the
+    # cap instead of holding exactly one.
     from fairy_spark.operators import similarity as S
 
     q = emb.filter(F.col("vec_id") <= 3)
-    for _ in range(2):
+    before = list(S._CENT_PERSISTED)
+    S.ivf_mips_topk(emb, q, k=3, n_clusters=4, n_probe=2).count()
+    first_final = S._CENT_PERSISTED[-1]
+    assert first_final not in before
+    for _ in range(S._CENT_POOL_CAP + 1):
         S.ivf_mips_topk(emb, q, k=3, n_clusters=4, n_probe=2).count()
-    assert len(S._CENT_PERSISTED) <= 1
+    assert len(S._CENT_PERSISTED) <= S._CENT_POOL_CAP
+    # cap+1 later builds ran, so the first build's frame was evicted
+    # FIFO — eviction order is oldest-first, never the newest.
+    assert first_final not in S._CENT_PERSISTED
+    assert S._CENT_PERSISTED[-1].storageLevel.useMemory
 
 
 def test_jl_pairwise_distances_preserved_in_expectation(spark, emb):
@@ -349,6 +361,18 @@ def test_image_dhash_exact_bit_algebra_and_short_drop(spark):
         if grid[r, c] < grid[r, c + 1]
     )
     assert rows[0]["dhash"] == expect
+
+
+def test_media_standin_payloads_are_ascii_single_byte(spark, sf_dir):
+    # ADVICE r12 pin: the media-dedup oracles read "pixels"/"samples"
+    # via ord(substr(text, i, 1)) — one CHARACTER per byte — which is
+    # only valid while the fixture corpus is pure ASCII. The query
+    # side now gates on octet_length (bytes), so a non-ASCII corpus
+    # fails HERE loudly instead of silently diverging in hash bits
+    # (media_table_from_documents documents the assumption).
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.filter(F.octet_length("text") != F.length("text")).count()
+    assert bad == 0
 
 
 def test_image_dhash_geometry_guard(spark):
