@@ -699,6 +699,74 @@ def ivf_mips_append(
     return _mips_score(full, queries, cent, k, n_probe, scale, id_col, vec_col)
 
 
+def ivf_mips_delete(
+    base: DataFrame,
+    tombstones: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    scale: int = 1024,
+    retrain_num: int = 1,
+    retrain_den: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Delete/compact leg of the IVF ledger (VERDICT r12 #2 — the
+    LSM-style third leg next to build `ivf_mips_topk` and append
+    `ivf_mips_append`): ``tombstones`` (an id frame) is masked out of
+    the searchable set with one id anti-join — the kv_range_delete
+    pattern applied to the ANN index — and a STALENESS RULE decides
+    whether the coarse quantizer is retrained: when
+    n_deleted·retrain_den ≥ n_live·retrain_num (deleted fraction of
+    the live set ≥ τ = retrain_num/retrain_den, exact integer
+    cross-multiply — no float ratio), the quantizer is rebuilt over
+    the LIVE vectors only (compaction: centroids stop pointing at
+    mass that no longer exists); below τ the base-built quantizer is
+    kept stale and deletion costs ONLY the tombstone mask. The
+    decision is computed from the data on BOTH engines (one bounded
+    1-row count agg + collect here — the graph_triangles_auto
+    selector discipline — and a COUNT CTE in the SQL oracle) and is
+    MATERIALIZED in the output: every result row carries
+    (n_deleted, n_live, retrained), so a value-hash match proves the
+    branch taken, not just the neighbor lists. Tombstone ids absent
+    from the base are ignored (idempotent re-delete). Invariants
+    pinned in tests: empty tombstones ≡ ivf_mips_topk; deleted ids
+    never appear as neighbors; the branch flips exactly at τ.
+
+    100 TB shape: deletes in a production embedding store must not
+    trigger a re-cluster per batch — the mask branch is O(|corpus|)
+    anti-join work with zero quantizer cost, and the retrain branch
+    runs exactly when drift says the probe geometry degraded, the
+    LSM compaction contract."""
+    base_corpus = _mips_quantize(base, id_col, vec_col, scale)
+    tomb = tombstones.select(F.col(id_col).alias("_tid")).distinct()
+    # One pass for both counts: left-join marks each base vector dead
+    # iff its id is tombstoned; the agg is a bounded 1-row collect.
+    marked = base_corpus.join(tomb, F.col("_id") == F.col("_tid"), "left")
+    stats = marked.agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.count("_tid").alias("n_deleted"),
+    ).collect()[0]
+    n_deleted = stats["n_deleted"]
+    n_live = stats["n_base"] - n_deleted
+    retrained = n_deleted * retrain_den >= n_live * retrain_num
+    live = base_corpus.join(tomb, F.col("_id") == F.col("_tid"), "left_anti")
+    train = live if retrained else base_corpus
+    cent = _mips_centroids(train, n_clusters, lloyd_iters)
+    out = _mips_score(live, queries, cent, k, n_probe, scale, id_col, vec_col)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "dot",
+        "rn",
+        F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+        F.lit(n_live).cast("bigint").alias("n_live"),
+        F.lit(bool(retrained)).alias("retrained"),
+    )
+
+
 def semdedup_summary(
     embeddings: DataFrame,
     n_clusters: int = 16,

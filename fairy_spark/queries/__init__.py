@@ -85,6 +85,22 @@ join). Every r12 row is oracle-green at
 sf0.01, sf0.1 AND the sf1 replica before registration (per-row
 appendices in AUDIT_r12_sf*.txt; the r12 FULL sf1 + sf0.1 audits
 cover the pre-existing 362).
+
+Round 13 enters with zero debt (r12 fully green; cap ~49) and
+registers the VERDICT-r12 ordered breadth: ml_ann_ivf_delete +
+ml_ann_ivf_compact (#2 — the LSM delete/compact leg of the IVF
+ledger with the staleness-triggered retrain decision materialized in
+the output and BRANCHED inside the SQL oracle; one row per branch so
+both the stale-quantizer mask and the live-set retrain are
+hash-checked), dedup_lines_near (#3 — fuzzy paragraph-level dedup
+riding hamming_pairs), stream_exec_dhash_bucketed (#5 — pre-banded
+durable fingerprint index with partition-pruned probes), and
+text_containment_slice (#6 — bounded sf1-runnable containment
+oracle). r13 also pruned the two long-green r10 pins and pinned
+ml_ann_ivf_topk (stale r7 driver record, VERDICT r12 #1) plus the
+four ADVICE-touched rows into the window head. Every r13 row is
+oracle-green at sf0.01, sf0.1 AND the sf1 replica before
+registration.
 """
 
 from __future__ import annotations

@@ -1136,6 +1136,142 @@ def ml_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_delete_oracle(dead_pred: str, num: int, den: int) -> str:
+    """Oracle template for the IVF delete/compact leg: the RETRAIN
+    DECISION is computed from the data (COUNT CTEs + the exact integer
+    cross-multiply n_deleted·den >= n_live·num) and then BRANCHES the
+    quantizer's training set inside SQL — ``train`` is live when the
+    decision says retrain, the full base when it says keep — so the
+    hash check proves the decision AND the branch taken, not just
+    neighbor lists. Seeds + Lloyd mirror _IVF_TOPK_ORACLE over
+    ``train``; assignment is restricted to LIVE vectors (tombstoned
+    ids can never come back as neighbors); queries probe from the
+    full corpus (a deleted id may still query)."""
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id, {_IVF_Q_FULL_SQL} AS q FROM embeddings
+    ), live AS MATERIALIZED (
+      SELECT vec_id, q FROM c WHERE NOT ({dead_pred})
+    ), decision AS MATERIALIZED (
+      SELECT (SELECT COUNT(*) FROM c) - (SELECT COUNT(*) FROM live) AS n_deleted,
+             (SELECT COUNT(*) FROM live) AS n_live,
+             ((SELECT COUNT(*) FROM c) - (SELECT COUNT(*) FROM live)) * {den}
+               >= (SELECT COUNT(*) FROM live) * {num} AS retrained
+    ), train AS MATERIALIZED (
+      SELECT vec_id, q FROM live WHERE (SELECT retrained FROM decision)
+      UNION ALL
+      SELECT vec_id, q FROM c WHERE NOT (SELECT retrained FROM decision)
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cid,
+             q AS cq
+      FROM train
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT t.vec_id, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_int_l2_sql('t.q', 's.cq')}, s.cid) AS r
+        FROM train t CROSS JOIN seeds s)
+      WHERE r = 1
+    ), m AS (
+      SELECT a0.cid, dim.i AS dim,
+             CAST(CAST(SUM(t.q[dim.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS mval
+      FROM a0 JOIN train t USING (vec_id) CROSS JOIN generate_series(1, 64) AS dim(i)
+      GROUP BY a0.cid, dim.i
+    ), cent AS MATERIALIZED (
+      SELECT cid, list(mval ORDER BY dim) AS cq FROM m GROUP BY cid
+    ), d1 AS MATERIALIZED (
+      SELECT c.vec_id, cent.cid, {_int_l2_sql('c.q', 'cent.cq')} AS d2
+      FROM c CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+        SELECT d1.vec_id, d1.cid,
+               ROW_NUMBER() OVER (PARTITION BY d1.vec_id ORDER BY d2, d1.cid) AS r
+        FROM d1 JOIN live USING (vec_id))
+      WHERE r = 1
+    ), probed AS (
+      SELECT vec_id AS query_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM d1 WHERE vec_id <= 10)
+      WHERE r <= 4
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, 64), i -> cq.q[i] * cn.q[i])),
+                  (x, y) -> x + y) AS BIGINT) AS dot
+      FROM probed p
+      JOIN assigned a ON p.cluster = a.cluster AND a.neighbor_id != p.query_id
+      JOIN c cq ON cq.vec_id = p.query_id
+      JOIN c cn ON cn.vec_id = a.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id) AS rn
+      FROM (SELECT DISTINCT query_id, neighbor_id, dot FROM scored)
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rn AS INTEGER) AS rn,
+           CAST(d.n_deleted AS BIGINT) AS n_deleted,
+           CAST(d.n_live AS BIGINT) AS n_live,
+           d.retrained AS retrained
+    FROM ranked CROSS JOIN decision d WHERE rn <= 5
+    ORDER BY query_id, rn
+    """
+
+
+@register("ml_ann_ivf_delete", oracle=_ivf_delete_oracle("vec_id % 8 = 1", 1, 4))
+def ml_ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF delete below the staleness threshold — the cheap TOMBSTONE
+    branch (VERDICT r12 #2: the LSM-style third leg of the IVF ledger
+    next to build/append): vec_id % 8 == 1 (12.5% of the corpus, the
+    same fraction at every SF) is tombstoned out of the searchable
+    set by one id anti-join; the deleted/live ratio 1/7 stays under
+    τ = 1/4, so the quantizer built from the FULL base is KEPT STALE —
+    deletion costs only the mask, never a re-cluster. The decision is
+    computed from counts on both engines and materialized in every
+    output row (n_deleted, n_live, retrained=false), so the hash
+    check proves the branch; deleted ids can still QUERY (ids 1, 9
+    are tombstoned and <= 10) but never return as neighbors.
+    ml_ann_ivf_compact exercises the opposite branch; the flip at
+    exactly τ is pinned in tests/test_similarity.py. Scale: the mask
+    is an id equi-anti-join (no quantizer work), the LSM delete
+    contract a 100 TB embedding store needs."""
+    from fairy_spark.operators.similarity import ivf_mips_delete
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tomb = e.filter(F.col("vec_id") % 8 == 1).select("vec_id")
+    q = e.filter(F.col("vec_id") <= 10)
+    return ivf_mips_delete(
+        e, tomb, q, k=5, n_clusters=16, n_probe=4, retrain_num=1, retrain_den=4
+    ).orderBy("query_id", "rn")
+
+
+@register("ml_ann_ivf_compact", oracle=_ivf_delete_oracle("vec_id % 3 = 1", 1, 4))
+def ml_ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF delete ABOVE the staleness threshold — the COMPACTION
+    branch (VERDICT r12 #2): vec_id % 3 == 1 (~33%) is tombstoned,
+    the deleted/live ratio 1/2 exceeds τ = 1/4, so the coarse
+    quantizer is RETRAINED over the live vectors only (seeds + the
+    bigint-SUM-DIV Lloyd round run on the post-delete corpus — the
+    LSM merge: centroids stop pointing at mass that no longer
+    exists). Same operator and oracle template as ml_ann_ivf_delete;
+    only the tombstone fraction differs, and the oracle COMPUTES the
+    branch from counts — retrained=true is carried in every output
+    row, so a hash match proves the compaction actually ran. Scale:
+    retrain cost is the standard Lloyd shuffle over the live set,
+    triggered by measured drift instead of per-batch."""
+    from fairy_spark.operators.similarity import ivf_mips_delete
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tomb = e.filter(F.col("vec_id") % 3 == 1).select("vec_id")
+    q = e.filter(F.col("vec_id") <= 10)
+    return ivf_mips_delete(
+        e, tomb, q, k=5, n_clusters=16, n_probe=4, retrain_num=1, retrain_den=4
+    ).orderBy("query_id", "rn")
+
+
 _IVF_Q_SQL = (
     "list_transform(generate_series(1, 64), "
     "i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT))"

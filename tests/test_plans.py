@@ -445,6 +445,8 @@ BNLJ_BOUNDED: dict[str, int] = {
     "events_window_funnel_strict": 1,  # same 1-row baseline scalar cross join
     "ml_ann_ivf_topk": 16,         # centroid frame + bounded probe set
     "ml_ann_ivf_append": 16,       # same base-built centroid frame broadcast
+    "ml_ann_ivf_delete": 16,       # stale base-built centroid frame (mask branch)
+    "ml_ann_ivf_compact": 16,      # live-retrained centroid frame (compact branch)
     "dedup_lines_incremental": 1,  # 1-row 80th-percentile-id split scalar
     "dedup_semantic_semdedup": 16,  # n_clusters=16 centroid broadcast
     "ml_knn_vote": 40,             # bounded eval-query broadcast

@@ -271,6 +271,47 @@ def test_ivf_centroid_pool_bounded_across_calls(spark, emb):
     assert S._CENT_PERSISTED[-1].storageLevel.useMemory
 
 
+def test_ivf_delete_empty_tombstones_equals_topk(spark, emb):
+    """With nothing tombstoned the delete leg IS ivf_mips_topk (same
+    seeds, same Lloyd, same scoring code) plus the decision columns
+    (0 deleted, keep branch)."""
+    from fairy_spark.operators.similarity import ivf_mips_delete, ivf_mips_topk
+
+    q = emb.filter(F.col("vec_id") <= 5)
+    tomb = emb.filter(F.lit(False)).select("vec_id")
+    out = ivf_mips_delete(emb, tomb, q, k=5, n_clusters=4, n_probe=2)
+    assert out.filter(F.col("retrained") | (F.col("n_deleted") != 0)).count() == 0
+    a = sorted(map(tuple, out.select("query_id", "neighbor_id", "dot", "rn").collect()))
+    b = sorted(map(tuple, ivf_mips_topk(emb, q, k=5, n_clusters=4, n_probe=2).collect()))
+    assert a == b
+
+
+def test_ivf_delete_tombstoned_ids_never_neighbors(spark, emb):
+    from fairy_spark.operators.similarity import ivf_mips_delete
+
+    tomb = emb.filter(F.col("vec_id") % 3 == 1).select("vec_id")
+    q = emb.filter(F.col("vec_id") <= 10)
+    out = ivf_mips_delete(emb, tomb, q, k=5, n_clusters=4, n_probe=4).collect()
+    assert out and all(r["neighbor_id"] % 3 != 1 for r in out)
+    assert all(r["retrained"] for r in out)  # 1/2 >= 1/4: compaction branch
+    # deleted ids may still QUERY (1, 4, 7, 10 are tombstoned)
+    assert any(r["query_id"] % 3 == 1 for r in out)
+
+
+def test_ivf_delete_retrain_flips_exactly_at_threshold(spark, emb):
+    """τ = 1/4 with 40 vectors: deleting 8 gives 8·4 >= 32 (retrain),
+    deleting 7 gives 28 < 33 (keep) — the integer cross-multiply
+    flips exactly at the boundary, no float ratio fuzz."""
+    from fairy_spark.operators.similarity import ivf_mips_delete
+
+    e40 = emb.filter(F.col("vec_id") < 40)
+    q = e40.filter(F.col("vec_id") >= 38)
+    for n_dead, expect in [(8, True), (7, False)]:
+        tomb = e40.filter(F.col("vec_id") < n_dead).select("vec_id")
+        row = ivf_mips_delete(e40, tomb, q, k=3, n_clusters=4, n_probe=2).first()
+        assert row["retrained"] is expect and row["n_deleted"] == n_dead
+
+
 def test_jl_pairwise_distances_preserved_in_expectation(spark, emb):
     # JL with k=16: squared pair distances scaled by 3/k concentrate
     # around the originals. Check the MEAN ratio over a bounded pair
