@@ -1109,3 +1109,134 @@ def hamming_pairs_append(
         )
         .distinct()
     )
+
+
+def dedup_lines_near(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """FUZZY line/paragraph dedup (VERDICT r12 #3 — the near-dup
+    extension of dedup_lines): a line is dropped when an EARLIER line
+    (by first corpus occurrence) is near-identical — shingle-set
+    Jaccard >= jaccard_num/jaccard_den — not only when it repeats
+    byte-for-byte, which is how the public RefinedWeb/CCNet stack
+    treats lightly-mutated boilerplate (cookie banners with a site
+    name spliced in, dateline variants of the same header).
+
+    STAGE ORDER (the dedup_lines discipline, Penedo 2306.01116): line
+    dedup — exact AND near — runs BEFORE document-level passes,
+    because shared boilerplate makes unrelated pages minhash-similar;
+    this operator subsumes dedup_lines (an exact repeat has Jaccard 1)
+    while staying corpus-linear.
+
+    Plan shape, stage by stage:
+      1. explode lines once; collapse exact copies onto their md5
+         digest FIRST (one 16-byte-key hash agg — a billion-fold
+         boilerplate line reduces to ONE representative before any
+         fuzzy work, so the LSH stage is quadratic-proof against
+         exact skew);
+      2. per DISTINCT line: shingle set + minhash signature (row-
+         linear, the doc-level minhash_signature machinery);
+      3. banded LSH equi-join among distinct lines (num_hashes 1-row
+         bands — candidates share >= 1 minhash, cost Σ|bucket|², never
+         n_distinct²), verified by the EXACT cross-multiplied Jaccard
+         den·|A∩B| >= num·(|A|+|B|-|A∩B|) — integers only, no float
+         ratio;
+      4. survivorship is GREEDY and transitive-closure-free (the
+         RefinedWeb contract: drop a repeated line, don't cluster
+         them): a distinct line is near-dropped iff ANY earlier-first
+         distinct line verifies, whether or not that line was itself
+         dropped — the decision is local, deterministic, and
+         batch-order-independent;
+      5. physical keep rule: empty/short lines always survive
+         (formatting, not boilerplate); otherwise keep = first
+         occurrence of its digest AND digest not near-dropped; per-doc
+         reassembly in original line order (sorted-struct collect).
+
+    Lines with fewer than shingle_n tokens have an empty shingle set
+    and are exempt from the FUZZY stage (no signature — they still
+    exact-dedup): sub-shingle fragments share almost all their n-grams
+    with anything, so near-matching them is noise, not boilerplate."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+    ).withColumn("_dig", F.md5(F.col("_line")))
+    distinct = (
+        lines.filter(F.length("_line") >= min_line_chars)
+        .groupBy("_dig")
+        .agg(
+            F.min(F.struct("_id", "_line_no")).alias("_first"),
+            # every row in a digest group carries the identical text;
+            # min() picks it deterministically and the partial (map-
+            # side) agg collapses copies before the string ships
+            F.min("_line").alias("_rep"),
+        )
+    )
+    sig = (
+        distinct.select(
+            "_dig",
+            "_first",
+            shingle_set(F.col("_rep"), shingle_n).alias("_sh"),
+        )
+        .withColumn("_nsh", F.size("_sh"))
+        .filter(F.col("_nsh") >= 1)
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    )
+    bands = sig.select(
+        "_dig", "_first", "_sh", "_nsh", F.posexplode("_sig").alias("_band", "_bv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.col("a._nsh") + F.col("b._nsh") - inter
+    dropped = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            # strict struct order: distinct digests never share a
+            # physical (id, line_no), so this also excludes self-pairs
+            & (F.col("a._first") < F.col("b._first")),
+        )
+        .filter(inter * F.lit(jaccard_den) >= union * F.lit(jaccard_num))
+        .select(F.col("b._dig").alias("_dig"))
+        .distinct()
+        .withColumn("_near_dropped", F.lit(True))
+    )
+    kept = (
+        lines.join(distinct.select("_dig", "_first"), "_dig", "left")
+        .join(dropped, "_dig", "left")
+        .withColumn(
+            "_keep",
+            (F.length("_line") < min_line_chars)
+            | (
+                F.col("_near_dropped").isNull()
+                & (F.col("_id") == F.col("_first._id"))
+                & (F.col("_line_no") == F.col("_first._line_no"))
+            ),
+        )
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_line_no", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+        .select(F.col("_id").alias(id_col), "n_lines", "n_kept", "kept_text")
+    )

@@ -4176,6 +4176,101 @@ def dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_append(base, delta).orderBy("doc_id")
 
 
+_DEDUP_LINES_NEAR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, (len(tk) + 11) // 12 - 1),
+               g -> array_to_string(tk[g*12+1 : g*12+12], ' ')) AS lines
+      FROM toks
+    ), l AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, len(lines))) - 1 AS line_no,
+             UNNEST(lines) AS line
+      FROM t
+    ), s AS (
+      SELECT doc_id, line_no, line, md5(line) AS dig,
+             ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_no) AS rnk
+      FROM l
+    ), d AS (
+      SELECT dig, doc_id AS f_id, line_no AS f_ln, line
+      FROM s WHERE rnk = 1 AND LENGTH(line) >= 1
+    ), shs AS (
+      SELECT dig, f_id, f_ln,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ltk)-2, 0)),
+               i -> array_to_string(ltk[i:i+2], ' '))) AS sh
+      FROM (SELECT dig, f_id, f_ln,
+                   string_split_regex(lower(line), '\\s+') AS ltk FROM d)
+    ), g AS MATERIALIZED (
+      SELECT dig, f_id, f_ln, sh, len(sh) AS nsh,
+             [{", ".join(minhash_sql(i) for i in range(8))}] AS sig
+      FROM shs WHERE len(sh) >= 1
+    ), bands AS MATERIALIZED (
+      SELECT dig, f_id, f_ln, sh, nsh, b.band, sig[b.band] AS bv
+      FROM g CROSS JOIN (SELECT UNNEST(generate_series(1, 8)) AS band) b
+    ), dropped AS (
+      SELECT DISTINCT y.dig
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bv = y.bv
+       AND (x.f_id < y.f_id OR (x.f_id = y.f_id AND x.f_ln < y.f_ln))
+      WHERE 2 * len(list_intersect(x.sh, y.sh))
+              >= 1 * (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh)))
+    ), k AS (
+      SELECT s.doc_id, s.line_no, s.line,
+             (LENGTH(s.line) < 1 OR (s.rnk = 1 AND dr.dig IS NULL)) AS keep
+      FROM s LEFT JOIN dropped dr ON s.dig = dr.dig
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_no), '') AS kept_text
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("dedup_lines_near", oracle=_DEDUP_LINES_NEAR_ORACLE)
+def dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY line dedup (VERDICT r12 #3 — the near-dup extension of
+    dedup_lines_exact, same 12-token pseudo-line segmentation): a line
+    is dropped when an EARLIER line is near-identical — shingle-set
+    Jaccard >= 1/2, verified by the exact cross-multiplied integer
+    form — not only when it repeats byte-for-byte; the public
+    RefinedWeb/CCNet treatment of lightly-mutated boilerplate. STAGE
+    ORDER note (operators/dedup.dedup_lines_near): line dedup — exact
+    AND near — runs BEFORE document-level passes. Plan: exact copies
+    collapse onto their md5 digest FIRST (LSH is quadratic-proof
+    against exact boilerplate skew), per-DISTINCT-line minhash over
+    3-token shingles, 8×1-row banded equi-join, greedy
+    transitive-closure-free survivorship (drop on ANY earlier
+    verified near-match), per-doc reassembly in original order. The
+    synthetic corpus's mutated dup docs (~10% of docs copy an earlier
+    token stream mutating ~1/10 positions) give honest per-line
+    near-dups: a 12-token line with ONE mutated position shares 7 of
+    13 shingles (J = 0.538 >= 1/2 → dropped), two mutations fall to
+    J ≈ 0.3 (< 1/2 → kept), so the threshold separates real mutation
+    strata, not hash noise. The oracle mirrors every stage INCLUDING
+    the banded join (the _IMAGE_DHASH_ORACLE discipline — candidates
+    via the same (band, value) equi-join, so it stays sf1-runnable
+    instead of O(n_distinct²)). Scale: corpus-linear — one digest
+    hash-agg, row-linear signatures over distinct lines only, bucket-
+    blocked candidates (Σ|bucket|², min-shingle buckets are bounded
+    by per-shingle corpus frequency), one digest equi-join back."""
+    from fairy_spark.operators.dedup import dedup_lines_near as _lines_near
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), "
+            "g -> array_join(slice(split(text, ' '), g*12+1, 12), ' ')), chr(10))"
+        ).alias("text"),
+    )
+    return _lines_near(docs).orderBy("doc_id")
+
+
 def _audio_energy_sql(w: str) -> str:
     """Window-energy Σ(b-128)² for the 2-byte window ``w`` (0-based)
     as exact-integer ord() algebra — the audio analog of the dHash

@@ -159,3 +159,59 @@ def test_dedup_lines_append_equals_full_build_restricted(spark):
     # doc4 = [d, '', e, a]: 'd' delta-first in doc3, 'a' in base, empty
     # line exempt, 'e' genuinely new
     assert app[4] == (4, 2, "\ne")
+
+
+def test_dedup_lines_near_threshold_and_greedy_semantics(spark):
+    """Fuzzy line dedup (r13): an exact repeat drops (J=1), a
+    one-token mutation of an 8-token line drops (shares 5 of 7
+    shingles, J=5/7 >= 1/2), a two-token mutation survives (J=1/11),
+    empty lines always survive, and a line near an ALREADY-DROPPED
+    exact repeat still drops (the comparison set is first-occurrence
+    representatives, not surviving lines)."""
+    from fairy_spark.operators.dedup import dedup_lines_near
+
+    base = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, base + "\n\nx y z w"),
+            # exact dup of base; 1-mutation of base; unique; empty
+            (2, base + "\na b c d e f g q\np q r s t u\n"),
+            # 2-mutation of base: shares only 'f g h' -> J = 1/11, kept
+            (3, "a q c d w f g h"),
+            # near the doc-2 EXACT DUP occurrence of base (itself
+            # dropped): still drops, via base's doc-1 representative
+            (4, "a b c d e f g z"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_near(docs).collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    assert out[1]["kept_text"] == base + "\n\nx y z w"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 2)
+    assert out[2]["kept_text"] == "p q r s t u\n"
+    assert (out[3]["n_lines"], out[3]["n_kept"], out[3]["kept_text"]) == (1, 1, "a q c d w f g h")
+    assert (out[4]["n_lines"], out[4]["n_kept"], out[4]["kept_text"]) == (1, 0, "")
+
+
+def test_dedup_lines_near_subsumes_exact_on_testdata(spark, sf_dir):
+    """On the pseudo-line corpus the fuzzy pass never keeps MORE than
+    the exact pass (exact repeats have J=1) and drops strictly more
+    when mutation strata exist; totals per doc stay consistent."""
+    from pyspark.sql import functions as F
+
+    from fairy_spark.operators.dedup import dedup_lines, dedup_lines_near
+    from fairy_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), "
+            "g -> array_join(slice(split(text, ' '), g*12+1, 12), ' ')), chr(10))"
+        ).alias("text"),
+    )
+    e = dedup_lines(docs).select("doc_id", F.col("n_kept").alias("ek"), "n_lines")
+    n = dedup_lines_near(docs).select("doc_id", F.col("n_kept").alias("nk"))
+    j = e.join(n, "doc_id")
+    assert j.filter(F.col("nk") > F.col("ek")).count() == 0
+    assert j.filter(F.col("nk") < F.col("ek")).count() > 0  # real near-drops
+    assert j.filter(F.col("nk") > F.col("n_lines")).count() == 0
