@@ -413,6 +413,108 @@ def stream_exec_dhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_exec_dhash_bucketed", oracle=ORACLE["dedup_image_dhash"])
+def stream_exec_dhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_exec_dhash_append with a PRE-BANDED durable index
+    (VERDICT r12 #5): the fingerprint store is written as
+    band_fingerprints rows — (id, h, band_val) data under
+    (band_id, bv_bucket = band_val % 16) partition dirs — so an
+    arriving batch probes ONLY the buckets its own band values touch:
+    the batch's distinct (band_id, bv_bucket) set (bounded ≤ 4×16 =
+    64 rows, one tiny collect) becomes a partition-pruning predicate
+    on the index scan, and per-batch base cost drops from the full
+    O(|base|) re-banding projection to the touched partitions'
+    occupancy — truly ∝ |delta| × occupancy. Pruning is LOSSLESS by
+    construction (a base band row outside the delta's bucket set can
+    never satisfy the band equi-join — pinned in tests along with the
+    PartitionFilters plan gate in tests/test_plans.py), so the oracle
+    stays dedup_image_dhash's full join, and each green run proves
+    bucketed-probe ≡ full-reband ≡ one-shot batch join. Writes are
+    batch_id-keyed OVERWRITE subdirs (retry-idempotent, the ADVICE
+    r12 discipline). 100 TB shape: the pre-banded store is the
+    durable dedup index a continuous image-ingest pipeline maintains
+    — 64 buckets here; production widens to O(10k) buckets so each
+    probe touches a vanishing index fraction."""
+    import uuid
+
+    from fairy_spark.operators.dedup import band_fingerprints, hamming_pairs_probe
+    from fairy_spark.operators.multimodal import (
+        image_dhash,
+        media_table_from_documents,
+    )
+    from fairy_spark.streaming.pipeline import (
+        idempotent_batch_write,
+        replay_dir_from_documents,
+        run_foreach_batch,
+    )
+
+    n_buckets = 16
+    docs = load_table(spark, sf_dir, "documents")
+    schema = docs.schema
+    app_dir = os.path.join(
+        tempfile.gettempdir(), "fairy_spark_stream", spark.sparkContext.applicationId
+    )
+    replay = os.path.join(app_dir, "docs_replay_" + sf_cache_key(sf_dir))
+    marker = os.path.join(replay, "_READY")
+    if not os.path.exists(marker):
+        replay_dir_from_documents(spark, sf_dir, replay, n_chunks=4)
+        with open(marker, "w"):
+            pass
+    run_id = uuid.uuid4().hex[:8]
+    idx = os.path.join(app_dir, f"dhb_idx_{run_id}")
+    pairs_out = os.path.join(app_dir, f"dhb_pairs_{run_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay, "chunk_*"))
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta_sig = image_dhash(media_table_from_documents(batch_df))
+        delta_banded = band_fingerprints(
+            delta_sig, bits=40, n_bands=4, id_col="media_id", hash_col="dhash"
+        ).withColumn("bv_bucket", F.pmod(F.col("band_val"), F.lit(n_buckets)))
+        if os.path.isdir(idx):
+            # bounded collect (≤ n_bands × n_buckets = 64 rows): the
+            # batch's touched buckets become the partition-pruning
+            # predicate — only those index partitions are read.
+            touched = sorted(
+                (r["band_id"], int(r["bv_bucket"]))
+                for r in delta_banded.select("band_id", "bv_bucket").distinct().collect()
+            )
+            pred = F.lit(False)
+            for bid, bkt in touched:
+                pred = pred | (
+                    (F.col("band_id") == F.lit(bid)) & (F.col("bv_bucket") == F.lit(bkt))
+                )
+            base = (
+                sess.read.parquet(idx)
+                .filter(pred)
+                .select("id", "h", "band_id", "band_val")
+            )
+        else:
+            base = sess.createDataFrame([], "id LONG, h LONG, band_id INT, band_val LONG")
+        new_pairs = hamming_pairs_probe(
+            base, delta_sig, bits=40, n_bands=4, max_hamming=3,
+            id_col="media_id", hash_col="dhash",
+        )
+        idempotent_batch_write(new_pairs, pairs_out, batch_id)
+        # the durable index is stored PRE-BANDED, bucket-partitioned,
+        # batch_id-keyed (idempotent overwrite on retry)
+        delta_banded.write.partitionBy("band_id", "bv_bucket").mode("overwrite").parquet(
+            os.path.join(idx, f"batch={int(batch_id)}")
+        )
+
+    run_foreach_batch(stream, ingest)
+    return (
+        spark.read.parquet(pairs_out)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register(
     "stream_exec_cdc_counts",
     oracle="""

@@ -492,3 +492,53 @@ def test_hamming_pairs_append_replay_equals_full(spark):
         seen += b
     assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
     assert set(emitted) == full
+
+
+def test_hamming_probe_pruned_base_equals_full_append(spark):
+    """VERDICT r12 #5 losslessness pin: probing with the base index
+    PRE-PRUNED to the delta's touched (band_id, band_val % 16) buckets
+    yields exactly hamming_pairs_append's pairs — a base band row
+    outside the delta's bucket set can never satisfy the band
+    equi-join, so partition pruning drops only dead weight."""
+    from fairy_spark.operators.dedup import (
+        band_fingerprints,
+        hamming_pairs,
+        hamming_pairs_append,
+        hamming_pairs_probe,
+    )
+
+    # 8 spread cluster centers, members at hamming <= 2 of their
+    # center: plentiful true pairs AND base-only buckets (the flipped
+    # bit positions differ between base and delta members, so pruning
+    # has real rows to drop — 95 of 100 base band rows survive).
+    centers = [(j * 76861433640) % (1 << 40) for j in range(8)]
+    sigs = [
+        (i, (centers[i % 8] ^ (1 << (i % 40))) if i % 3 == 0 else centers[i % 8])
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(sigs, "doc_id LONG, sig LONG")
+    base = df.filter(F.col("doc_id") <= 25)
+    delta = df.filter(F.col("doc_id") > 25)
+    kw = dict(bits=40, n_bands=4, max_hamming=3)
+    banded_base = band_fingerprints(base, bits=40, n_bands=4)
+    touched = {
+        (r["band_id"], r["band_val"] % 16)
+        for r in band_fingerprints(delta, bits=40, n_bands=4)
+        .select("band_id", "band_val")
+        .distinct()
+        .collect()
+    }
+    pred = F.lit(False)
+    for bid, bkt in sorted(touched):
+        pred = pred | (
+            (F.col("band_id") == F.lit(bid)) & (F.col("band_val") % 16 == F.lit(bkt))
+        )
+    pruned = banded_base.filter(pred)
+    assert pruned.count() < banded_base.count()  # pruning really dropped rows
+    got = sorted(map(tuple, hamming_pairs_probe(pruned, delta, **kw).collect()))
+    want = sorted(map(tuple, hamming_pairs_append(base, delta, **kw).collect()))
+    assert got == want and got
+    # and the union over (append pairs + base-only pairs) is the full join
+    base_only = hamming_pairs(base, **kw)
+    full = sorted(map(tuple, hamming_pairs(df, **kw).collect()))
+    assert sorted(set(map(tuple, base_only.collect())) | set(want)) == full
