@@ -3877,6 +3877,71 @@ def text_containment_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_SLICE_DOCS = 200
+
+_CONTAIN_SLICE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+    ), s2 AS (
+      SELECT doc_id, sh FROM s WHERE LEN(sh) > 0
+    ), a AS (
+      SELECT doc_id, sh FROM s2 WHERE doc_id < {_CONTAIN_SLICE_DOCS}
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(LEN(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+             LEN(a.sh) AS n_a
+      FROM a JOIN s2 b ON a.doc_id != b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / n_a >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@register("text_containment_slice", oracle=_CONTAIN_SLICE_ORACLE)
+def text_containment_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXHAUSTIVE containment with id_a pinned to a deterministic
+    slice (VERDICT r12 #6): C(a→b) for every a in the absolute prefix
+    doc_id < 200 (_CONTAIN_SLICE_DOCS) against the WHOLE corpus — no minhash
+    prefilter, so unlike text_containment_prefiltered this row carries
+    the exhaustive containment SEMANTICS all the way to the sf1
+    audit: the oracle's all-pairs form is quadratic only over the
+    slice (|slice| × n list intersections — 10M at the 50k-doc
+    replica, minutes not days), which is exactly why the parent
+    text_containment row must stay an sf1-audit skip while this one
+    runs. Same 0.5 threshold, same shingle algebra, same global
+    shingle equi-join plan shape as the parent (slice side exploded
+    and joined on the shingle key, per-doc sizes broadcast back —
+    cost ∝ slice-side matching shingle pairs, never corpus²); the
+    slice is an ABSOLUTE id prefix, so every SF checks the identical
+    probe docs against a growing corpus — the decontamination probe
+    shape (is any of these N pinned docs contained in the crawl?)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingle_set(F.col("text"))).alias("sh"))
+    a_sh = sh.filter(F.col("doc_id") < _CONTAIN_SLICE_DOCS)
+    sizes_a = a_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    inter = (
+        a_sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = inter.join(
+        F.broadcast(sizes_a.withColumnRenamed("doc_id", "id_a")), "id_a"
+    )
+    c = F.col("n_inter").cast("double") / F.col("n_a")
+    return (
+        out.filter(c >= 0.5)
+        .select("id_a", "id_b", "n_inter", F.round(c, 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 _SIMHASH_BANDS = 4
 _SIMHASH_BAND_BITS = 4
 _SIMHASH_MAXHAM = 3
