@@ -57,3 +57,17 @@ def test_nonlinux_loadavg_fallback_never_contaminates():
         lambda: _marker(-1.0), threshold=4.0, retries=3, sleep_sec=60, sleep_fn=lambda s: None
     )
     assert not contaminated and waits == 0
+
+
+def test_window_grade_three_way_classification():
+    """VERDICT r12 #4: 'record' (≤ record threshold) vs 'clean'
+    (merely under the contamination guard — the r12 loadavg-3.19
+    lockstep case) vs 'contaminated'; the non-Linux -1 fallback
+    grades record."""
+    g = _bench.window_grade
+    assert g(0.4, 4.0, 1.0) == "record"
+    assert g(1.0, 4.0, 1.0) == "record"   # boundary inclusive
+    assert g(3.19, 4.0, 1.0) == "clean"   # the r12 case
+    assert g(4.0, 4.0, 1.0) == "clean"    # guard boundary inclusive
+    assert g(8.8, 4.0, 1.0) == "contaminated"
+    assert g(-1.0, 4.0, 1.0) == "record"  # non-Linux fallback
