@@ -965,11 +965,12 @@ def dedup_lines(
 
 
 def dedup_lines_append(
-    base_docs: DataFrame,
+    base_docs: DataFrame | None,
     delta_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 1,
+    base_digs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental line dedup: clean a DELTA batch against an already-
     ingested base corpus without re-deduping the base (the
@@ -990,15 +991,26 @@ def dedup_lines_append(
     a bucketed table, so per-batch cost is |delta| explode + one
     digest anti-probe + one |delta| agg, independent of base size.
     Lines under ``min_line_chars`` are exempt exactly as in
-    dedup_lines."""
-    base_digs = (
-        base_docs.select(
-            F.explode(F.split(F.col(text_col), "\n")).alias("_line")
+    dedup_lines.
+
+    ``base_digs``: pass the MAINTAINED digest index directly (one
+    ``_dig`` column; duplicates tolerated — it is distinct'd here) and
+    skip the base re-explode entirely — the streaming ingest leg
+    (stream_exec_lines_append) reads yesterday's index instead of
+    re-deriving it from base text per batch. Exactly one of
+    base_docs / base_digs must be provided."""
+    if (base_docs is None) == (base_digs is None):
+        raise ValueError("pass exactly one of base_docs / base_digs")
+    if base_digs is None:
+        base_digs = (
+            base_docs.select(
+                F.explode(F.split(F.col(text_col), "\n")).alias("_line")
+            )
+            .filter(F.length("_line") >= min_line_chars)
+            .select(F.md5("_line").alias("_dig"))
         )
-        .filter(F.length("_line") >= min_line_chars)
-        .select(F.md5("_line").alias("_dig"))
-        .distinct()
-        .withColumn("_in_base", F.lit(True))
+    base_digs = (
+        base_digs.select("_dig").distinct().withColumn("_in_base", F.lit(True))
     )
     lines = delta_docs.select(
         F.col(id_col).alias("_id"),
@@ -1269,6 +1281,157 @@ def dedup_lines_near(
             (F.length("_line") < min_line_chars)
             | (
                 F.col("_near_dropped").isNull()
+                & (F.col("_id") == F.col("_first._id"))
+                & (F.col("_line_no") == F.col("_first._line_no"))
+            ),
+        )
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_line_no", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+        .select(F.col("_id").alias(id_col), "n_lines", "n_kept", "kept_text")
+    )
+
+
+def _distinct_line_sigs(
+    lines: DataFrame, shingle_n: int, num_hashes: int, min_line_chars: int
+) -> DataFrame:
+    """(_dig, _first, _sh, _nsh, _sig) over the DISTINCT eligible
+    lines of an exploded (_id, _line_no, _line, _dig) frame — the
+    fuzzy-line-dedup signature unit (dedup_lines_near stage 2),
+    factored for the incremental leg: at 100 TB this frame IS the
+    durable near-dup line index a continuous ingest maintains."""
+    distinct = (
+        lines.filter(F.length("_line") >= min_line_chars)
+        .groupBy("_dig")
+        .agg(
+            F.min(F.struct("_id", "_line_no")).alias("_first"),
+            F.min("_line").alias("_rep"),
+        )
+    )
+    return (
+        distinct.select(
+            "_dig", "_first", shingle_set(F.col("_rep"), shingle_n).alias("_sh")
+        )
+        .withColumn("_nsh", F.size("_sh"))
+        .filter(F.col("_nsh") >= 1)
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    )
+
+
+def dedup_lines_near_append(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Incremental FUZZY line dedup: clean a delta batch against an
+    already-ingested base with dedup_lines_near's semantics and no
+    base re-dedup (the dedup_lines_append symmetry for the near-dup
+    stage). PREFIX-STABILITY is exactly why dedup_lines_near's
+    survivorship is greedy and transitive-closure-free: a line's
+    outcome depends only on EARLIER lines, so under the ingest
+    contract (every delta id sorts after every base id) appending can
+    never change a base line's outcome and
+    append(base, delta) == dedup_lines_near(base ∪ delta)|delta —
+    the invariant the registered oracle re-proves on every run. A
+    clustered survivorship would NOT be prefix-stable (a late arrival
+    can merge two base clusters), which would force base re-dedup per
+    batch — the scale anti-pattern.
+
+    Per-batch cost: explode |delta| lines, one digest agg, signatures
+    for the delta's NEW distinct lines only (base-digest repeats drop
+    by the exact rule before any fuzzy work), banded probe of the
+    base's distinct-line signature index (durable at 100 TB — 8
+    bigint minhashes + one shingle set per distinct line, never the
+    corpus text), one |delta| reassembly agg."""
+    base_lines = base_docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+    ).withColumn("_dig", F.md5(F.col("_line")))
+    base_sigs = _distinct_line_sigs(base_lines, shingle_n, num_hashes, min_line_chars)
+    base_digs = (
+        base_lines.filter(F.length("_line") >= min_line_chars)
+        .select("_dig")
+        .distinct()
+        .withColumn("_in_base", F.lit(True))
+    )
+
+    delta_lines = delta_docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+    ).withColumn("_dig", F.md5(F.col("_line")))
+    delta_firsts = (
+        delta_lines.filter(F.length("_line") >= min_line_chars)
+        .groupBy("_dig")
+        .agg(
+            F.min(F.struct("_id", "_line_no")).alias("_first"),
+            F.min("_line").alias("_rep"),
+        )
+    )
+    # fuzzy work only for digests the base has never seen — an exact
+    # base repeat already drops below, cheaper than any signature
+    delta_new = delta_firsts.join(base_digs, "_dig", "left_anti")
+    delta_sigs = (
+        delta_new.select(
+            "_dig", "_first", shingle_set(F.col("_rep"), shingle_n).alias("_sh")
+        )
+        .withColumn("_nsh", F.size("_sh"))
+        .filter(F.col("_nsh") >= 1)
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    )
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "_dig", "_first", "_sh", "_nsh",
+            F.posexplode("_sig").alias("_band", "_bv"),
+        )
+
+    a = banded(base_sigs.unionByName(delta_sigs)).alias("a")
+    b = banded(delta_sigs).alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.col("a._nsh") + F.col("b._nsh") - inter
+    dropped = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._first") < F.col("b._first")),
+        )
+        .filter(inter * F.lit(jaccard_den) >= union * F.lit(jaccard_num))
+        .select(F.col("b._dig").alias("_dig"))
+        .distinct()
+        .withColumn("_near_dropped", F.lit(True))
+    )
+    kept = (
+        delta_lines.join(delta_firsts.select("_dig", "_first"), "_dig", "left")
+        .join(base_digs, "_dig", "left")
+        .join(dropped, "_dig", "left")
+        .withColumn(
+            "_keep",
+            (F.length("_line") < min_line_chars)
+            | (
+                F.col("_in_base").isNull()
+                & F.col("_near_dropped").isNull()
                 & (F.col("_id") == F.col("_first._id"))
                 & (F.col("_line_no") == F.col("_first._line_no"))
             ),

@@ -96,7 +96,15 @@ hash-checked), dedup_lines_near (#3 — fuzzy paragraph-level dedup
 riding hamming_pairs), stream_exec_dhash_bucketed (#5 — pre-banded
 durable fingerprint index with partition-pruned probes), and
 text_containment_slice (#6 — bounded sf1-runnable containment
-oracle). r13 also pruned the two long-green r10 pins and pinned
+oracle), plus two symmetry rows completing the line-dedup grid
+(exact/near × batch/incremental/streaming):
+dedup_lines_near_incremental (the fuzzy append≡full leg — greedy
+survivorship is prefix-stable, which is WHY the fuzzy rule is
+greedy) and stream_exec_lines_append (LIVE-engine line dedup
+against the durable 16-byte digest index via the new
+base_digs parameter — base text never re-read; oracle =
+dedup_lines_exact's full output verbatim). 7 rows, inside the cap.
+r13 also pruned the two long-green r10 pins and pinned
 ml_ann_ivf_topk (stale r7 driver record, VERDICT r12 #1) plus the
 four ADVICE-touched rows into the window head. Every r13 row is
 oracle-green at sf0.01, sf0.1 AND the sf1 replica before

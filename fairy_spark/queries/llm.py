@@ -4336,6 +4336,55 @@ def dedup_lines_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lines_near(docs).orderBy("doc_id")
 
 
+_DEDUP_LINES_NEAR_INC_ORACLE = (
+    _DEDUP_LINES_NEAR_ORACLE.replace(
+        "    ), s AS (",
+        """    ), thr AS (
+      SELECT CAST((MAX(doc_id) + 1) * 4 // 5 AS BIGINT) AS thr FROM documents
+    ), s AS (""",
+    ).replace(
+        "FROM k GROUP BY doc_id ORDER BY doc_id",
+        "FROM k, thr WHERE k.doc_id >= thr.thr\n"
+        "    GROUP BY doc_id ORDER BY doc_id",
+    )
+)
+assert "thr AS (" in _DEDUP_LINES_NEAR_INC_ORACLE
+assert "WHERE k.doc_id >= thr.thr" in _DEDUP_LINES_NEAR_INC_ORACLE
+
+
+@register("dedup_lines_near_incremental", oracle=_DEDUP_LINES_NEAR_INC_ORACLE)
+def dedup_lines_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY line dedup (r13 — completes the line-dedup
+    symmetry: exact/near × full/incremental): the corpus splits at the
+    80th-percentile doc_id into BASE and DELTA (the dedup_lines_
+    incremental split) and operators/dedup.dedup_lines_near_append
+    cleans the delta against the base's distinct-line signature index
+    with NO base re-dedup. Prefix-stability is exactly why dedup_
+    lines_near's survivorship is GREEDY (a line's outcome depends
+    only on earlier lines — a clustered rule would let a late arrival
+    merge base clusters and force per-batch base re-dedup, the scale
+    anti-pattern), so append(base, delta) ==
+    dedup_lines_near(base ∪ delta)|delta holds exactly, and the
+    ORACLE — the full fuzzy algebra restricted to delta docs —
+    re-proves that invariant on every green run. Per-batch cost:
+    |delta| explode + one digest agg + signatures for NEW distinct
+    lines only (exact base repeats drop before any fuzzy work) + a
+    banded probe of the durable per-distinct-line signature index."""
+    from fairy_spark.operators.dedup import dedup_lines_near_append
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), "
+            "g -> array_join(slice(split(text, ' '), g*12+1, 12), ' ')), chr(10))"
+        ).alias("text"),
+    )
+    thr = docs.agg(F.expr("(max(doc_id) + 1) * 4 div 5").alias("_thr"))
+    base = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("_thr")).drop("_thr")
+    delta = docs.join(F.broadcast(thr)).filter(F.col("doc_id") >= F.col("_thr")).drop("_thr")
+    return dedup_lines_near_append(base, delta).orderBy("doc_id")
+
+
 def _audio_energy_sql(w: str) -> str:
     """Window-energy Σ(b-128)² for the 2-byte window ``w`` (0-based)
     as exact-integer ord() algebra — the audio analog of the dHash

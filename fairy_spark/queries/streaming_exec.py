@@ -515,6 +515,86 @@ def stream_exec_dhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_exec_lines_append", oracle=ORACLE["dedup_lines_exact"])
+def stream_exec_lines_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING line dedup through the LIVE engine (r13 — the
+    stream_exec_minhash_append shape for the line stage, completing
+    the exact/near × batch/incremental/streaming line-dedup grid):
+    documents replay as 4 doc_id-quantile micro-batches IN ID ORDER
+    (the file source delivers the quantile chunks by write order,
+    which is the prefix-stability ingest contract dedup_lines_append
+    documents); every foreachBatch invocation segments ONLY the
+    arriving batch into the 12-token pseudo-lines, cleans it against
+    the durable DIGEST INDEX via dedup_lines_append(base_digs=...) —
+    the index is 16-byte digest rows, base text is NEVER re-read or
+    re-exploded — then appends the batch's distinct digests to the
+    index. Per-doc summaries are emitted in the batch where the doc
+    arrives and are final (prefix-stable), so the union over batches
+    IS dedup_lines_exact's full output — that oracle checks the
+    streaming run verbatim. Writes are batch_id-keyed OVERWRITE
+    subdirs (retry-idempotent). 100 TB: per-batch cost is |delta|
+    explode + one digest probe of a bucketed index + one |delta| agg,
+    independent of corpus size — the continuous-crawl line-dedup
+    ingest contract."""
+    import uuid
+
+    from fairy_spark.operators.dedup import dedup_lines_append
+    from fairy_spark.streaming.pipeline import (
+        idempotent_batch_write,
+        replay_dir_from_documents,
+        run_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    schema = docs.schema
+    app_dir = os.path.join(
+        tempfile.gettempdir(), "fairy_spark_stream", spark.sparkContext.applicationId
+    )
+    replay = os.path.join(app_dir, "docs_replay_" + sf_cache_key(sf_dir))
+    marker = os.path.join(replay, "_READY")
+    if not os.path.exists(marker):
+        replay_dir_from_documents(spark, sf_dir, replay, n_chunks=4)
+        with open(marker, "w"):
+            pass
+    run_id = uuid.uuid4().hex[:8]
+    acc = os.path.join(app_dir, f"ld_digs_{run_id}")
+    out = os.path.join(app_dir, f"ld_summ_{run_id}")
+    seg = (
+        "array_join(transform(sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), "
+        "g -> array_join(slice(split(text, ' '), g*12+1, 12), ' ')), chr(10))"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay, "chunk_*"))
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta = batch_df.select("doc_id", F.expr(seg).alias("text"))
+        if os.path.isdir(acc):
+            digs = sess.read.parquet(acc).select("_dig")
+        else:
+            digs = sess.createDataFrame([], "_dig STRING")
+        summary = dedup_lines_append(None, delta, base_digs=digs)
+        idempotent_batch_write(summary, out, batch_id)
+        delta_digs = (
+            delta.select(F.explode(F.split("text", "\n")).alias("_line"))
+            .filter(F.length("_line") >= 1)
+            .select(F.md5("_line").alias("_dig"))
+            .distinct()
+        )
+        idempotent_batch_write(delta_digs, acc, batch_id)
+
+    run_foreach_batch(stream, ingest)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_lines", "n_kept", "kept_text")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "stream_exec_cdc_counts",
     oracle="""

@@ -215,3 +215,67 @@ def test_dedup_lines_near_subsumes_exact_on_testdata(spark, sf_dir):
     assert j.filter(F.col("nk") > F.col("ek")).count() == 0
     assert j.filter(F.col("nk") < F.col("ek")).count() > 0  # real near-drops
     assert j.filter(F.col("nk") > F.col("n_lines")).count() == 0
+
+
+def test_dedup_lines_near_append_equals_full_restricted(spark):
+    """Greedy fuzzy survivorship is prefix-stable, so the incremental
+    leg equals the full build restricted to delta docs — including a
+    CROSS-BATCH fuzzy drop (a delta line near a base line) and a
+    delta-internal one."""
+    from fairy_spark.operators.dedup import dedup_lines_near, dedup_lines_near_append
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h\nm n o p q r s t"), (2, "x y z w v u t s")],
+        "doc_id BIGINT, text STRING",
+    )
+    delta = spark.createDataFrame(
+        [
+            # near base doc1 line0 (1 mutation); unique; empty
+            (10, "a b c d e f g q\nk l m n o p q r\n"),
+            # exact repeat of a delta line + near a delta line
+            (11, "k l m n o p q r\nk l m n o p q z"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    inc = sorted(map(tuple, dedup_lines_near_append(base, delta).collect()))
+    full = sorted(
+        map(
+            tuple,
+            dedup_lines_near(base.unionByName(delta))
+            .filter("doc_id >= 10")
+            .collect(),
+        )
+    )
+    assert inc == full
+    by_id = {r[0]: r for r in inc}
+    # doc10 line0 drops near base line0 (J=5/7); line1 "k l m n o p q
+    # r" drops near base line1 "m n o p q r s t" (a 2-token shift:
+    # shared {mno,nop,opq,pqr} of 8 -> J exactly 1/2); the empty line
+    # survives
+    assert by_id[10][1:] == (3, 1, "")
+    assert by_id[11][1:] == (2, 0, "")  # exact + fuzzy delta-internal drops
+
+
+def test_dedup_lines_append_digest_index_form_equivalent(spark):
+    """The base_digs form (the streaming leg's durable digest index)
+    equals the base_docs form; passing both or neither raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fairy_spark.operators.dedup import dedup_lines_append
+
+    base = spark.createDataFrame([(1, "a\nb\nc")], "doc_id BIGINT, text STRING")
+    delta = spark.createDataFrame([(2, "b\nd\nd")], "doc_id BIGINT, text STRING")
+    digs = (
+        base.select(F.explode(F.split("text", "\n")).alias("_line"))
+        .select(F.md5("_line").alias("_dig"))
+    )
+    # duplicate digest rows must be tolerated (distinct'd inside)
+    digs = digs.unionByName(digs)
+    a = sorted(map(tuple, dedup_lines_append(base, delta).collect()))
+    b = sorted(map(tuple, dedup_lines_append(None, delta, base_digs=digs).collect()))
+    assert a == b == [(2, 3, 1, "d")]
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_lines_append(base, delta, base_digs=digs)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_lines_append(None, delta)

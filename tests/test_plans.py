@@ -448,6 +448,7 @@ BNLJ_BOUNDED: dict[str, int] = {
     "ml_ann_ivf_delete": 16,       # stale base-built centroid frame (mask branch)
     "ml_ann_ivf_compact": 16,      # live-retrained centroid frame (compact branch)
     "dedup_lines_incremental": 1,  # 1-row 80th-percentile-id split scalar
+    "dedup_lines_near_incremental": 1,  # same 1-row split scalar
     "dedup_semantic_semdedup": 16,  # n_clusters=16 centroid broadcast
     "ml_knn_vote": 40,             # bounded eval-query broadcast
     "ml_naive_bayes": 64,          # |classes| x 32-bucket model grid
