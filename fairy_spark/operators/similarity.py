@@ -639,6 +639,25 @@ def _mips_score(
         F.col("_q").alias("_nq"),
         F.col("_cid").alias("cluster"),
     )
+    return _mips_score_assigned(
+        assigned, queries, cent, k, n_probe, scale, id_col, vec_col
+    )
+
+
+def _mips_score_assigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cent: DataFrame,
+    k: int,
+    n_probe: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """_mips_score's probe/score/top-k tail over an ALREADY-ASSIGNED
+    (neighbor_id, _nq, cluster) corpus — factored (r13) so the
+    persisted-index path scores a RELOADED assignment table instead of
+    recomputing assignments from vectors."""
     q = queries.select(
         F.col(id_col).alias("query_id"), quantized_vec(F.col(vec_col), scale).alias("_qq")
     )
@@ -697,6 +716,80 @@ def ivf_mips_append(
     cent = _mips_centroids(base_corpus, n_clusters, lloyd_iters)
     full = base_corpus.unionByName(delta_corpus)
     return _mips_score(full, queries, cent, k, n_probe, scale, id_col, vec_col)
+
+
+def ivf_mips_persist_and_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DURABLE IVF index round-trip (r13 — the kv_persist_restart
+    contract applied to the ANN ledger): build the exact-integer
+    quantizer once, WRITE the index — assignments (id, quantized
+    vector, cluster) partitioned BY CLUSTER, plus the k×dim centroid
+    table — then RELOAD both and answer top-k entirely from the
+    stored index: queries probe the reloaded centroids, their
+    n_probe cluster ids (bounded ≤ |q|·n_probe collect) become a
+    partition-pruning isin() on the assignments scan, and scoring
+    runs over only the probed clusters' partitions. Search from the
+    reloaded index is value-identical to ivf_mips_topk (same
+    quantize/seed/Lloyd/probe/score algebra — the scoring tail is the
+    shared _mips_score_assigned), which is what the registered
+    oracle re-proves each run.
+
+    100 TB shape: an embedding index is built once and served many
+    times — the cluster-partitioned layout makes each query batch
+    read n_probe/n_clusters of the stored index (directory pruning,
+    the IVF promise made durable) instead of rescanning vectors, and
+    the centroid table is k×dim metadata."""
+    import os
+
+    corpus = _mips_quantize(embeddings, id_col, vec_col, scale)
+    cent = _mips_centroids(corpus, n_clusters, lloyd_iters)
+    assigned = _mips_nearest(corpus, "_q", 1, cent).select(
+        F.col("_id").alias("id"), F.col("_q").alias("q"), F.col("_cid").alias("cluster")
+    )
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+    cent.select(F.col("_cid").alias("cid"), F.col("_cvec").alias("cvec")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "centroids"))
+
+    sess = embeddings.sparkSession
+    cent_loaded = sess.read.parquet(os.path.join(index_dir, "centroids")).select(
+        F.col("cid").alias("_cid"), F.col("cvec").alias("_cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized_vec(F.col(vec_col), scale).alias("_qq")
+    )
+    probed_clusters = sorted(
+        r["_cid"]
+        for r in _mips_nearest(q, "_qq", n_probe, cent_loaded)
+        .select("_cid")
+        .distinct()
+        .collect()
+    )
+    idx = (
+        sess.read.parquet(os.path.join(index_dir, "assignments"))
+        # partition-pruned probe: only the probed clusters' dirs are read
+        .filter(F.col("cluster").isin(probed_clusters))
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.col("q").alias("_nq"),
+            "cluster",
+        )
+    )
+    return _mips_score_assigned(
+        idx, queries, cent_loaded, k, n_probe, scale, id_col, vec_col
+    )
 
 
 def ivf_mips_delete(

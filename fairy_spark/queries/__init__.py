@@ -103,7 +103,11 @@ survivorship is prefix-stable, which is WHY the fuzzy rule is
 greedy) and stream_exec_lines_append (LIVE-engine line dedup
 against the durable 16-byte digest index via the new
 base_digs parameter — base text never re-read; oracle =
-dedup_lines_exact's full output verbatim). 7 rows, inside the cap.
+dedup_lines_exact's full output verbatim), and ml_ann_ivf_persisted
+(the durable cluster-partitioned ANN index — persist → reload →
+partition-pruned search, oracle = ml_ann_ivf_topk's, closing the IVF
+ledger at build/append/delete/compact/persist). 8 rows, inside the
+cap.
 r13 also pruned the two long-green r10 pins and pinned
 ml_ann_ivf_topk (stale r7 driver record, VERDICT r12 #1) plus the
 four ADVICE-touched rows into the window head. Every r13 row is

@@ -1272,6 +1272,31 @@ def ml_ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+@register("ml_ann_ivf_persisted", oracle=_IVF_TOPK_ORACLE)
+def ml_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURABLE ANN index round-trip (r13 — kv_persist_restart's
+    contract applied to the IVF ledger, closing it at
+    build/append/delete/compact/persist): the quantizer and the
+    cluster-PARTITIONED assignment table are WRITTEN to parquet, both
+    are RELOADED, and top-5 is answered entirely from the stored
+    index — the probed clusters (bounded ≤ |q|·n_probe driver read)
+    partition-prune the assignments scan, so a query batch reads
+    n_probe/n_clusters of the index directories, never the vector
+    corpus. The oracle IS ml_ann_ivf_topk's full-geometry SQL: a
+    green row proves persist → reload → pruned-search ≡ fresh search
+    byte-for-byte (same quantize/seed/Lloyd algebra, shared
+    _mips_score_assigned tail). Scale: build once, serve many — the
+    stored layout is what a 100 TB embedding service actually scans."""
+    from fairy_spark.operators.similarity import ivf_mips_persist_and_search
+    from fairy_spark.queries.sources_io import _scratch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 10)
+    return ivf_mips_persist_and_search(
+        e, q, _scratch(spark, sf_dir, "ivf_index"), k=5, n_clusters=16, n_probe=4
+    ).orderBy("query_id", "rn")
+
+
 _IVF_Q_SQL = (
     "list_transform(generate_series(1, 64), "
     "i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT))"

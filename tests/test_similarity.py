@@ -542,3 +542,55 @@ def test_hamming_probe_pruned_base_equals_full_append(spark):
     base_only = hamming_pairs(base, **kw)
     full = sorted(map(tuple, hamming_pairs(df, **kw).collect()))
     assert sorted(set(map(tuple, base_only.collect())) | set(want)) == full
+
+
+def test_ivf_persisted_search_equals_fresh_and_prunes(spark, emb, tmp_path):
+    """r13 durable-index contract: persist -> reload -> search equals
+    ivf_mips_topk exactly, and the assignments scan reads only the
+    probed clusters' partition dirs (execution-real numPartitions
+    metric), never the whole stored index."""
+    from fairy_spark.operators.similarity import (
+        ivf_mips_persist_and_search,
+        ivf_mips_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") <= 5)
+    out = ivf_mips_persist_and_search(
+        emb, q, str(tmp_path / "idx"), k=5, n_clusters=8, n_probe=2
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, ivf_mips_topk(emb, q, k=5, n_clusters=8, n_probe=2).collect()))
+    assert got == want and got
+    # pruning: walk the executed plan for the assignments scan metric
+    vals, stack = [], [out._jdf.queryExecution().executedPlan()]
+    while stack:
+        n = stack.pop()
+        nm = n.nodeName()
+        if nm == "AdaptiveSparkPlan":
+            stack.append(n.executedPlan())
+        elif nm.endswith("QueryStage"):  # AQE stages hide children()
+            stack.append(n.plan())
+        elif nm == "ReusedExchange":
+            stack.append(n.child())
+        if nm.startswith("Scan parquet"):
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numPartitions":
+                    vals.append(kv._2().value())
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    # exactly one partitioned scan (assignments; centroids is
+    # unpartitioned), and its partition count equals the number of
+    # DISTINCT probed clusters — the scan read the probe set's dirs,
+    # nothing else.
+    assert len(vals) == 1
+    from fairy_spark.operators.similarity import _mips_centroids, _mips_nearest, _mips_quantize, quantized_vec
+    corpus = _mips_quantize(emb, "vec_id", "embedding", 1024)
+    cent = _mips_centroids(corpus, 8, 1)
+    qq = q.select(F.col("vec_id").alias("query_id"), quantized_vec(F.col("embedding"), 1024).alias("_qq"))
+    n_probed = (
+        _mips_nearest(qq, "_qq", 2, cent).select("_cid").distinct().count()
+    )
+    assert vals[0] == n_probed <= 8
