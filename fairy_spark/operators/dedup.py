@@ -1307,14 +1307,26 @@ def dedup_lines_near(
     )
 
 
-def _distinct_line_sigs(
-    lines: DataFrame, shingle_n: int, num_hashes: int, min_line_chars: int
+def line_near_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    min_line_chars: int = 1,
 ) -> DataFrame:
-    """(_dig, _first, _sh, _nsh, _sig) over the DISTINCT eligible
-    lines of an exploded (_id, _line_no, _line, _dig) frame — the
-    fuzzy-line-dedup signature unit (dedup_lines_near stage 2),
-    factored for the incremental leg: at 100 TB this frame IS the
-    durable near-dup line index a continuous ingest maintains."""
+    """The DURABLE fuzzy-line-dedup index frame: one row per eligible
+    DISTINCT line — (_dig, _first struct, _sh shingle set, _nsh, _sig
+    minhash array; _sig is NULL for sub-shingle lines, which still
+    exact-dedup but are exempt from the fuzzy stage). This is what a
+    continuous ingest persists between batches (16-byte digest + 8
+    bigint hashes + one bounded shingle set per distinct line, never
+    corpus text) and what dedup_lines_near_append(base_index=...)
+    probes."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+    ).withColumn("_dig", F.md5(F.col("_line")))
     distinct = (
         lines.filter(F.length("_line") >= min_line_chars)
         .groupBy("_dig")
@@ -1328,13 +1340,17 @@ def _distinct_line_sigs(
             "_dig", "_first", shingle_set(F.col("_rep"), shingle_n).alias("_sh")
         )
         .withColumn("_nsh", F.size("_sh"))
-        .filter(F.col("_nsh") >= 1)
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        .withColumn(
+            "_sig",
+            F.when(
+                F.col("_nsh") >= 1, minhash_signature(F.col("_sh"), num_hashes)
+            ),
+        )
     )
 
 
 def dedup_lines_near_append(
-    base_docs: DataFrame,
+    base_docs: DataFrame | None,
     delta_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1343,6 +1359,7 @@ def dedup_lines_near_append(
     jaccard_num: int = 1,
     jaccard_den: int = 2,
     min_line_chars: int = 1,
+    base_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental FUZZY line dedup: clean a delta batch against an
     already-ingested base with dedup_lines_near's semantics and no
@@ -1363,17 +1380,24 @@ def dedup_lines_near_append(
     by the exact rule before any fuzzy work), banded probe of the
     base's distinct-line signature index (durable at 100 TB — 8
     bigint minhashes + one shingle set per distinct line, never the
-    corpus text), one |delta| reassembly agg."""
-    base_lines = base_docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
-    ).withColumn("_dig", F.md5(F.col("_line")))
-    base_sigs = _distinct_line_sigs(base_lines, shingle_n, num_hashes, min_line_chars)
+    corpus text), one |delta| reassembly agg.
+
+    ``base_index``: pass the MAINTAINED line_near_index frame directly
+    and skip the base re-derivation entirely — the streaming leg
+    (stream_exec_lines_near_append) reads yesterday's index instead of
+    re-exploding base text per batch. Exactly one of base_docs /
+    base_index must be provided."""
+    if (base_docs is None) == (base_index is None):
+        raise ValueError("pass exactly one of base_docs / base_index")
+    if base_index is None:
+        base_index = line_near_index(
+            base_docs, id_col, text_col, shingle_n, num_hashes, min_line_chars
+        )
+    base_sigs = base_index.filter(F.col("_nsh") >= 1).select(
+        "_dig", "_first", "_sh", "_nsh", "_sig"
+    )
     base_digs = (
-        base_lines.filter(F.length("_line") >= min_line_chars)
-        .select("_dig")
-        .distinct()
-        .withColumn("_in_base", F.lit(True))
+        base_index.select("_dig").distinct().withColumn("_in_base", F.lit(True))
     )
 
     delta_lines = delta_docs.select(

@@ -595,6 +595,89 @@ def stream_exec_lines_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_exec_lines_near_append", oracle=ORACLE["dedup_lines_near"])
+def stream_exec_lines_near_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING FUZZY line dedup through the LIVE engine (r13 — the
+    last cell of the line-dedup grid: exact/near ×
+    batch/incremental/streaming): documents replay as 4
+    doc_id-quantile micro-batches in id order; every foreachBatch
+    invocation segments ONLY the arriving batch and cleans it with
+    dedup_lines_near_append(base_index=...) against the durable
+    line_near_index table — per-distinct-line (digest, first, shingle
+    set, 8 minhashes), read back each batch, base TEXT never re-read
+    — then appends the batch's index rows for digests the index has
+    never seen. Greedy fuzzy survivorship is prefix-stable, so each
+    batch's per-doc summaries are final on emission and the union
+    over batches IS dedup_lines_near's full output: that full fuzzy
+    oracle (digest collapse, banded minhash join, exact integer
+    Jaccard, greedy drops) checks the streaming run verbatim — green
+    means the maintained signature index loses and duplicates
+    nothing, including fuzzy drops ACROSS batch boundaries. Writes
+    are batch_id-keyed OVERWRITE subdirs (retry-idempotent). 100 TB:
+    the same continuous-crawl contract as stream_exec_lines_append
+    with the near-dup stage riding the identical durable index."""
+    import uuid
+
+    from fairy_spark.operators.dedup import dedup_lines_near_append, line_near_index
+    from fairy_spark.streaming.pipeline import (
+        idempotent_batch_write,
+        replay_dir_from_documents,
+        run_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    schema = docs.schema
+    app_dir = os.path.join(
+        tempfile.gettempdir(), "fairy_spark_stream", spark.sparkContext.applicationId
+    )
+    replay = os.path.join(app_dir, "docs_replay_" + sf_cache_key(sf_dir))
+    marker = os.path.join(replay, "_READY")
+    if not os.path.exists(marker):
+        replay_dir_from_documents(spark, sf_dir, replay, n_chunks=4)
+        with open(marker, "w"):
+            pass
+    run_id = uuid.uuid4().hex[:8]
+    acc = os.path.join(app_dir, f"lnn_idx_{run_id}")
+    out = os.path.join(app_dir, f"lnn_summ_{run_id}")
+    seg = (
+        "array_join(transform(sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), "
+        "g -> array_join(slice(split(text, ' '), g*12+1, 12), ' ')), chr(10))"
+    )
+    idx_schema = (
+        "_dig STRING, _first STRUCT<_id: BIGINT, _line_no: INT>, "
+        "_sh ARRAY<STRING>, _nsh INT, _sig ARRAY<BIGINT>"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay, "chunk_*"))
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta = batch_df.select("doc_id", F.expr(seg).alias("text"))
+        if os.path.isdir(acc):
+            base_index = sess.read.parquet(acc).select(
+                "_dig", "_first", "_sh", "_nsh", "_sig"
+            )
+        else:
+            base_index = sess.createDataFrame([], idx_schema)
+        summary = dedup_lines_near_append(None, delta, base_index=base_index)
+        idempotent_batch_write(summary, out, batch_id)
+        new_rows = line_near_index(delta).join(
+            base_index.select("_dig"), "_dig", "left_anti"
+        )
+        idempotent_batch_write(new_rows, acc, batch_id)
+
+    run_foreach_batch(stream, ingest)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_lines", "n_kept", "kept_text")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "stream_exec_cdc_counts",
     oracle="""
