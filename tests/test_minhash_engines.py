@@ -254,6 +254,21 @@ def test_dedup_lines_near_append_equals_full_restricted(spark):
     # survives
     assert by_id[10][1:] == (3, 1, "")
     assert by_id[11][1:] == (2, 0, "")  # exact + fuzzy delta-internal drops
+    # base_index form (the streaming leg's durable signature table)
+    # equals the base_docs form; passing both or neither raises
+    import pytest as _pytest
+
+    from fairy_spark.operators.dedup import line_near_index
+
+    idx = line_near_index(base)
+    via_idx = sorted(
+        map(tuple, dedup_lines_near_append(None, delta, base_index=idx).collect())
+    )
+    assert via_idx == inc
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup_lines_near_append(base, delta, base_index=idx)
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup_lines_near_append(None, delta)
 
 
 def test_dedup_lines_append_digest_index_form_equivalent(spark):
