@@ -109,8 +109,10 @@ partition-pruned search, oracle = ml_ann_ivf_topk's, closing the IVF
 ledger at build/append/delete/compact/persist), and
 stream_exec_lines_near_append (LIVE-engine fuzzy line dedup against
 the durable line_near_index signature table — the last cell of the
-line-dedup grid; oracle = dedup_lines_near's full algebra). 9 rows,
-inside the cap.
+line-dedup grid; oracle = dedup_lines_near's full algebra), and
+geo_radius_join (DWithin-style spatial radius join on the
+density-adaptive cell ladder — completeness R ≤ cell_side +
+output-bounded density-scaled R). 10 rows, inside the cap.
 r13 also pruned the two long-green r10 pins and pinned
 ml_ann_ivf_topk (stale r7 driver record, VERDICT r12 #1) plus the
 four ADVICE-touched rows into the window head. Every r13 row is

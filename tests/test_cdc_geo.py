@@ -182,3 +182,52 @@ def test_morton_interleave_roundtrip(spark):
         lat = sum(((m >> (2 * b + 1)) & 1) << b for b in range(5))
         lon = sum(((m >> (2 * b)) & 1) << b for b in range(6))
         assert (lat, lon) == (r["lat_c"], r["lon_c"])
+
+
+def _brute_force_radius(sf_dir):
+    """Independent reimplementation of geo_radius_join's contract:
+    EVERY (supplier, customer) pair within R = cell_side // 4 — pure
+    all-pairs Python, no cells, so it also proves the 3x3 blocking
+    loses nothing (completeness: R <= cell_side)."""
+    import duckdb
+
+    from fairy_spark.queries.geo import (
+        _CUST_LAT_P,
+        _CUST_LON_P,
+        _LAT_SPAN,
+        _LON_SPAN,
+        _SUPP_LAT_P,
+        _SUPP_LON_P,
+        cell_side_for,
+    )
+
+    con = duckdb.connect()
+    sup = con.sql(
+        f"SELECT s_suppkey FROM read_parquet('{sf_dir}/supplier.parquet')"
+    ).fetchall()
+    cus = con.sql(
+        f"SELECT c_custkey FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()
+    r = cell_side_for(len(cus)) // 4
+    out = set()
+    for (sk,) in sup:
+        slat, slon = (sk * _SUPP_LAT_P) % _LAT_SPAN, (sk * _SUPP_LON_P) % _LON_SPAN
+        for (ck,) in cus:
+            clat, clon = (ck * _CUST_LAT_P) % _LAT_SPAN, (ck * _CUST_LON_P) % _LON_SPAN
+            dlat = abs(slat - clat)
+            dlon = min(abs(slon - clon), _LON_SPAN - abs(slon - clon))
+            d2 = dlat * dlat + dlon * dlon
+            if d2 <= r * r:
+                out.add((sk, ck, d2))
+    return out
+
+
+def test_geo_radius_join_matches_all_pairs_brute_force(spark):
+    from fairy_spark.queries import QUERIES
+
+    got = {
+        (r["s_suppkey"], r["c_custkey"], r["dist2_cd"])
+        for r in QUERIES["geo_radius_join"](spark, SF_SMALL).collect()
+    }
+    want = _brute_force_radius(SF_SMALL)
+    assert got == want and got  # non-empty, complete AND precise

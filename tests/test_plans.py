@@ -436,6 +436,7 @@ BNLJ_BOUNDED: dict[str, int] = {
     "join_theta_cross": 8,         # capped theta inputs
     "ml_ndcg_at_k": 8,             # 8-row query-vector broadcast
     "geo_cell_knn": 9,             # 3x3 cell-offset frame
+    "geo_radius_join": 9,          # same 3x3 offset frame + 1-row cell/r scalar
     "stats_benford_digits": 9,     # 9-digit expected grid
     "sim_cosine_topk": 16,         # bounded query-vector probe set
     "ml_ann_lsh_recall": 16,       # same bounded probe set, BF twin side
