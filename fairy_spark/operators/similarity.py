@@ -749,6 +749,23 @@ def ivf_mips_persist_and_search(
     read n_probe/n_clusters of the stored index (directory pruning,
     the IVF promise made durable) instead of rescanning vectors, and
     the centroid table is k×dim metadata."""
+    _persist_ivf_index(embeddings, index_dir, n_clusters, lloyd_iters, scale, id_col, vec_col)
+    return _search_persisted_ivf(
+        embeddings.sparkSession, index_dir, queries, k, n_probe, scale, id_col, vec_col
+    )
+
+
+def _persist_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_clusters: int,
+    lloyd_iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Build the exact-integer quantizer and WRITE the durable index:
+    cluster-partitioned assignments + the k×dim centroid table."""
     import os
 
     corpus = _mips_quantize(embeddings, id_col, vec_col, scale)
@@ -763,10 +780,32 @@ def ivf_mips_persist_and_search(
         "overwrite"
     ).parquet(os.path.join(index_dir, "centroids"))
 
-    sess = embeddings.sparkSession
-    cent_loaded = sess.read.parquet(os.path.join(index_dir, "centroids")).select(
+
+def _load_ivf_centroids(sess, index_dir: str) -> DataFrame:
+    import os
+
+    return sess.read.parquet(os.path.join(index_dir, "centroids")).select(
         F.col("cid").alias("_cid"), F.col("cvec").alias("_cvec")
     )
+
+
+def _search_persisted_ivf(
+    sess,
+    index_dir: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Answer top-k entirely from the stored index: probe the reloaded
+    centroids, partition-prune the assignments scan to the probed
+    clusters (bounded ≤ |q|·n_probe collect), score with the shared
+    _mips_score_assigned tail."""
+    import os
+
+    cent_loaded = _load_ivf_centroids(sess, index_dir)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantized_vec(F.col(vec_col), scale).alias("_qq")
     )
@@ -789,6 +828,55 @@ def ivf_mips_persist_and_search(
     )
     return _mips_score_assigned(
         idx, queries, cent_loaded, k, n_probe, scale, id_col, vec_col
+    )
+
+
+def ivf_mips_persist_append(
+    base: DataFrame,
+    delta: DataFrame,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production ingest+serve LOOP on the durable index (r13 —
+    ivf_mips_append composed with the persisted layout): the quantizer
+    and the cluster-partitioned assignment table are built and WRITTEN
+    from the BASE only; a DELTA batch is then ingested by reloading
+    the k×dim centroid table, assigning ONLY the delta
+    (O(|delta|·k·dim), no re-clustering, base assignment dirs never
+    rewritten) and APPENDING its rows into the cluster partitions; the
+    search runs entirely from the updated stored index with the same
+    probed-cluster partition pruning as ivf_mips_persist_and_search.
+    Value-identical to the in-memory ivf_mips_append (same quantize/
+    seed/Lloyd/assign/score algebra — pinned in tests), so the
+    registered oracle re-proves persist → append → pruned-search ≡
+    one-shot append on every run.
+
+    100 TB shape: this IS the embedding-store lifecycle — build once,
+    append batches as cheap partition-local writes, serve reads that
+    touch n_probe/n_clusters of the index directories; the only
+    per-batch costs are the delta assignment against broadcast
+    centroid metadata and the appended files."""
+    import os
+
+    sess = base.sparkSession
+    _persist_ivf_index(base, index_dir, n_clusters, lloyd_iters, scale, id_col, vec_col)
+    cent_loaded = _load_ivf_centroids(sess, index_dir)
+    delta_corpus = _mips_quantize(delta, id_col, vec_col, scale)
+    delta_assigned = _mips_nearest(delta_corpus, "_q", 1, cent_loaded).select(
+        F.col("_id").alias("id"), F.col("_q").alias("q"), F.col("_cid").alias("cluster")
+    )
+    delta_assigned.write.partitionBy("cluster").mode("append").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+    return _search_persisted_ivf(
+        sess, index_dir, queries, k, n_probe, scale, id_col, vec_col
     )
 
 

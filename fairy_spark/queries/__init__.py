@@ -112,7 +112,11 @@ the durable line_near_index signature table — the last cell of the
 line-dedup grid; oracle = dedup_lines_near's full algebra), and
 geo_radius_join (DWithin-style spatial radius join on the
 density-adaptive cell ladder — completeness R ≤ cell_side +
-output-bounded density-scaled R). 10 rows, inside the cap.
+output-bounded density-scaled R), and ml_ann_ivf_persisted_append
+(the ingest+serve loop on the durable index: build+persist from
+base, append the delta into the cluster partitions, search the
+updated store; oracle = ml_ann_ivf_append's). 11 rows, inside the
+cap.
 r13 also pruned the two long-green r10 pins and pinned
 ml_ann_ivf_topk (stale r7 driver record, VERDICT r12 #1) plus the
 four ADVICE-touched rows into the window head. Every r13 row is

@@ -1297,6 +1297,34 @@ def ml_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+@register("ml_ann_ivf_persisted_append", oracle=_IVF_APPEND_ORACLE)
+def ml_ann_ivf_persisted_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest + serve LOOP on the durable ANN index (r13 — the
+    composition of ml_ann_ivf_persisted and ml_ann_ivf_append): the
+    cluster-partitioned index is built and WRITTEN from the BASE
+    (vec_id % 5 != 4) only; the 20% DELTA batch is ingested by
+    reloading the stored centroid table, assigning only the delta and
+    APPENDING its rows into the cluster partitions (base dirs never
+    rewritten — the cheap partition-local write a continuous
+    embedding store relies on); top-5 is then answered from the
+    UPDATED stored index with probed-cluster partition pruning. The
+    oracle is ml_ann_ivf_append's split algebra verbatim, so a green
+    row proves persist → append → pruned-search ≡ the one-shot
+    in-memory append byte-for-byte; the in-memory equivalence is also
+    pinned directly in tests/test_similarity.py."""
+    from fairy_spark.operators.similarity import ivf_mips_persist_append
+    from fairy_spark.queries.sources_io import _scratch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 4)
+    delta = e.filter(F.col("vec_id") % 5 == 4)
+    q = e.filter(F.col("vec_id") <= 10)
+    return ivf_mips_persist_append(
+        base, delta, q, _scratch(spark, sf_dir, "ivf_index_append"),
+        k=5, n_clusters=16, n_probe=4,
+    ).orderBy("query_id", "rn")
+
+
 _IVF_Q_SQL = (
     "list_transform(generate_series(1, 64), "
     "i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT))"

@@ -449,6 +449,7 @@ BNLJ_BOUNDED: dict[str, int] = {
     "ml_ann_ivf_delete": 16,       # stale base-built centroid frame (mask branch)
     "ml_ann_ivf_compact": 16,      # live-retrained centroid frame (compact branch)
     "ml_ann_ivf_persisted": 16,    # reloaded k-row centroid table broadcast
+    "ml_ann_ivf_persisted_append": 16,  # same reloaded centroid broadcast
     "dedup_lines_incremental": 1,  # 1-row 80th-percentile-id split scalar
     "dedup_lines_near_incremental": 1,  # same 1-row split scalar
     "dedup_semantic_semdedup": 16,  # n_clusters=16 centroid broadcast

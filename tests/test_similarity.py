@@ -594,3 +594,32 @@ def test_ivf_persisted_search_equals_fresh_and_prunes(spark, emb, tmp_path):
         _mips_nearest(qq, "_qq", 2, cent).select("_cid").distinct().count()
     )
     assert vals[0] == n_probed <= 8
+
+
+def test_ivf_persist_append_equals_inmemory_append(spark, emb, tmp_path):
+    """r13 ingest+serve loop: build+persist from base, append the
+    delta into the cluster partitions, search the updated stored
+    index — equals the in-memory ivf_mips_append exactly (same
+    quantize/seed/Lloyd/assign/score algebra)."""
+    from fairy_spark.operators.similarity import (
+        ivf_mips_append,
+        ivf_mips_persist_append,
+    )
+
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    q = emb.filter(F.col("vec_id") <= 5)
+    got = sorted(
+        map(
+            tuple,
+            ivf_mips_persist_append(
+                base, delta, q, str(tmp_path / "idx"), k=5, n_clusters=8, n_probe=2
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, ivf_mips_append(base, delta, q, k=5, n_clusters=8, n_probe=2).collect())
+    )
+    assert got == want and got
+    # delta members are retrievable from the stored index
+    assert any(r[1] % 5 == 4 for r in got)
