@@ -59,6 +59,7 @@ class Engine:
         tracked on this Engine for ``cleanup_stage_dirs``."""
         import os
         import uuid
+        from urllib.parse import urlsplit
 
         from fairy_spark.queries.sources_io import _IO_ROOT
 
@@ -66,8 +67,12 @@ class Engine:
         # only reaches driver-local POSIX paths — on an HDFS/object-
         # store _IO_ROOT the cleanup would be a silent no-op (ADVICE
         # r12), so refuse to mint there: a remote stage root must come
-        # in as an explicit caller-managed ``stage_dir``.
-        if "://" in _IO_ROOT:
+        # in as an explicit caller-managed ``stage_dir``. ADVICE r13:
+        # parse the scheme properly instead of a '://' substring test —
+        # an hdfs:/ (single-slash) mount is remote despite lacking
+        # '://', and a local dir whose NAME contains '://' is not.
+        _scheme = urlsplit(_IO_ROOT).scheme
+        if len(_scheme) > 1 and _scheme != "file":
             raise ValueError(
                 f"FAIRY_SPARK_IO_DIR={_IO_ROOT!r} is not a local path; "
                 "pass an explicit stage_dir to pretrain_corpus (caller-"

@@ -904,8 +904,14 @@ def ivf_mips_delete(
     the live set ≥ τ = retrain_num/retrain_den, exact integer
     cross-multiply — no float ratio), the quantizer is rebuilt over
     the LIVE vectors only (compaction: centroids stop pointing at
-    mass that no longer exists); below τ the base-built quantizer is
-    kept stale and deletion costs ONLY the tombstone mask. The
+    mass that no longer exists); below τ the quantizer is kept stale
+    — trained over the full BASE rather than the live set, so the
+    keep branch avoids re-deriving probe geometry from post-delete
+    data (ADVICE r13: within one call both branches still run the
+    same _mips_centroids build over their training frame; a deploy
+    that wants the keep branch to skip quantizer work entirely feeds
+    the persisted centroid table, the ml_ann_ivf_persisted path,
+    instead of rebuilding per call). The
     decision is computed from the data on BOTH engines (one bounded
     1-row count agg + collect here — the graph_triangles_auto
     selector discipline — and a COUNT CTE in the SQL oracle) and is

@@ -584,6 +584,14 @@ def stream_exec_lines_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.length("_line") >= 1)
             .select(F.md5("_line").alias("_dig"))
             .distinct()
+            # ADVICE r13: anti-join against the accumulated index so a
+            # digest repeating across batches is stored once — keeps the
+            # durable index at its documented one-row-per-distinct-line
+            # shape (mirrors stream_exec_lines_near_append's new_rows
+            # left_anti; correctness never depended on this because
+            # dedup_lines_append re-distincts on read, but at 100 TB the
+            # index must not grow with ingest volume, only with novelty).
+            .join(digs, "_dig", "left_anti")
         )
         idempotent_batch_write(delta_digs, acc, batch_id)
 

@@ -198,24 +198,34 @@ def idempotent_batch_write(df: DataFrame, root: str, batch_id: int) -> None:
     """Write a foreachBatch output into a ``batch=<id>``-keyed subdir
     with OVERWRITE (ADVICE r12): a foreachBatch retry after a partial
     failure then REPLACES its own earlier half-written output instead
-    of appending a duplicate — per-batch exactly-once without a full
-    streaming checkpoint, valid because foreachBatch re-delivers the
-    same batch_id with the same rows. The dir name follows Hive
+    of appending a duplicate. Scope of the guarantee (ADVICE r13):
+    WITHIN one uninterrupted run — in-run retries re-deliver the same
+    batch_id with the same rows, but run_foreach_batch starts its
+    stream without a checkpointLocation, so a restarted query resets
+    batch ids to 0 and may assign files to batches differently;
+    callers must use per-run (uuid-scoped) output roots, as every
+    registered stream_exec_* query does. A deploy that needs
+    exactly-once ACROSS restarts passes checkpoint_dir to
+    run_foreach_batch. The dir name follows Hive
     partition layout, so one read of ``root`` discovers every batch
     (plus a ``batch`` partition column callers drop/project away)."""
     df.write.mode("overwrite").parquet(os.path.join(root, f"batch={int(batch_id)}"))
 
 
-def run_foreach_batch(query_df: DataFrame, fn, mode: str = "append") -> None:
+def run_foreach_batch(
+    query_df: DataFrame, fn, mode: str = "append", checkpoint_dir: str | None = None
+) -> None:
     """Drive a finite stream through a foreachBatch sink (the engine's
     programmable ingest hook — analog of the reference's put path,
-    h2_service.rs:89-109: arbitrary code per arriving chunk)."""
-    q = (
-        query_df.writeStream.foreachBatch(fn)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    h2_service.rs:89-109: arbitrary code per arriving chunk).
+    ``checkpoint_dir`` (ADVICE r13): when given, the stream commits a
+    WAL/offset checkpoint there, making batch ids durable across query
+    restarts — required for idempotent_batch_write's per-batch
+    exactly-once to extend beyond a single uninterrupted run."""
+    w = query_df.writeStream.foreachBatch(fn).outputMode(mode)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination()
 
 
