@@ -13,17 +13,18 @@ most converge in 2-3 rounds). Deterministic: labels are doc ids, min
 is order-free.
 
 Scale notes: this is the Pregel pattern expressed in DataFrames — the
-same shape GraphX/GraphFrames use. Each round persists its label table
-and unpersists the previous one (bounded memory); the edge table is
-re-used across rounds (persist once). The driver-side loop only reads
-ONE scalar per round (the converged? count) — no row data leaves the
-executors.
+same shape GraphX/GraphFrames use. Each round materializes its label
+table via localCheckpoint (flat LogicalRDD plans — r14: the persist
+form nested every prior round's plan and left the final frame in the
+CacheManager, taxing every later action; see operators/pool.py); the
+edge table is materialized once and re-used across rounds. The
+driver-side loop only reads ONE scalar per round (the converged?
+count) — no row data leaves the executors.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def connected_components(
@@ -35,19 +36,27 @@ def connected_components(
     """(node, component) for every node in the pair graph; component =
     min node id reachable. Isolated nodes don't appear (callers union
     non-paired ids back if needed)."""
+    # r14: per-round materialization via localCheckpoint instead of
+    # persist. Each persisted round's logical plan nested every prior
+    # round (O(rounds²) plan nodes) and the FINAL labels frame stayed
+    # registered in the session CacheManager forever — every later
+    # action in the session paid plan comparison against it
+    # (operators/pool.py has the measured cost). localCheckpoint cuts
+    # each round to a LogicalRDD leaf: same one-shuffle rounds, flat
+    # plans, no CacheManager entry. Iteration count and values are
+    # unchanged — the checkpoint is a boundary, not a semantic.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         # candidate labels: own, plus each neighbor's current label
         neighbor = (
@@ -59,7 +68,7 @@ def connected_components(
             .unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
@@ -67,11 +76,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist(blocking=False)
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist(blocking=False)
     return labels.select("node", "comp")
 
 

@@ -759,6 +759,89 @@ def simhash64_pairs(
     )
 
 
+def _winnow_fps_hof(docs, id_col: str, text_col: str, k: int, w: int):
+    """(id, n_fp, fp) exploded winnow fingerprints via the JVM
+    higher-order-function expression — the reference construction the
+    Arrow path is gated against (tests/test_substring_engines.py
+    pattern). SLOW in execution: winnow_fingerprints' z-chain inlines
+    the md5 gram-hash transform (and, transitively, word_ngrams' own
+    zip chain) once per zip_with layer — Catalyst does not CSE across
+    higher-order functions (the cdc_chunks lesson) — so the generated
+    expression re-tokenizes and re-hashes each row many times and the
+    codegen'd tree is large enough to fall back to interpretation."""
+    from fairy_spark.operators.text import tokenize, winnow_fingerprints
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprints(tokenize(F.col(text_col)), k=k, w=w).alias("fps"),
+    ).select("id", F.size("fps").alias("n_fp"), F.explode("fps").alias("fp"))
+
+
+def _winnow_fps_arrow(docs, id_col: str, text_col: str, k: int, w: int):
+    """(id, n_fp, fp) exploded winnow fingerprints via mapInPandas —
+    the shipped build (guide §4.2: batch the heavy per-doc pass into
+    native-speed Python instead of a re-expanding HOF tree; measured
+    ~25-35 s → sub-second for the fingerprint pass at sf0.1).
+    Value-identical to _winnow_fps_hof by construction — Python
+    re.split(r'\\s+') + str.lower() matches tokenize() on the corpus
+    charset, ' '.join matches concat_ws, and
+    int.from_bytes(md5('win:'+g).digest()) >> 68 IS
+    conv(substr(md5(concat('win',':',g)),1,15),16,10) (top 60 bits of
+    the digest; fits signed BIGINT) — and gated by an equality test
+    against the HOF form. Selection mirrors winnow_fingerprints
+    exactly: per-window minima for >= w gram hashes (first-occurrence
+    distinct), single global min for 0 < |grams| < w, empty otherwise."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids: list = []
+            nfps: list = []
+            fs: list = []
+            for rid, t in zip(pdf["id"], pdf["_text"]):
+                toks = ws.split(t.lower()) if t else ([""] if t == "" else [])
+                hs = [
+                    int.from_bytes(
+                        hashlib.md5(
+                            b"win:" + " ".join(toks[p : p + k]).encode("utf-8")
+                        ).digest(),
+                        "big",
+                    )
+                    >> 68
+                    for p in range(len(toks) - k + 1)
+                ]
+                if len(hs) >= w:
+                    seen: set = set()
+                    fps: list = []
+                    for i in range(len(hs) - w + 1):
+                        m = min(hs[i : i + w])
+                        if m not in seen:
+                            seen.add(m)
+                            fps.append(m)
+                elif hs:
+                    fps = [min(hs)]
+                else:
+                    fps = []
+                n = len(fps)
+                ids.extend([rid] * n)
+                nfps.extend([n] * n)
+                fs.extend(fps)
+            yield pd.DataFrame({"id": ids, "n_fp": nfps, "fp": fs})
+
+    from fairy_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).repartition(par)
+    return src.mapInPandas(gen, schema="id long, n_fp int, fp bigint")
+
+
 def winnow_best_match(
     docs,
     id_col: str = "doc_id",
@@ -767,6 +850,7 @@ def winnow_best_match(
     w: int = 4,
     min_df: int = 2,
     max_df: int = 50,
+    engine: str = "arrow",
 ):
     """Per-document best match by shared WINNOWING fingerprints — the
     MOSS report shape (Schleimer et al. 2003 §5, public): explode each
@@ -794,16 +878,33 @@ def winnow_best_match(
         )
     from pyspark.sql import Window
 
-    from fairy_spark.operators.text import tokenize, winnow_fingerprints
+    from fairy_spark.operators.pool import park_persisted
 
-    fps = docs.select(
-        F.col(id_col).alias("id"),
-        winnow_fingerprints(tokenize(F.col(text_col)), k=k, w=w).alias("fps"),
-    ).select("id", F.size("fps").alias("n_fp"), F.explode("fps").alias("fp"))
+    # r14 (guide §1.2 steps 1+2): the winnowed-fingerprint pass is the
+    # expensive per-doc work, and it fed FOUR plan branches unpersisted
+    # (df-count agg, keep probe, both aliases of the pair self-join).
+    # Two fixes compose here: the pass itself now runs in Arrow batches
+    # (``engine='arrow'``; the HOF expression tree re-expanded the md5
+    # gram transform per zip_with layer — see _winnow_fps_hof), and one
+    # checkpoint boundary on `fps` makes its one evaluation feed every
+    # branch (checkpoint, not persist: the statistics-less leaf keeps
+    # the corpus-shaped fingerprint table out of broadcast plans, which
+    # is also the only plan that survives at 100 TB).
+    fps = park_persisted(
+        "winnow",
+        (_winnow_fps_arrow if engine == "arrow" else _winnow_fps_hof)(
+            docs, id_col, text_col, k, w
+        ),
+        checkpoint=True,
+    )
     df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    keep = fps.join(
-        df_counts.filter((F.col("df") >= min_df) & (F.col("df") <= max_df)), "fp"
-    ).select("id", "n_fp", "fp")
+    keep = park_persisted(
+        "winnow",
+        fps.join(
+            df_counts.filter((F.col("df") >= min_df) & (F.col("df") <= max_df)), "fp"
+        ).select("id", "n_fp", "fp"),
+        checkpoint=True,
+    )
     a, b = keep.alias("a"), keep.alias("b")
     pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id")))

@@ -279,6 +279,8 @@ def _cleaned_corpus(
     the prefix both pipeline forms share; its output is the natural
     checkpoint boundary (everything after is a narrow chain over the
     surviving rows only)."""
+    from fairy_spark.operators.pool import park_persisted
+
     q1 = gopher_quality_filter(docs, id_col, text_col)
     canonical = (
         q1.withColumn("_h", F.sha2(F.col(text_col), 256))
@@ -286,7 +288,13 @@ def _cleaned_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    q2 = q1.join(canonical, id_col, "left_semi")
+    # r14: materialize the exact-dedup output once — it feeds three
+    # branches of the near-dup stage (signature build, survivor-length
+    # join, final anti-join), each of which re-ran the Gopher tokenize
+    # scan + sha2 agg without this boundary (guide §1.2 step 1).
+    q2 = park_persisted(
+        "pipeline", q1.join(canonical, id_col, "left_semi"), checkpoint=True
+    )
     return near_dup_removed(
         q2,
         id_col,
@@ -305,8 +313,18 @@ def _pack_and_split(
     """Stages 5-6: token packing + deterministic hash split over the
     decontaminated survivors."""
     from fairy_spark.operators.packing import pack_into_bins
+    from fairy_spark.operators.pool import park_persisted
 
-    t = q4.select(id_col, F.size(tokenize(F.col(text_col))).alias("n_tokens"))
+    # r14: park the slim (id, n_tokens) frame — pack_into_bins
+    # evaluates its input three times (bounds agg, shard subtotals,
+    # final windowed plan); without this each pass re-ran the whole
+    # decontamination suffix (guide §2.3 — decide on a lightweight
+    # proxy, never re-derive the heavy lineage per pass).
+    t = park_persisted(
+        "pipeline",
+        q4.select(id_col, F.size(tokenize(F.col(text_col))).alias("n_tokens")),
+        checkpoint=True,
+    )
     packed = pack_into_bins(t, id_col, "n_tokens", bin_tokens=bin_tokens)
     bucket = (
         portable_hash64(F.col(id_col).cast("string"), seed="split") % 100
@@ -352,6 +370,8 @@ def pretrain_corpus(
     declarative form by construction (the same rows cross the
     boundary; asserted in tests/test_pipeline_operator.py and pinned
     against the registered oracle by `pipeline_pretrain_corpus_staged`)."""
+    from fairy_spark.operators.pool import park_persisted
+
     q3 = _cleaned_corpus(
         docs,
         id_col,
@@ -365,6 +385,12 @@ def pretrain_corpus(
     if stage_dir is not None:
         q3.write.mode("overwrite").parquet(stage_dir)
         q3 = docs.sparkSession.read.parquet(stage_dir)
+    else:
+        # r14: declarative form gets the same boundary in the block
+        # manager — decontaminate consumes q3 twice (gram explode +
+        # anti-join) and the packing passes re-derive everything
+        # below otherwise.
+        q3 = park_persisted("pipeline", q3, checkpoint=True)
     q4 = (
         q3
         if probe_docs is None

@@ -19,25 +19,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# One shared pool: a new graph computation evicts the previous one's
-# persisted edge frame (same leak discipline as operators/dedup.py's
-# signature index).
-_PERSISTED: list = []
-
 DEFAULT_HUB_CAP = 4096
 
 
 def persist_edges(df: DataFrame) -> DataFrame:
-    """Persist an edge frame that feeds several join inputs, evicting
-    the previously persisted one."""
-    from pyspark import StorageLevel
+    """Persist an edge frame that feeds several join inputs, parked in
+    the shared bounded pool (operators/pool.py). r14: the old
+    evict-ALL-on-persist list meant a query persisting two frames in
+    sequence (pairs, then the oriented edges derived from them)
+    silently unpersisted the first mid-construction — every branch
+    still referencing it recomputed from scratch, the exact hazard
+    ADVICE r12 flagged for the centroid pool. The bounded pool keeps
+    the most recent frames (cap 4) and evicts only beyond the cap,
+    which is correctness-safe (Spark recomputes unpersisted frames).
 
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist(blocking=False)
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    _PERSISTED.append(df)
-    return df
+    Checkpoint-mode (lineage cut, NO size statistics) is deliberate
+    for edge frames: they are corpus-shaped, and persist-mode's
+    accurate small-at-sf0.1 statistics made Catalyst broadcast the
+    oriented edge list into every wedge join (measured 10 s → 24.5 s
+    on graph_triangles_capped) — a plan that also dies at scale, where
+    the edge list is TBs. The statistics-less leaf keeps the shuffle
+    join plans the hub-capped split is designed around."""
+    from fairy_spark.operators.pool import park_persisted
+
+    return park_persisted("wedges", df, checkpoint=True)
 
 
 def orient_edges(pairs: DataFrame) -> DataFrame:
@@ -89,6 +94,13 @@ def _summary_plain(deg: DataFrame, oriented: DataFrame) -> DataFrame:
 def triangle_summary(pairs: DataFrame) -> DataFrame:
     """(n_nodes, n_edges, n_triangles) — the plain oriented path join;
     wedge cost Sum over middles of indeg*outdeg <= O(m^1.5)."""
+    # r14: the caller's pair extraction (e.g. the lineitem co-purchase
+    # self-join + distinct) fed FIVE plan branches unpersisted — the
+    # two degree unions inside orient_edges' du/dv, the pairs probe
+    # itself, and the summary's node count — so it re-executed ~5x per
+    # query (guide §2.4: remove repeated work outright). One boundary
+    # here makes every downstream branch read the store.
+    pairs = persist_edges(pairs)
     deg = node_degrees(pairs)
     oriented = persist_edges(orient_edges(pairs))
     return _summary_plain(deg, oriented)
@@ -105,6 +117,7 @@ def triangle_summary_capped(pairs: DataFrame, cap: int = DEFAULT_HUB_CAP) -> Dat
     triangle has exactly one middle, routed to exactly one pass, so
     the two counts sum to the exact total (role-swapped candidates
     fail the closing-edge check because the orientation is a DAG)."""
+    pairs = persist_edges(pairs)  # r14: see triangle_summary
     deg = node_degrees(pairs)
     oriented = persist_edges(orient_edges(pairs))
     return _summary_capped(deg, oriented, cap)
@@ -190,6 +203,7 @@ def triangle_summary_auto(
     exact, so the choice changes the PLAN, never the triangle total —
     the registered `graph_triangles_auto` oracle mirrors the wedge
     count, the threshold case, and the count itself."""
+    pairs = persist_edges(pairs)  # r14: see triangle_summary
     deg = node_degrees(pairs)
     oriented = persist_edges(orient_edges(pairs))
     n_wedges = int(wedge_row_count(oriented).collect()[0]["n_wedges"])

@@ -3360,6 +3360,7 @@ def _pipeline_pretrain(
         gopher_quality_filter,
         near_dup_removed,
     )
+    from fairy_spark.operators.pool import park_persisted
 
     d = load_table(spark, sf_dir, "documents")
 
@@ -3372,7 +3373,16 @@ def _pipeline_pretrain(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    q2 = q1.join(canonical, "doc_id", "left_semi")
+    # r14 optimization (guide §1.2 step 1 / §5): materialize the
+    # exact-dedup output ONCE. q2 feeds three branches of stage 3 (the
+    # signature-index build, the survivor-length join, the final
+    # anti-join); each branch re-ran the Gopher tokenize scan + sha2
+    # agg + semi-join without this boundary — measured 94 s → the
+    # staged shape's ~20 s at sf0.1 came almost entirely from this
+    # class of re-evaluation.
+    q2 = park_persisted(
+        "pipeline", q1.join(canonical, "doc_id", "left_semi"), checkpoint=True
+    )
     q3 = near_dup_removed(
         q2, threshold=0.4, num_hashes=num_hashes, band_rows=band_rows
     )
@@ -3381,6 +3391,12 @@ def _pipeline_pretrain(
     if stage_dir is not None:
         q3.write.mode("overwrite").parquet(stage_dir)
         q3 = spark.read.parquet(stage_dir)
+    else:
+        # declarative form: the same boundary, in the block-manager
+        # instead of parquet — stage 4 consumes q3 twice (gram explode
+        # + anti-join) and stage 5's eager prefix-sum passes re-derive
+        # everything below them per action without it.
+        q3 = park_persisted("pipeline", q3, checkpoint=True)
 
     # stage 4: the doc_id%97==0 stand-in is the probe set; the corpus
     # drops the probe rows themselves, then everything sharing a gram
@@ -3388,6 +3404,12 @@ def _pipeline_pretrain(
     q4 = decontaminate(
         q3.filter(F.col("doc_id") % 97 != 0), probe, broadcast=True
     ).select("doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+    # slim (doc_id, n_tokens) boundary: pack_into_bins evaluates its
+    # input three times (bounds agg, per-shard subtotals, final
+    # windowed plan) — park the two-column frame so those passes never
+    # re-run stage 4's gram explode + semi-join (guide §2.3: decide on
+    # lightweight proxies, §8's "move heavy bytes once" in miniature).
+    q4 = park_persisted("pipeline", q4, checkpoint=True)
 
     # stage 5: 512-token greedy packing (sharded two-pass prefix sum)
     packed = pack_into_bins(q4, "doc_id", "n_tokens", bin_tokens=512)
