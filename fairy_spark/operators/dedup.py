@@ -777,55 +777,63 @@ def _winnow_fps_hof(docs, id_col: str, text_col: str, k: int, w: int):
     ).select("id", F.size("fps").alias("n_fp"), F.explode("fps").alias("fp"))
 
 
+def _py_winnow(t, k: int, w: int) -> tuple[int, list]:
+    """Pure-Python winnow selection for one document text — shared by
+    the Arrow builders below. Returns (n_grams, fps). Value-identical
+    to winnow_fingerprints(tokenize(text), k, w) by construction —
+    Python re.split(r'\\s+') + str.lower() matches tokenize() on the
+    corpus charset, ' '.join matches concat_ws, and
+    int.from_bytes(md5('win:'+g).digest()) >> 68 IS
+    conv(substr(md5(concat('win',':',g)),1,15),16,10) (top 60 bits of
+    the digest; fits signed BIGINT) — gated by equality tests against
+    the HOF form (tests/test_winnow_engines.py). Selection mirrors
+    winnow_fingerprints exactly: per-window minima for >= w gram
+    hashes (first-occurrence distinct), single global min for
+    0 < |grams| < w, empty otherwise."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", t.lower()) if t else ([""] if t == "" else [])
+    hs = [
+        int.from_bytes(
+            hashlib.md5(
+                b"win:" + " ".join(toks[p : p + k]).encode("utf-8")
+            ).digest(),
+            "big",
+        )
+        >> 68
+        for p in range(len(toks) - k + 1)
+    ]
+    if len(hs) >= w:
+        seen: set = set()
+        fps: list = []
+        for i in range(len(hs) - w + 1):
+            m = min(hs[i : i + w])
+            if m not in seen:
+                seen.add(m)
+                fps.append(m)
+    elif hs:
+        fps = [min(hs)]
+    else:
+        fps = []
+    return len(hs), fps
+
+
 def _winnow_fps_arrow(docs, id_col: str, text_col: str, k: int, w: int):
     """(id, n_fp, fp) exploded winnow fingerprints via mapInPandas —
     the shipped build (guide §4.2: batch the heavy per-doc pass into
     native-speed Python instead of a re-expanding HOF tree; measured
-    ~25-35 s → sub-second for the fingerprint pass at sf0.1).
-    Value-identical to _winnow_fps_hof by construction — Python
-    re.split(r'\\s+') + str.lower() matches tokenize() on the corpus
-    charset, ' '.join matches concat_ws, and
-    int.from_bytes(md5('win:'+g).digest()) >> 68 IS
-    conv(substr(md5(concat('win',':',g)),1,15),16,10) (top 60 bits of
-    the digest; fits signed BIGINT) — and gated by an equality test
-    against the HOF form. Selection mirrors winnow_fingerprints
-    exactly: per-window minima for >= w gram hashes (first-occurrence
-    distinct), single global min for 0 < |grams| < w, empty otherwise."""
+    ~25-35 s → sub-second for the fingerprint pass at sf0.1). Identity
+    argument and gate: _py_winnow."""
     import pandas as pd
 
     def gen(batches):
-        import hashlib
-        import re
-
-        ws = re.compile(r"\s+")
         for pdf in batches:
             ids: list = []
             nfps: list = []
             fs: list = []
             for rid, t in zip(pdf["id"], pdf["_text"]):
-                toks = ws.split(t.lower()) if t else ([""] if t == "" else [])
-                hs = [
-                    int.from_bytes(
-                        hashlib.md5(
-                            b"win:" + " ".join(toks[p : p + k]).encode("utf-8")
-                        ).digest(),
-                        "big",
-                    )
-                    >> 68
-                    for p in range(len(toks) - k + 1)
-                ]
-                if len(hs) >= w:
-                    seen: set = set()
-                    fps: list = []
-                    for i in range(len(hs) - w + 1):
-                        m = min(hs[i : i + w])
-                        if m not in seen:
-                            seen.add(m)
-                            fps.append(m)
-                elif hs:
-                    fps = [min(hs)]
-                else:
-                    fps = []
+                _, fps = _py_winnow(t, k, w)
                 n = len(fps)
                 ids.extend([rid] * n)
                 nfps.extend([n] * n)
@@ -840,6 +848,58 @@ def _winnow_fps_arrow(docs, id_col: str, text_col: str, k: int, w: int):
         F.col(id_col).alias("id"), F.col(text_col).alias("_text")
     ).repartition(par)
     return src.mapInPandas(gen, schema="id long, n_fp int, fp bigint")
+
+
+def _winnow_docs_arrow(docs, id_col: str, text_col: str, k: int, w: int):
+    """Per-doc winnow summary via mapInPandas: (id, n_grams, n_fp,
+    fp_checksum, fps) — one row per INPUT document (zero-fingerprint
+    docs included, unlike the exploded builder). fp_checksum is the
+    order-pinned fold over the sorted fingerprint set:
+    fold(a, f -> (a*131 + f % 1e9) % 1000000007, 0) — exact integer
+    arithmetic, so it matches the JVM aggregate()/oracle list_reduce
+    bit-for-bit. Selection + hash identity: _py_winnow (gated in
+    tests/test_winnow_engines.py)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            ngs: list = []
+            nfps: list = []
+            cks: list = []
+            fss: list = []
+            for rid, t in zip(pdf["id"], pdf["_text"]):
+                n_grams, fps = _py_winnow(t, k, w)
+                c = 0
+                for f in sorted(fps):
+                    c = (c * 131 + f % 1000000000) % 1000000007
+                ids.append(rid)
+                ngs.append(n_grams)
+                nfps.append(len(fps))
+                cks.append(c)
+                fss.append(fps)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_grams": ngs,
+                    "n_fp": nfps,
+                    "fp_checksum": cks,
+                    "fps": fss,
+                }
+            )
+
+    from fairy_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).repartition(par)
+    return src.mapInPandas(
+        gen,
+        schema="id long, n_grams int, n_fp int, fp_checksum bigint,"
+        " fps array<bigint>",
+    )
 
 
 def winnow_best_match(

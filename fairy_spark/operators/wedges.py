@@ -45,10 +45,26 @@ def persist_edges(df: DataFrame) -> DataFrame:
     return park_persisted("wedges", df, checkpoint=True)
 
 
-def orient_edges(pairs: DataFrame) -> DataFrame:
+def _park_degrees(df: DataFrame) -> DataFrame:
+    """Park a NODE-sized frame (degrees, hub lists) in persist-mode:
+    unlike the corpus-shaped edge frames above, these keep accurate
+    size statistics so Catalyst's broadcast-vs-shuffle decision stays
+    data-driven — checkpointing a degree frame demoted its joins
+    BHJ → SMJ and measurably regressed graph_clustering_coeff (r14);
+    at 100 TB the statistics exceed the broadcast threshold and the
+    planner degrades gracefully to the shuffle join on its own."""
+    from fairy_spark.operators.pool import park_persisted
+
+    return park_persisted("wedges", df)
+
+
+def orient_edges(pairs: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """(u, v) undirected distinct pairs -> (src, dst) degree-oriented
-    DAG edges (src is the (degree, id)-smaller endpoint)."""
-    deg = node_degrees(pairs)
+    DAG edges (src is the (degree, id)-smaller endpoint). Pass a
+    pre-materialized ``deg`` to share one degree shuffle across du/dv
+    and the caller's own degree consumers (r14)."""
+    if deg is None:
+        deg = node_degrees(pairs)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     u_first = (F.col("du") < F.col("dv")) | (
@@ -101,8 +117,8 @@ def triangle_summary(pairs: DataFrame) -> DataFrame:
     # query (guide §2.4: remove repeated work outright). One boundary
     # here makes every downstream branch read the store.
     pairs = persist_edges(pairs)
-    deg = node_degrees(pairs)
-    oriented = persist_edges(orient_edges(pairs))
+    deg = _park_degrees(node_degrees(pairs))
+    oriented = persist_edges(orient_edges(pairs, deg))
     return _summary_plain(deg, oriented)
 
 
@@ -118,15 +134,18 @@ def triangle_summary_capped(pairs: DataFrame, cap: int = DEFAULT_HUB_CAP) -> Dat
     the two counts sum to the exact total (role-swapped candidates
     fail the closing-edge check because the orientation is a DAG)."""
     pairs = persist_edges(pairs)  # r14: see triangle_summary
-    deg = node_degrees(pairs)
-    oriented = persist_edges(orient_edges(pairs))
+    deg = _park_degrees(node_degrees(pairs))
+    oriented = persist_edges(orient_edges(pairs, deg))
     return _summary_capped(deg, oriented, cap)
 
 
 def _summary_capped(deg: DataFrame, oriented: DataFrame, cap: int) -> DataFrame:
     outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
-    hubs = (
+    # r14: hubs feeds the anti/semi routing AND the n_hubs count —
+    # parked persist-mode so the wedge-product rollup runs once and
+    # the O(√m)-bounded list keeps statistics for the join decision.
+    hubs = _park_degrees(
         deg.join(outd.withColumnRenamed("src", "node"), "node", "left")
         .join(ind.withColumnRenamed("dst", "node"), "node", "left")
         .filter(
@@ -204,8 +223,8 @@ def triangle_summary_auto(
     the registered `graph_triangles_auto` oracle mirrors the wedge
     count, the threshold case, and the count itself."""
     pairs = persist_edges(pairs)  # r14: see triangle_summary
-    deg = node_degrees(pairs)
-    oriented = persist_edges(orient_edges(pairs))
+    deg = _park_degrees(node_degrees(pairs))
+    oriented = persist_edges(orient_edges(pairs, deg))
     n_wedges = int(wedge_row_count(oriented).collect()[0]["n_wedges"])
     plan = "capped" if n_wedges > wedge_threshold else "plain"
     if plan == "capped":

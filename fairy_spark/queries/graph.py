@@ -30,6 +30,7 @@ _ITERS = 3
 # The pool lives in operators/wedges.py (extracted in r9 so the
 # triangle algorithms run on arbitrary edge lists); this module keeps
 # the private alias for its other edge-frame consumers.
+from fairy_spark.operators.pool import park_persisted
 from fairy_spark.operators.wedges import persist_edges as _persist_edges
 
 
@@ -621,10 +622,16 @@ _COPURCHASE_PAIRS_SQL = """
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edges (u < v), the graph family's shared
     edge extraction (see graph_triangles): order-local self-join —
-    corpus-linear for bounded basket size — then pair-distinct."""
+    corpus-linear for bounded basket size — then pair-distinct.
+
+    r14: parked at the source (guide §1.2 step 1) — every caller fans
+    the pair set into 3+ plan branches (degree union, orientation
+    join, per-node rollups), and each branch re-ran the lineitem
+    self-join + distinct unpersisted (graph_clustering_capped's before
+    plan held 32 parquet scans)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    return (
+    return _persist_edges(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -684,11 +691,20 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile (community density) next to graph_triangles' global
     count."""
     pairs = _copurchase_pairs(spark, sf_dir)
-    deg = (
+    # r14: deg feeds du, dv AND the final per-node join — parked so
+    # the degree shuffle runs once, not three times. PERSIST-mode
+    # (park_persisted checkpoint=False), not checkpoint: the node-
+    # sized frame keeps accurate size statistics, so Catalyst's
+    # broadcast-vs-shuffle decision stays data-driven (checkpointing
+    # it demoted the degree joins BHJ → SMJ and REGRESSED the query
+    # 10.6 → 13.0 s; at 100 TB the same statistics push it past the
+    # broadcast threshold and the plan degrades gracefully to SMJ).
+    deg = park_persisted(
+        "wedges",
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("d")),
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -797,11 +813,16 @@ def graph_clustering_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two enumerations IS the exactness check, and the proven
     uncapped row pins the same output independently."""
     pairs = _copurchase_pairs(spark, sf_dir)
-    deg = (
+    # r14: deg feeds du, dv, the hub filter AND the final per-node
+    # join — parked so the degree shuffle runs once. Persist-mode
+    # (statistics preserved) for the same reason as
+    # graph_clustering_coeff's deg park.
+    deg = park_persisted(
+        "wedges",
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("d")),
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -819,7 +840,13 @@ def graph_clustering_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = _persist_edges(oriented)
     outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
-    hubs = (
+    # r14: hubs feeds the low/hub routing (anti + semi) and the hub
+    # flag — parked so the wedge-product rollup runs once, not three
+    # times. Persist-mode: the hub list is O(√m)-bounded and its
+    # statistics should keep driving the anti/semi joins' broadcast
+    # decision.
+    hubs = park_persisted(
+        "wedges",
         deg.join(outd.withColumnRenamed("src", "node"), "node", "left")
         .join(ind.withColumnRenamed("dst", "node"), "node", "left")
         .filter(

@@ -305,32 +305,30 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     in at least one OTHER document (n_shared_fp — the corpus overlap
     signal that feeds crawl dedup).
 
-    100 TB shape: selection is per-row HOFs (one md5 per gram, zero
+    100 TB shape: selection is per-row work (one md5 per gram, zero
     shuffle, ~2/(w+1) of grams kept); the corpus leg is one hash agg
     on the fingerprint key + a key join back — cost proportional to
     selected fingerprints, never doc pairs. Reference analog: fairy
     stores content under digest keys (common/src/kv_store/mod.rs
     short_hash); winnowing is that digest discipline applied to
-    passages instead of whole blobs."""
-    from fairy_spark.operators.text import winnow_fingerprints
+    passages instead of whole blobs.
+
+    r14 (guide §4.2 + §1.2 step 1): the per-doc selection runs in
+    Arrow batches (_winnow_docs_arrow — the HOF expression tree
+    re-inlined the md5 gram transform per zip_with layer and fell back
+    to interpreted eval; noop-sink 43 s → ~2 s at sf0.1), and the
+    per-doc frame is parked once (checkpoint) because it feeds THREE
+    plan branches: the explode leg (twice — fp counts + the join back)
+    and the final per-doc projection. Values byte-identical: the
+    builder's identity argument is _py_winnow's docstring, pinned by
+    tests/test_winnow_engines.py and this query's unchanged oracle."""
+    from fairy_spark.operators.dedup import _winnow_docs_arrow
+    from fairy_spark.operators.pool import park_persisted
 
     d = load_table(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id",
-        F.size(word_ngrams(tokenize(F.col("text")), 4)).alias("n_grams"),
-        winnow_fingerprints(tokenize(F.col("text")), k=4, w=4).alias("fps"),
-    )
-    base = s.select(
-        "doc_id",
-        F.col("n_grams").cast("int").alias("n_grams"),
-        F.size("fps").cast("int").alias("n_fp"),
-        F.aggregate(
-            F.array_sort("fps"),
-            F.lit(0).cast("bigint"),
-            lambda a, x: F.pmod(a * 131 + F.pmod(x, F.lit(1000000000)), F.lit(1000000007)),
-        ).alias("fp_checksum"),
-        F.col("fps"),
-    )
+    base = park_persisted(
+        "winnow", _winnow_docs_arrow(d, "doc_id", "text", 4, 4), checkpoint=True
+    ).withColumnRenamed("id", "doc_id")
     e = base.select("doc_id", F.explode("fps").alias("fp"))
     counts = e.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
     shared = (
@@ -5110,14 +5108,30 @@ def text_rouge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-bounded and BROADCASTS — scoring any corpus against a
     fixed reference is one equi join + one per-doc hash agg,
     corpus-linear (the decontamination probe's plan, repurposed for
-    scoring). Ratios quantize from exact bigint counts."""
+    scoring). Ratios quantize from exact bigint counts.
+
+    r14 (guide §1.2 step 2): the gram builder is a zip_with over the
+    token array instead of an index-lambda transform. The index form
+    referenced `t` inside its lambdas, and when the optimizer
+    collapsed the projections and pushed the explode's size/notnull
+    predicate below them, every lambda element access re-evaluated the
+    FULL split() — O(len²) per doc per evaluation, measured 25 s at
+    sf0.1 for a 201-doc query. zip_with's array arguments evaluate
+    once per row (lambdas see only their bound elements), so every
+    collapsed copy of the expression stays linear: same query, noop
+    ~25 s → sub-second. Values identical: zip of t with its 1-shifted
+    self enumerates exactly the consecutive pairs, the empty-token
+    guard maps excluded pairs to null (filtered before the distinct),
+    and first-occurrence order is preserved — same oracle."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), r"\s+")
-    grams = F.expr(
-        "array_distinct(transform(filter(sequence(1, size(t) - 1),"
-        " i -> t[i - 1] != '' AND t[i] != ''),"
-        " i -> concat(t[i - 1], ' ', t[i])))"
+    t = F.col("t")
+    z = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, y: F.when((x != "") & (y != ""), F.concat(x, F.lit(" "), y)),
     )
+    grams = F.array_distinct(F.filter(z, lambda e: e.isNotNull()))
     bg = d.select("doc_id", toks.alias("t")).select("doc_id", grams.alias("grams"))
     ref = (
         bg.filter(F.col("doc_id") == 0)
@@ -5502,9 +5516,24 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline); at open-web scale the prefix join prunes as
     published, and the minhash prefilter (dedup_minhash_lsh) remains
     the recall-trading fallback for adversarial vocabularies."""
+    from fairy_spark.operators.pool import park_persisted
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    t = docs.select(
-        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("toks")
+    # r14 (guide §1.2 step 1): the tokenized frame feeds THREE plan
+    # branches (the df-ordering explode and both verify sides ta/tb),
+    # and the prefix-token frame feeds both aliases of the candidate
+    # self-join — each re-ran tokenize + the df-ordering shuffle
+    # unpersisted (noop-sink 10.1 s at sf0.1, 24 parquet scans in the
+    # plan). One checkpoint boundary per frame; checkpoint (not
+    # persist) keeps the corpus-shaped token frames out of broadcast
+    # plans — the pattern's 100 TB shape — while the scan-count drops
+    # to the one eager pass each.
+    t = park_persisted(
+        "ppjoin",
+        docs.select(
+            "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("toks")
+        ),
+        checkpoint=True,
     )
     tok = t.select("doc_id", F.explode("toks").alias("token"))
     df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -5523,7 +5552,11 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = ordered.select(
         "doc_id", n.alias("n"), F.slice("ord", F.lit(1), p).alias("prefix")
     )
-    ptok = pre.select("doc_id", "n", F.explode("prefix").alias("token"))
+    ptok = park_persisted(
+        "ppjoin",
+        pre.select("doc_id", "n", F.explode("prefix").alias("token")),
+        checkpoint=True,
+    )
     a, b = ptok.alias("a"), ptok.alias("b")
     cand = (
         a.join(

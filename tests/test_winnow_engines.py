@@ -61,6 +61,52 @@ def test_winnow_builders_equal_on_edges_and_geometries(spark):
         assert a == h, f"winnow engines diverge at k={k} w={w}"
 
 
+def test_winnow_docs_arrow_matches_hof_construction(spark):
+    """_winnow_docs_arrow (the per-doc builder text_winnow_fingerprint
+    ships) must reproduce the original JVM expression's per-doc rows —
+    n_grams, n_fp, the sorted-fold checksum, and the fps set — on
+    testdata plus the same edge rows as the exploded gate."""
+    from pyspark.sql import functions as F
+
+    from fairy_spark.operators.dedup import _winnow_docs_arrow
+    from fairy_spark.operators.text import tokenize, winnow_fingerprints, word_ngrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").unionByName(
+        spark.createDataFrame(
+            [
+                Row(doc_id=9001, text="one two", lang="en", source="s", n_chars=7),
+                Row(doc_id=9002, text="", lang="en", source="s", n_chars=0),
+                Row(doc_id=9004, text="a b c d", lang="en", source="s", n_chars=7),
+                Row(doc_id=9005, text=" ".join(["x y"] * 16), lang="en", source="s", n_chars=63),
+            ]
+        )
+    )
+    hof = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(word_ngrams(tokenize(F.col("text")), 4)).cast("int").alias("n_grams"),
+        winnow_fingerprints(tokenize(F.col("text")), k=4, w=4).alias("fps"),
+    ).select(
+        "id",
+        "n_grams",
+        F.size("fps").cast("int").alias("n_fp"),
+        F.aggregate(
+            F.array_sort("fps"),
+            F.lit(0).cast("bigint"),
+            lambda a, x: F.pmod(
+                a * 131 + F.pmod(x, F.lit(1000000000)), F.lit(1000000007)
+            ),
+        ).alias("fp_checksum"),
+        F.array_sort("fps").alias("fps_sorted"),
+    )
+    arrow = _winnow_docs_arrow(docs, "doc_id", "text", 4, 4).select(
+        "id", "n_grams", "n_fp", "fp_checksum", F.array_sort("fps").alias("fps_sorted")
+    )
+    a = sorted(map(tuple, arrow.collect()))
+    h = sorted(map(tuple, hof.collect()))
+    assert len(a) == docs.count()  # zero-fp docs keep their row
+    assert a == h
+
+
 def test_winnow_best_match_engine_param_is_value_identical(spark):
     from fairy_spark.operators.dedup import winnow_best_match
 
