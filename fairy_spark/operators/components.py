@@ -45,9 +45,22 @@ def connected_components(
     # each round to a LogicalRDD leaf: same one-shuffle rounds, flat
     # plans, no CacheManager entry. Iteration count and values are
     # unchanged — the checkpoint is a boundary, not a semantic.
+    # r14 (guide §1.2 step 1): symmetrize with ONE evaluation of
+    # `pairs` — the union's two selects each re-ran the whole pair
+    # build (for the dedup queries that is the LSH band join + exact
+    # Jaccard verify, the query's dominant cost). explode over the
+    # two orientations emits the identical row multiset from a single
+    # pass; distinct and everything downstream are unchanged.
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -1388,12 +1388,28 @@ def dedup_lines_near(
     Lines with fewer than shingle_n tokens have an empty shingle set
     and are exempt from the FUZZY stage (no signature — they still
     exact-dedup): sub-shingle fragments share almost all their n-grams
-    with anything, so near-matching them is noise, not boilerplate."""
-    lines = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
-    ).withColumn("_dig", F.md5(F.col("_line")))
-    distinct = (
+    with anything, so near-matching them is noise, not boilerplate.
+
+    r14 (guide §1.2 step 1): three checkpoint boundaries — `lines`
+    (feeds the digest agg AND the keep join: the corpus explode ran
+    twice), `distinct` (feeds the signature build and the keep join:
+    the 16-byte-digest shuffle ran three times), and `sig` (both
+    aliases of the banded self-join re-ran the per-distinct-line
+    shingle+minhash pass). Checkpoint-mode throughout: all three are
+    corpus-shaped, and a statistics-less leaf keeps them out of
+    broadcast plans — the only plan that survives at 100 TB."""
+    from fairy_spark.operators.pool import park_persisted
+
+    lines = park_persisted(
+        "linesnear",
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+        ).withColumn("_dig", F.md5(F.col("_line"))),
+        checkpoint=True,
+    )
+    distinct = park_persisted(
+        "linesnear",
         lines.filter(F.length("_line") >= min_line_chars)
         .groupBy("_dig")
         .agg(
@@ -1402,9 +1418,11 @@ def dedup_lines_near(
             # min() picks it deterministically and the partial (map-
             # side) agg collapses copies before the string ships
             F.min("_line").alias("_rep"),
-        )
+        ),
+        checkpoint=True,
     )
-    sig = (
+    sig = park_persisted(
+        "linesnear",
         distinct.select(
             "_dig",
             "_first",
@@ -1412,7 +1430,8 @@ def dedup_lines_near(
         )
         .withColumn("_nsh", F.size("_sh"))
         .filter(F.col("_nsh") >= 1)
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes)),
+        checkpoint=True,
     )
     bands = sig.select(
         "_dig", "_first", "_sh", "_nsh", F.posexplode("_sig").alias("_band", "_bv")
@@ -1550,9 +1569,21 @@ def dedup_lines_near_append(
     base_index must be provided."""
     if (base_docs is None) == (base_index is None):
         raise ValueError("pass exactly one of base_docs / base_index")
+    from fairy_spark.operators.pool import park_persisted
+
     if base_index is None:
-        base_index = line_near_index(
-            base_docs, id_col, text_col, shingle_n, num_hashes, min_line_chars
+        # r14 (guide §1.2 step 1): the derived index feeds base_sigs
+        # AND base_digs — without a boundary the whole base explode +
+        # digest agg + shingle/sig pass ran twice. Only the
+        # derived-from-docs path parks: a caller-passed base_index
+        # (the streaming leg's parquet-backed durable index) is
+        # already materialized.
+        base_index = park_persisted(
+            "linesnear",
+            line_near_index(
+                base_docs, id_col, text_col, shingle_n, num_hashes, min_line_chars
+            ),
+            checkpoint=True,
         )
     base_sigs = base_index.filter(F.col("_nsh") >= 1).select(
         "_dig", "_first", "_sh", "_nsh", "_sig"
@@ -1561,10 +1592,20 @@ def dedup_lines_near_append(
         base_index.select("_dig").distinct().withColumn("_in_base", F.lit(True))
     )
 
-    delta_lines = delta_docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
-    ).withColumn("_dig", F.md5(F.col("_line")))
+    # r14: |delta|-bounded boundaries — delta_lines feeds the digest
+    # agg and the keep join, delta_sigs both sides of the banded
+    # probe; each re-ran the delta explode/shingle pass otherwise.
+    # Per-streaming-batch cost is one localCheckpoint of a
+    # |delta|-bound frame each, in exchange for halving the per-batch
+    # recompute.
+    delta_lines = park_persisted(
+        "linesnear",
+        delta_docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+        ).withColumn("_dig", F.md5(F.col("_line"))),
+        checkpoint=True,
+    )
     delta_firsts = (
         delta_lines.filter(F.length("_line") >= min_line_chars)
         .groupBy("_dig")
@@ -1576,13 +1617,15 @@ def dedup_lines_near_append(
     # fuzzy work only for digests the base has never seen — an exact
     # base repeat already drops below, cheaper than any signature
     delta_new = delta_firsts.join(base_digs, "_dig", "left_anti")
-    delta_sigs = (
+    delta_sigs = park_persisted(
+        "linesnear",
         delta_new.select(
             "_dig", "_first", shingle_set(F.col("_rep"), shingle_n).alias("_sh")
         )
         .withColumn("_nsh", F.size("_sh"))
         .filter(F.col("_nsh") >= 1)
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes)),
+        checkpoint=True,
     )
 
     def banded(df: DataFrame) -> DataFrame:

@@ -5850,24 +5850,43 @@ def dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays banded/blocked, tests/test_scale_growth.py). Kin to
     dedup_minhash_est (per-pair estimator error) but scored at the
     DECISION level: did blocking propose the pair at all."""
+    from fairy_spark.operators.pool import park_persisted
     from fairy_spark.operators.text import minhash_signature
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    s = docs.select("doc_id", shingle_set(F.col("text")).alias("sh"))
+    # r14 (guide §1.2 step 1 + §2.5): the shingle frame feeds FOUR
+    # branches (both all-pairs sides, the signature build fanning into
+    # both band sides) — each re-ran the shingle HOF unpersisted
+    # (before-plan: 16 parquet scans, noop 17.5 s median with 13–49 s
+    # spread). One persist-mode park each for `s` (500 rows;
+    # statistics keep the broadcast plans), `exact` and `cand` (each
+    # feeds its own count AND the tp semi-join, so the 125k-pair
+    # intersect/union ground truth runs once, not twice). The
+    # repartition before the park matters: the 500-doc slice arrives
+    # as ONE scan partition, and the parked frame keeps that layout —
+    # leaving the all-pairs ground-truth stage (125k heavy
+    # intersect/union rows) on a single core.
+    par = spark.sparkContext.defaultParallelism
+    s = park_persisted(
+        "evalmh",
+        docs.select("doc_id", shingle_set(F.col("text")).alias("sh")).repartition(par),
+    )
     sig = s.withColumn("sig", minhash_signature(F.col("sh"), 8))
     a, b = s.alias("a"), s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     uni = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
-    exact = (
+    exact = park_persisted(
+        "evalmh",
         a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
         .filter((F.lit(5) * inter >= F.lit(2) * uni) & (uni > 0))
-        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")),
     )
     bands = sig.select(
         "doc_id", F.posexplode("sig").alias("band", "val")
     )
     ba, bb = bands.alias("ba"), bands.alias("bb")
-    cand = (
+    cand = park_persisted(
+        "evalmh",
         ba.join(
             bb,
             (F.col("ba.band") == F.col("bb.band"))
@@ -5875,7 +5894,7 @@ def dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ba.doc_id") < F.col("bb.doc_id")),
         )
         .select(F.col("ba.doc_id").alias("ida"), F.col("bb.doc_id").alias("idb"))
-        .distinct()
+        .distinct(),
     )
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
