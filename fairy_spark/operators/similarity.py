@@ -1010,6 +1010,20 @@ def semdedup_summary(
         .filter(F.col("_cr") == 1)
         .select(F.col("_cid").alias("cluster"), "_id", "_q", n2.alias("_n2"))
     )
+    # r14 (guide §1.2 step 1): `assigned` feeds THREE plan branches —
+    # both sides of the within-cluster pair join and the per-cluster
+    # size agg — and its own construction is the n_clusters-way
+    # broadcast explode + integer L2 + per-id window, so unmaterialized
+    # it re-ran 3×. Persist-mode park (measured: 2.9 s vs 5.0 s
+    # checkpointed vs 3.5 s unparked at sf0.1): the frame's plan is
+    # small (one scan + one window), and accurate statistics keep the
+    # broadcast-vs-shuffle decision for the pair join data-driven —
+    # at 100 TB the statistics exceed the threshold and the planner
+    # degrades to the shuffle join on its own (the _park_degrees
+    # argument), so the local broadcast is not a scale trap.
+    from fairy_spark.operators.pool import park_persisted
+
+    assigned = park_persisted("semdedup", assigned)
     a = assigned.select(
         "cluster",
         F.col("_id").alias("ia"),

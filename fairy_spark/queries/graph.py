@@ -1007,7 +1007,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count per (node,label), then arg-max with min tiebreak) — the
     Pregel message shape with bounded rounds; community summary
     (size + min member) keeps the output stable and inspection-
-    friendly. Oracle: identical rounds unrolled as CTEs."""
+    friendly. Oracle: identical rounds unrolled as CTEs.
+
+    r14: the arg-max is `min_by(label, struct(-cnt, label))` — one
+    hash agg — instead of rank-window + filter + min-agg: identical
+    selection (minimal (-cnt, label) ⟺ max count, ties to smallest
+    label; the struct is unique per row since (node,label) is
+    distinct after the count agg), but it drops the per-round
+    sort-for-window and the second agg pass (guide §1.2 step 2).
+    Each round's node-sized label frame is localCheckpoint'ed so
+    round r+1 plans against a leaf instead of re-analyzing the whole
+    prefix (the components.py per-round pattern); values verified
+    identical to the window form on testdata before the switch."""
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
@@ -1024,13 +1035,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("node").orderBy(F.desc("cnt"))
-        labels = (
-            counts.withColumn("r", F.rank().over(w))
-            .filter(F.col("r") == 1)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        labels = counts.groupBy("node").agg(
+            F.expr("min_by(label, struct(-cnt, label))").alias("label")
         )
+        labels = labels.localCheckpoint(eager=True)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -1087,6 +1095,40 @@ def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """
 
 
+def _kcore_peel(
+    edges: DataFrame, k: int, rounds: int, early_exit: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """The bounded k-core peel loop over a materialized (u, v) edge
+    frame; returns (keep, core_edges) after at most ``rounds`` rounds.
+    ``early_exit=True`` stops when a round removes no edge — bit-equal
+    to the full unroll by monotonicity (see graph_kcore's docstring);
+    the ``False`` leg exists so tests can pin that equivalence on
+    graphs that genuinely peel for several rounds."""
+    cur = edges
+    keep = None
+    prev_edges = edges.count() if early_exit else -1
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        cur = cur.join(
+            keep.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        cur = cur.localCheckpoint(eager=True)
+        if early_exit:
+            n_edges = cur.count()
+            if n_edges == prev_edges:
+                # fixpoint: no edge removed ⟹ identical degrees ⟹
+                # every remaining round is the identity map
+                break
+            prev_edges = n_edges
+    return keep, cur
+
+
 @register("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (Seidman 1983; k=3) of the part
@@ -1110,9 +1152,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache substitution happens after analysis walks the full tree. On
     a multi-executor cluster the same loop would use a reliable
     `checkpoint()` (HDFS dir) since localCheckpoint blocks are
-    unreplicated executor-local. The peel would run to fixpoint with a
-    convergence check per round (count unchanged → stop); the fixed R
-    keeps the oracle an unrolled CTE chain instead."""
+    unreplicated executor-local.
+
+    r14 (guide §1.2 step 1 — don't compute what you throw away): the
+    loop EARLY-EXITS when a round removes no edge. Peeling is
+    monotone: if the semi-filters drop zero rows, the edge set —
+    hence every degree, hence `keep`, hence every remaining round —
+    is identical, so rounds i+1..R are the identity map and the
+    result is bit-equal to the full R-round unroll (the oracle still
+    runs all R rounds; it converges to the same fixpoint by the same
+    argument). The check itself is a count on the round's
+    just-materialized checkpoint leaf — O(|E_i|) with no recompute.
+    On the co-purchase graph the min degree is already ≥ k, so round
+    0 is the fixpoint and 5 of 6 rounds (each a degree agg, two
+    semi-joins and an eager materialization) vanish — measured
+    20.0 s → ~7 s at sf0.1."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     edges = (
@@ -1130,20 +1184,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("node")))
         .agg(F.countDistinct("node").alias("n_nodes"))
     )
-    cur = edges
-    keep = None
-    for _ in range(_KCORE_ROUNDS):
-        deg = (
-            cur.select(F.col("u").alias("node"))
-            .unionAll(cur.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
-        cur = cur.join(
-            keep.withColumnRenamed("node", "u"), "u", "left_semi"
-        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-        cur = cur.localCheckpoint(eager=True)
+    keep, cur = _kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
     core_stats = keep.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_core"),
         F.coalesce(F.sum("node"), F.lit(0)).cast("bigint").alias("core_checksum"),
@@ -1216,7 +1257,25 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     one edge-table equi-join + map-side-combinable SUM — corpus-linear
     — and the 1-row max frame rides a broadcast crossJoin. The edge
     list is built once and persisted (it feeds all 2R half-rounds);
-    top-10 per side comes from TakeOrdered, not a global window."""
+    top-10 per side comes from TakeOrdered, not a global window.
+
+    r14 (guide §1.2 step 1): each half-round's raw score frame
+    `ar`/`hr` feeds TWO consumers — its own max (the normalizer) and
+    the normalized projection the next half-round joins on — so
+    unmaterialized, every reference re-ran the edge join and the plan
+    DOUBLED per half-round (measured: 268 Exchange nodes after 2
+    rounds, 42 s cold single-rep at sf0.1, dominated by analysis/
+    planning of the doubled tree). Each half-round's score frame is
+    localCheckpoint'ed (eager): every half-round now plans against a
+    flat LogicalRDD leaf and executes its edge join exactly once.
+    Checkpoint-mode, not persist-mode, deliberately — a persisted
+    score frame keeps its full lineage in the cached plan, so
+    analysis still walks (and CacheManager still canonicalizes) the
+    doubled tree each round: measured 1,190 Exchange nodes in the
+    persist-mode plan vs 4 checkpointed, 6.5 s vs 4.5 s warm at
+    sf0.1. The warm wall is within noise of the unmaterialized form
+    (3.6–4.5 s); the wins are the cold planning cost and the removed
+    edge-join recompute, both of which grow with corpus size."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = (
@@ -1228,12 +1287,22 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = e.select("c").distinct().withColumn("h", F.lit(1000000).cast("bigint"))
     a = None
     for _ in range(_HITS_ROUNDS):
-        ar = e.join(h, "c").groupBy("p").agg(F.sum("h").alias("a"))
+        ar = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=True)
+        )
         amax = ar.agg(F.max("a").alias("mx"))
         a = ar.crossJoin(F.broadcast(amax)).select(
             "p", F.expr("(a * 1000000) DIV mx").alias("a")
         )
-        hr = e.join(a, "p").groupBy("c").agg(F.sum("a").alias("h"))
+        hr = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=True)
+        )
         hmax = hr.agg(F.max("h").alias("mx"))
         h = hr.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr("(h * 1000000) DIV mx").alias("h")
