@@ -720,6 +720,18 @@ def simhash64_pairs(
         )
     mask = (1 << band_bits) - 1
     sig = simhash64(docs, id_col=id_col, text_col=text_col)
+    # r14 (guide §1.2 step 1): `sig` — the corpus tokenize-explode +
+    # 64-accumulator hash agg — fed BOTH self-join sides
+    # unmaterialized, so the before-plan computed the whole signature
+    # subtree twice (and broadcast one un-materialized O(corpus)
+    # subtree wholesale). Checkpoint-mode park: ONE evaluation; the
+    # LogicalRDD leaf carries the true materialized size, so the
+    # banded join stays statistics-driven — the 8×|docs|-row frame
+    # broadcasts while it genuinely fits and demotes to the shuffle
+    # equi-join at scale (measured 6.8 s → 3.7 s at sf0.1).
+    from fairy_spark.operators.pool import park_persisted
+
+    sig = park_persisted("simhash", sig, checkpoint=True)
     bands = F.array(
         *[
             F.struct(
@@ -1021,6 +1033,15 @@ def hamming_pairs(
         )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
+    # r14 (guide §1.2 step 1): the caller's fingerprint frame feeds
+    # BOTH self-join sides — for the multimodal rows that frame is a
+    # mapInPandas decode+hash pass, so unmaterialized it crossed the
+    # Python boundary twice. One checkpoint-mode park (same argument
+    # as simhash64_pairs: single evaluation, materialized-size
+    # statistics keep the banded-join strategy data-driven).
+    from fairy_spark.operators.pool import park_persisted
+
+    sig = park_persisted("hamming_pairs", sig, checkpoint=True)
     bands = F.array(
         *[
             F.struct(

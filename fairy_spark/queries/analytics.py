@@ -1252,6 +1252,16 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_units",
         )
     )
+    # r14 (guide §1.2 step 1): each sharded-rank pass evaluates its
+    # input three times (range-bounds agg, per-shard subtotal collect,
+    # final plan), and the three passes chain — unparked, the corpus
+    # purchase agg re-ran ~9× (4 scans in the final plan + 6 eager
+    # collects). One persist-mode park of the user-sized RFM frame
+    # (small plan, accurate stats) makes every downstream pass read
+    # the materialized frame instead.
+    from fairy_spark.operators.pool import park_persisted
+
+    rfm = park_persisted("rfm", rfm)
     out = rfm
     for metric, qcol in [
         ("recency_days", "r_q"),

@@ -2626,6 +2626,15 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk").alias("dig"),
         F.size(F.split("chunk", " ")).alias("ctoks"),
     )
+    # r14 (guide §1.2 step 1): `e` feeds BOTH the per-digest count agg
+    # and the join-back, and building it is the expensive part — the
+    # CDC chunker is an aggregate() HOF computing one md5 per TOKEN, so
+    # unparked the whole tokenize+chunk+hash pass ran twice (2 parquet
+    # scans of documents in the before-plan). Checkpoint-mode park:
+    # chunk-frame is corpus-shaped — stays out of broadcast plans.
+    from fairy_spark.operators.pool import park_persisted
+
+    e = park_persisted("cdc_chunks", e, checkpoint=True)
     counts = e.groupBy("dig").agg(F.countDistinct("doc_id").alias("ndocs"))
     dup = F.when(F.col("ndocs") > 1, True)
     return (
@@ -4076,6 +4085,13 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink -- not a collect -- for the pair stream."""
     d = load_table(spark, sf_dir, "documents")
     sig = simhash(d, bits=16)
+    # r14: one checkpoint-mode park of the signature pass — it fed
+    # both self-join sides (computed twice before); the materialized
+    # leaf keeps the banded-join strategy statistics-driven
+    # (simhash64_pairs has the full argument). Measured 6.9 → 4.2 s.
+    from fairy_spark.operators.pool import park_persisted
+
+    sig = park_persisted("simhash", sig, checkpoint=True)
     bands = F.array(
         *[
             F.struct(
@@ -4583,6 +4599,12 @@ def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable)."""
     d = load_table(spark, sf_dir, "documents")
     sig = simhash(d, bits=_SIMHASH_SCALE_BITS)
+    # r14: same checkpoint-mode park as dedup_simhash_hamming — single
+    # signature evaluation, statistics-driven banded join (see
+    # simhash64_pairs for the measured argument).
+    from fairy_spark.operators.pool import park_persisted
+
+    sig = park_persisted("simhash", sig, checkpoint=True)
     bands = F.array(
         *[
             F.struct(
