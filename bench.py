@@ -52,6 +52,23 @@ def host_load_marker() -> dict:
         la1, la5, la15 = os.getloadavg()
     except OSError:
         la1 = la5 = la15 = -1.0
+    # r14: cumulative hypervisor-steal and busy tick counters from
+    # /proc/stat. Loadavg CANNOT see steal, and this sandbox showed
+    # windows where steal reached 23-39% of busy time while loadavg
+    # graded the window "record" (measured: the same tree read
+    # headline 10.0 s in a 3%-steal window and 17.0 s at 39% steal,
+    # every row in lockstep). Recording the raw counters start+end
+    # makes the window self-describing: steal_pct_of_busy =
+    # Δsteal / (Δuser + Δsys + Δsteal). -1 on non-Linux hosts.
+    steal_ticks = busy_ticks = -1
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # fields: user nice system idle iowait irq softirq steal
+        steal_ticks = int(parts[8])
+        busy_ticks = int(parts[1]) + int(parts[3])
+    except (OSError, IndexError, ValueError):
+        pass
     others = 0
     me = os.getpid()
     try:
@@ -81,6 +98,8 @@ def host_load_marker() -> dict:
         "loadavg_5m": round(la5, 2),
         "loadavg_15m": round(la15, 2),
         "jvm_procs": others,
+        "steal_ticks": steal_ticks,
+        "busy_ticks": busy_ticks,
     }
 
 
@@ -236,6 +255,16 @@ def main() -> None:
                     {"sec": round(dt, 3), "jvm_gc_ms": jvm_gc_ms() - gc0}
                 )
 
+    def steal_pct_of_busy(m0: dict, m1: dict) -> float:
+        """Δsteal / (Δbusy + Δsteal) between two markers — the share
+        of would-be compute time the hypervisor took in the window.
+        -1.0 when counters are unavailable (non-Linux)."""
+        if m0.get("steal_ticks", -1) < 0 or m1.get("steal_ticks", -1) < 0:
+            return -1.0
+        ds = m1["steal_ticks"] - m0["steal_ticks"]
+        db = m1["busy_ticks"] - m0["busy_ticks"]
+        return round(ds / (ds + db), 4) if (ds + db) > 0 else 0.0
+
     # Sample the end marker HERE — after the timed headline reps,
     # before the informational extras (warm/band2/wedge runs): the
     # marker exists to classify contamination of the TIMED window, and
@@ -358,6 +387,15 @@ def main() -> None:
                 # counted — subtract 1 to compare).
                 "host_load_start": host_start,
                 "host_load_end": host_end,
+                # r14: hypervisor-steal share of the timed headline
+                # window (start marker → end marker). Loadavg-based
+                # grades can't see steal; a lockstep offset across all
+                # rows with steal_pct_of_busy ≥ ~0.05 is box noise,
+                # not plan drift (measured on this sandbox: the same
+                # tree read 10.0 s at 0.03 and 17.0 s at 0.39).
+                "steal_pct_of_busy": steal_pct_of_busy(
+                    host_start, host_end
+                ),
                 # self-describing dirty-window stamp (VERDICT r9 #5):
                 # start loadavg_1m still exceeded the threshold after
                 # the bounded retry loop — read the suite number as
