@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from fairy_spark.operators.pool import park_persisted
+from fairy_spark.operators.skew import spread_width
 from fairy_spark.operators.text import (
     jaccard,
     minhash_signature,
@@ -122,15 +124,16 @@ def _shingled_sig_hof(
     shingling needs — but compute shingles AFTER it, so the expensive
     tokenize+ngram work runs on all cores, not the input file's few
     partitions."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    shingled = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            *[F.col(c) for c in block],
-            F.col(text_col).alias("_text"),
-        )
-        .repartition(par)
-        .select("id", *block, shingle_set(F.col("_text"), shingle_n).alias("shingles"))
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block],
+        F.col(text_col).alias("_text"),
+    )
+    width = spread_width(src)
+    if width:
+        src = src.repartition(width)
+    shingled = src.select(
+        "id", *block, shingle_set(F.col("_text"), shingle_n).alias("shingles")
     )
     return shingled.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
 
@@ -148,11 +151,17 @@ def _shingled_sig_arrow(
     HOF layer's per-shingle string assembly + md5 dominates the cold
     index build, while this path tokenizes, windows, and hashes at C
     speed inside Arrow batches. Value-identical by construction —
-    Python ``int(md5(s).hexdigest()[i:i+15], 16)`` IS
-    ``conv(substr(md5(s), 1+i, 15), 16, 10)`` (60-bit window, fits
-    signed BIGINT), empty/short docs yield [] shingles and all-null
-    signatures exactly like array_min over nothing — and gated by an
-    equality test against the HOF form."""
+    the 60-bit window at hex offset i of the digest,
+    ``(int.from_bytes(md5(s).digest()) >> 4*(32-i-15)) & (2^60-1)``,
+    IS ``int(md5(s).hexdigest()[i:i+15], 16)`` IS
+    ``conv(substr(md5(s), 1+i, 15), 16, 10)`` (hex chars are big-endian
+    nibbles of the digest; 60 bits fits signed BIGINT — r15 swapped the
+    per-window hexdigest slice+parse for one int.from_bytes + shifts,
+    same values, fewer interpreted ops per shingle), empty/short docs
+    yield [] shingles and all-null signatures exactly like array_min
+    over nothing — and gated by an equality test against the HOF
+    form."""
+    assert num_hashes <= 17, "60-bit windows beyond hex offset 16 leave the digest"
     import pandas as pd
 
     def gen(batches):
@@ -160,6 +169,8 @@ def _shingled_sig_arrow(
         import re
 
         ws = re.compile(r"\s+")
+        mask = (1 << 60) - 1
+        shifts = [4 * (32 - i - 15) for i in range(num_hashes)]
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in ["id", *block, "shingles", "sig"]}
             # zip over raw columns, not itertuples: pandas renames
@@ -176,11 +187,11 @@ def _shingled_sig_arrow(
                         seen.add(g)
                         shingles.append(g)
                 if shingles:
-                    digs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in shingles]
-                    sig = [
-                        min(int(d[i : i + 15], 16) for d in digs)
-                        for i in range(num_hashes)
+                    vals = [
+                        int.from_bytes(hashlib.md5(s.encode("utf-8")).digest(), "big")
+                        for s in shingles
                     ]
+                    sig = [min((v >> sh) & mask for v in vals) for sh in shifts]
                 else:
                     sig = [None] * num_hashes
                 out["id"].append(rid)
@@ -193,12 +204,18 @@ def _shingled_sig_arrow(
     from fairy_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)
-    par = docs.sparkSession.sparkContext.defaultParallelism
     src = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block],
         F.col(text_col).alias("_text"),
-    ).repartition(par)
+    )
+    # Scale-adaptive spread (r15, guide §2): width from the input-size
+    # estimate instead of repartition(defaultParallelism); no reshuffle
+    # at all once the scan's own splits reach it (at 100 TB the former
+    # constant forced a full round-robin shuffle of the corpus text).
+    width = spread_width(src)
+    if width:
+        src = src.repartition(width)
     block_schema = "".join(
         f", {c} {src.schema[c].dataType.simpleString()}" for c in block
     )
@@ -377,7 +394,6 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % band_rows == 0
     block = list(block_cols or [])
-    par = docs.sparkSession.sparkContext.defaultParallelism
     sig = _signature_index(
         docs, id_col, text_col, shingle_n, num_hashes, block, cache_key
     )
@@ -386,14 +402,19 @@ def minhash_lsh_candidates(
     # shingles are joined back just for the surviving candidate pairs.
     bands = _band_frame(sig, block, num_hashes, band_rows)
 
-    # Explicit repartition on the join keys: the band table is tiny
-    # (AQE would coalesce it to ~1 partition) but the self-join output
-    # is quadratic in bucket size — without this the explosion runs
-    # single-threaded. Input-size-based planning misjudges explode-joins.
-    # The self-join uses aliases over the SAME plan so the shuffle
-    # exchange is planned once and reused for both sides.
+    # No explicit repartition on the join keys (r15). The former
+    # repartition(defaultParallelism, *keys) was a local-mode constant
+    # that defeated AQE: at sf0.1 the planner broadcasts the band frame
+    # (persisted-sig stats are accurate), so BOTH sides carried a dead
+    # 32-partition REPARTITION_BY_NUM exchange — the broadcast side
+    # shuffled and then collected (plan (23)→(24) in
+    # plans/r15/dedup_minhash_lsh_before.txt); measured 1.46 s → 0.63 s
+    # for the pairs stage alone with the planner left in charge. At
+    # scale the band frame outgrows the broadcast threshold and the
+    # planner inserts ENSURE_REQUIREMENTS exchanges that AQE sizes from
+    # the actual band bytes (guide §2.2) — exactly the scale-adaptive
+    # behavior the constant overrode.
     join_keys = [*block, "band_id", "band_hash"]
-    bands = bands.repartition(par, *join_keys)
     pairs = (
         bands.alias("a")
         .join(bands.alias("b"), join_keys)
@@ -406,37 +427,65 @@ def minhash_lsh_candidates(
     # broadcasting it caps at driver/executor memory long before 100 TB;
     # the shuffle join is |pairs|-bound (never |docs|²) and measured
     # no slower at sf0.1.
-    sh_a = sig.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sig.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    out = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
-    cols = [
-        F.col("id_a"),
-        F.col("id_b"),
-        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
-    ]
-    if with_estimate:
-        # Signature agreement fraction: matches/num_hashes is an exact
-        # multiple of 1/num_hashes, so the quotient is bit-identical
-        # across engines. Null components (empty shingle sets) count as
-        # non-matching on both sides.
-        sg_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-        sg_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-        out = out.join(sg_a, "id_a").join(sg_b, "id_b")
-        matches = F.aggregate(
-            F.zip_with(
-                F.col("sig_a"),
-                F.col("sig_b"),
-                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, m: acc + m,
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
+    if not with_estimate:
+        sh_a = sig.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        sh_b = sig.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        return (
+            pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+            .select("id_a", "id_b", jac)
         )
-        cols.append(
-            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
-        )
-    return out.select(*cols)
+    # with_estimate (VERDICT r14 #5): the r14 shape joined FOUR
+    # projections of the index (sh_a, sh_b, sg_a, sg_b) — four index
+    # reads and four |pairs|-side shuffles at scale. Collapsed to ONE
+    # index read: explode each pair into (pair, side, id) rows, one
+    # equi-join against (id, shingles, sig), then a per-pair pivot
+    # groupBy. Exactly one non-null row per (pair, side), so the
+    # ignorenulls-first pivot is deterministic; the jaccard/estimate
+    # expressions are unchanged, value-identical.
+    sides = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(F.col("id_a"), F.col("id_b"))
+        ).alias("id"),
+    )
+    joined = sides.join(sig.select("id", "shingles", "sig"), "id")
+    per_pair = joined.groupBy("id_a", "id_b").agg(
+        F.first(
+            F.when(F.col("id") == F.col("id_a"), F.col("shingles")), ignorenulls=True
+        ).alias("sh_a"),
+        F.first(
+            F.when(F.col("id") == F.col("id_b"), F.col("shingles")), ignorenulls=True
+        ).alias("sh_b"),
+        F.first(
+            F.when(F.col("id") == F.col("id_a"), F.col("sig")), ignorenulls=True
+        ).alias("sig_a"),
+        F.first(
+            F.when(F.col("id") == F.col("id_b"), F.col("sig")), ignorenulls=True
+        ).alias("sig_b"),
+    )
+    # Signature agreement fraction: matches/num_hashes is an exact
+    # multiple of 1/num_hashes, so the quotient is bit-identical
+    # across engines. Null components (empty shingle sets) count as
+    # non-matching on both sides.
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    return per_pair.select(
+        "id_a",
+        "id_b",
+        jac,
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
 
 
 def minhash_lsh_append(
@@ -464,7 +513,6 @@ def minhash_lsh_append(
     the delta under ``{key}#delta``; the result is value-identical to
     the full-rebuild candidates restricted to delta-involving pairs
     (gated by test_minhash_append_matches_full_rebuild)."""
-    par = base_docs.sparkSession.sparkContext.defaultParallelism
     base_sig = _signature_index(
         base_docs, id_col, text_col, shingle_n, num_hashes, [],
         f"{cache_key}#base" if cache_key is not None else None,
@@ -478,14 +526,15 @@ def minhash_lsh_append(
         _band_frame(base_sig, [], num_hashes, band_rows)
     )
     join_keys = ["band_id", "band_hash"]
-    # Same explode-join planning rule as the full build: explicit hash
-    # partition on the band keys (size-based planning misjudges
-    # explode-joins), delta side pinned away from broadcast — the base
-    # band table is O(corpus).
+    # Same planning rule as the full build after r15: no explicit
+    # repartition constant — the planner's ENSURE_REQUIREMENTS
+    # exchanges are AQE-coalescible and size themselves from the band
+    # bytes. The shuffle_hash hint stays: it pins the union side away
+    # from a broadcast the size estimator would misjudge (the base
+    # band table is O(corpus)).
     pairs = (
-        bands_delta.repartition(par, *join_keys)
-        .alias("d")
-        .join(bands_all.repartition(par, *join_keys).hint("shuffle_hash").alias("o"), join_keys)
+        bands_delta.alias("d")
+        .join(bands_all.hint("shuffle_hash").alias("o"), join_keys)
         .filter(F.col("d.id") != F.col("o.id"))
         .select(
             F.least(F.col("d.id"), F.col("o.id")).alias("id_a"),
@@ -555,10 +604,12 @@ def _gram_digests_arrow(docs: DataFrame, gram_n: int, id_col: str, text_col: str
     from fairy_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
-    ).repartition(par)
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    # Scale-adaptive spread (r15): width from the input-size estimate,
+    # no reshuffle once the scan's own splits provide the parallelism.
+    width = spread_width(src)
+    if width:
+        src = src.repartition(width)
     return src.mapInPandas(gen, schema="id long, g string")
 
 
@@ -583,7 +634,12 @@ def substring_dedup_pairs(
     corpus-LINEAR, ~|tokens| rows), grams carried as md5 digests so the
     shuffle moves 32 bytes not 15-token strings, ONE hash partition on
     the digest feeds both the frequency window and the pair self-join
-    (exchange reused). Grams appearing in more than ``max_gram_docs``
+    (the window's planner-inserted hashpartitioning(g) exchange — AQE-
+    coalescible since r15, when the former explicit
+    repartition(defaultParallelism, g) local-mode constant was dropped:
+    measured 1.26 s → 0.78 s at sf0.1, same plan shape at scale because
+    ENSURE_REQUIREMENTS inserts the identical hash partitioning sized
+    from the actual gram bytes). Grams appearing in more than ``max_gram_docs``
     docs are dropped as boilerplate — exactly what production pipelines
     do (license headers, templates), and simultaneously the quadratic
     bound: pair cost is Sum_grams |docs_g|^2 <= max_gram_docs * |grams|,
@@ -593,11 +649,9 @@ def substring_dedup_pairs(
     ``engine``: 'arrow' (default — Arrow-batched gram hashing, ~2x the
     HOF form at sf0.1, see _gram_digests_arrow) or 'hof' (pure JVM
     reference path). Equality of the two is a gated test."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    digests = (_gram_digests_arrow if engine == "arrow" else _gram_digests_hof)(
+    grams = (_gram_digests_arrow if engine == "arrow" else _gram_digests_hof)(
         docs, gram_n, id_col, text_col
     )
-    grams = digests.repartition(par, "g")
     from pyspark.sql import Window
 
     w = Window.partitionBy("g")
@@ -607,8 +661,8 @@ def substring_dedup_pairs(
     # Shuffle-hash pin, NOT the planner's choice: kept is O(corpus) and
     # explode-derived, so size estimation undershoots and AQE happily
     # broadcasts it (observed at sf0.01) — a plan that dies at scale.
-    # Pinned, both aliases of the SAME plan land on the repartition
-    # exchange above and the join is exchange-free (ReusedExchange).
+    # Pinned, both aliases of the SAME plan read the window's
+    # hashpartitioning(g) output and the join is exchange-free.
     return (
         kept.alias("a")
         .join(kept.hint("shuffle_hash").alias("b"), "g")
@@ -729,7 +783,6 @@ def simhash64_pairs(
     # banded join stays statistics-driven — the 8×|docs|-row frame
     # broadcasts while it genuinely fits and demotes to the shuffle
     # equi-join at scale (measured 6.8 s → 3.7 s at sf0.1).
-    from fairy_spark.operators.pool import park_persisted
 
     sig = park_persisted("simhash", sig, checkpoint=True)
     bands = F.array(
@@ -855,10 +908,10 @@ def _winnow_fps_arrow(docs, id_col: str, text_col: str, k: int, w: int):
     from fairy_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
-    ).repartition(par)
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    width = spread_width(src)
+    if width:
+        src = src.repartition(width)
     return src.mapInPandas(gen, schema="id long, n_fp int, fp bigint")
 
 
@@ -903,10 +956,10 @@ def _winnow_docs_arrow(docs, id_col: str, text_col: str, k: int, w: int):
     from fairy_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
-    ).repartition(par)
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    width = spread_width(src)
+    if width:
+        src = src.repartition(width)
     return src.mapInPandas(
         gen,
         schema="id long, n_grams int, n_fp int, fp_checksum bigint,"
@@ -950,7 +1003,6 @@ def winnow_best_match(
         )
     from pyspark.sql import Window
 
-    from fairy_spark.operators.pool import park_persisted
 
     # r14 (guide §1.2 steps 1+2): the winnowed-fingerprint pass is the
     # expensive per-doc work, and it fed FOUR plan branches unpersisted
@@ -1039,7 +1091,6 @@ def hamming_pairs(
     # Python boundary twice. One checkpoint-mode park (same argument
     # as simhash64_pairs: single evaluation, materialized-size
     # statistics keep the banded-join strategy data-driven).
-    from fairy_spark.operators.pool import park_persisted
 
     sig = park_persisted("hamming_pairs", sig, checkpoint=True)
     bands = F.array(
@@ -1419,7 +1470,6 @@ def dedup_lines_near(
     shingle+minhash pass). Checkpoint-mode throughout: all three are
     corpus-shaped, and a statistics-less leaf keeps them out of
     broadcast plans — the only plan that survives at 100 TB."""
-    from fairy_spark.operators.pool import park_persisted
 
     lines = park_persisted(
         "linesnear",
@@ -1590,7 +1640,6 @@ def dedup_lines_near_append(
     base_index must be provided."""
     if (base_docs is None) == (base_index is None):
         raise ValueError("pass exactly one of base_docs / base_index")
-    from fairy_spark.operators.pool import park_persisted
 
     if base_index is None:
         # r14 (guide §1.2 step 1): the derived index feeds base_sigs

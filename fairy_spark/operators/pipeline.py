@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from fairy_spark.operators.pool import park_persisted
 from fairy_spark.operators.text import (
     EN_STOPWORDS,
     mean_token_len,
@@ -279,7 +280,6 @@ def _cleaned_corpus(
     the prefix both pipeline forms share; its output is the natural
     checkpoint boundary (everything after is a narrow chain over the
     surviving rows only)."""
-    from fairy_spark.operators.pool import park_persisted
 
     q1 = gopher_quality_filter(docs, id_col, text_col)
     canonical = (
@@ -313,7 +313,6 @@ def _pack_and_split(
     """Stages 5-6: token packing + deterministic hash split over the
     decontaminated survivors."""
     from fairy_spark.operators.packing import pack_into_bins
-    from fairy_spark.operators.pool import park_persisted
 
     # r14: park the slim (id, n_tokens) frame — pack_into_bins
     # evaluates its input three times (bounds agg, shard subtotals,
@@ -370,7 +369,6 @@ def pretrain_corpus(
     declarative form by construction (the same rows cross the
     boundary; asserted in tests/test_pipeline_operator.py and pinned
     against the registered oracle by `pipeline_pretrain_corpus_staged`)."""
-    from fairy_spark.operators.pool import park_persisted
 
     q3 = _cleaned_corpus(
         docs,

@@ -40,18 +40,55 @@ materialization runs inside the bench's timed window.
 from __future__ import annotations
 
 import threading
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _LOCK = threading.Lock()
-# pool name -> list of (frame, was_persisted)
+# effective pool name -> list of (frame, was_persisted); insertion
+# order of the dict itself is the cross-pool eviction order.
 _POOLS: dict[str, list[tuple[DataFrame, bool]]] = {}
 _DEFAULT_CAP = 4
+# Total parked frames across ALL pools (leak bound now that pools can
+# be invocation-scoped): beyond it, the oldest frames of the
+# least-recently-created OTHER pools are evicted first.
+_GLOBAL_CAP = 32
+
+# Per-invocation pool scoping (VERDICT r14 #7): shared pool names were
+# a latent perf hazard — every graph query parks into pool "wedges"
+# (cap 4, FIFO), so two queries interleaved in one session could evict
+# each other's persisted frames mid-use (Spark recomputes correctly;
+# the park's benefit silently vanishes). A scope suffixes the pool
+# name per query invocation, so concurrent/interleaved invocations
+# never share a FIFO. Thread-local: concurrent driver threads (guide
+# §2.6) each get their own scope.
+_SCOPE = threading.local()
+
+
+@contextmanager
+def pool_scope(tag: str = ""):
+    """Enter a fresh park scope: park_persisted calls inside suffix
+    their pool names with a per-invocation token. Re-entrant (the
+    previous scope is restored on exit); exiting does NOT evict the
+    scope's frames — the returned DataFrames are lazy and consumed
+    after the builder returns — the global frame cap bounds them."""
+    token = f"{tag}#{uuid.uuid4().hex[:8]}"
+    prev = getattr(_SCOPE, "value", None)
+    _SCOPE.value = token
+    try:
+        yield token
+    finally:
+        _SCOPE.value = prev
 
 
 def park_persisted(
-    pool: str, df: DataFrame, cap: int = _DEFAULT_CAP, checkpoint: bool = False
+    pool: str,
+    df: DataFrame,
+    cap: int = _DEFAULT_CAP,
+    checkpoint: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """Materialize ``df`` eagerly and park the result in the named
     bounded pool; returns the materialized frame.
@@ -74,29 +111,72 @@ def park_persisted(
       pays canonicalization/comparison against (measured 51 s → 144 s
       on an unrelated query that merely ran after one). Evicted frames
       just drop the reference; the ContextCleaner reclaims blocks.
+    - ``reliable=True`` (VERDICT r14 #9) — ``df.checkpoint()`` against
+      the context's checkpoint dir (set from
+      $FAIRY_SPARK_CHECKPOINT_DIR, or a fresh temp dir, when unset).
+      Same lineage cut as localCheckpoint but the blocks are written to
+      the (shared at scale) checkpoint filesystem, so an executor loss
+      does NOT invalidate the frame — the mode a real cluster run needs
+      for multi-TB boundaries; localCheckpoint blocks are
+      executor-local and unreplicated. Costs a durable write; keep the
+      default local mode for this harness's single-box bench.
     """
-    if checkpoint:
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            import os
+            import tempfile
+
+            sc.setCheckpointDir(
+                os.environ.get("FAIRY_SPARK_CHECKPOINT_DIR")
+                or tempfile.mkdtemp(prefix="fairy_spark_ckpt_")
+            )
+        df = df.checkpoint(eager=True)
+        checkpoint = True  # pool bookkeeping: nothing to unpersist on evict
+    if checkpoint and not reliable:
         df = df.localCheckpoint(eager=True)
-    else:
+    elif not checkpoint:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
+    scope = getattr(_SCOPE, "value", None)
+    effective = f"{pool}@{scope}" if scope else pool
     with _LOCK:
-        frames = _POOLS.setdefault(pool, [])
+        frames = _POOLS.setdefault(effective, [])
         frames.append((df, not checkpoint))
         while len(frames) > cap:
-            old, was_persisted = frames.pop(0)
-            if was_persisted:
-                old.unpersist(blocking=False)
+            _drop(frames.pop(0))
+        # Global bound across pools: scoped pools are per-invocation,
+        # so without this a long session would accumulate one pool per
+        # query call. Evict oldest-pool-first, never the current one —
+        # an in-flight invocation keeps all its own frames live (the
+        # VERDICT r14 #7 hazard was exactly cross-invocation eviction).
+        while sum(len(v) for v in _POOLS.values()) > _GLOBAL_CAP:
+            victim = next((k for k in _POOLS if k != effective), None)
+            if victim is None:
+                break
+            _drop(_POOLS[victim].pop(0))
+            if not _POOLS[victim]:
+                del _POOLS[victim]
     return df
 
 
+def _drop(entry: tuple[DataFrame, bool]) -> None:
+    old, was_persisted = entry
+    if was_persisted:
+        old.unpersist(blocking=False)
+
+
 def clear_pool(pool: str | None = None) -> None:
-    """Unpersist/drop every parked frame in ``pool`` (all pools when
-    None) — test/bench hygiene; checkpoint block reclaim follows via
-    the ContextCleaner."""
+    """Unpersist/drop every parked frame in ``pool`` — including its
+    invocation-scoped variants ``pool@scope`` — or in all pools when
+    None; test/bench hygiene, checkpoint block reclaim follows via the
+    ContextCleaner."""
     with _LOCK:
-        names = [pool] if pool is not None else list(_POOLS)
+        names = (
+            [n for n in _POOLS if n == pool or n.startswith(f"{pool}@")]
+            if pool is not None
+            else list(_POOLS)
+        )
         for name in names:
-            for df, was_persisted in _POOLS.pop(name, []):
-                if was_persisted:
-                    df.unpersist(blocking=False)
+            for entry in _POOLS.pop(name, []):
+                _drop(entry)

@@ -21,7 +21,9 @@ import threading
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from fairy_spark.operators.skew import spread_width
 from fairy_spark.operators.text import portable_hash64
+from fairy_spark.operators.pool import park_persisted
 
 
 # Final-frame pool for Lloyd centroid builds. INTERMEDIATE rounds are
@@ -105,15 +107,19 @@ def brute_force_topk(
         _dvec(F.col(vec_col)).alias("qvec"),
         norm(_dvec(F.col(vec_col))).alias("qnorm"),
     )
-    # Repartition the corpus scan: the parquet input is few/small files
-    # (1 partition) but the scoring work is |corpus|×|queries| folds —
-    # spread it across the cluster before the broadcast join.
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # Spread the corpus scan when it arrives as fewer splits than the
+    # scoring work (|corpus|×|queries| interpreted HOF folds) wants —
+    # scale-adaptive width from the input-size estimate (r15; the
+    # former repartition(defaultParallelism) constant cost ~0.3 s of
+    # 32-task overhead at sf0.1 and a useless full reshuffle at scale).
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _dvec(F.col(vec_col)).alias("nvec"),
         norm(_dvec(F.col(vec_col))).alias("nnorm"),
-    ).repartition(par)
+    )
+    width = spread_width(c)
+    if width:
+        c = c.repartition(width)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -1021,7 +1027,6 @@ def semdedup_summary(
     # at 100 TB the statistics exceed the threshold and the planner
     # degrades to the shuffle join on its own (the _park_degrees
     # argument), so the local broadcast is not a scale trap.
-    from fairy_spark.operators.pool import park_persisted
 
     assigned = park_persisted("semdedup", assigned)
     a = assigned.select(

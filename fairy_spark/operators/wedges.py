@@ -18,6 +18,7 @@ wedge product indeg*outdeg (see triangle_summary_capped).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from fairy_spark.operators.pool import park_persisted
 
 DEFAULT_HUB_CAP = 4096
 
@@ -40,7 +41,6 @@ def persist_edges(df: DataFrame) -> DataFrame:
     on graph_triangles_capped) — a plan that also dies at scale, where
     the edge list is TBs. The statistics-less leaf keeps the shuffle
     join plans the hub-capped split is designed around."""
-    from fairy_spark.operators.pool import park_persisted
 
     return park_persisted("wedges", df, checkpoint=True)
 
@@ -53,7 +53,6 @@ def _park_degrees(df: DataFrame) -> DataFrame:
     BHJ → SMJ and measurably regressed graph_clustering_coeff (r14);
     at 100 TB the statistics exceed the broadcast threshold and the
     planner degrades gracefully to the shuffle join on its own."""
-    from fairy_spark.operators.pool import park_persisted
 
     return park_persisted("wedges", df)
 

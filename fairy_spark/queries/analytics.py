@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from fairy_spark.functions.exact import money_sum as _money_sum, round6 as _round6
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
+from fairy_spark.operators.pool import park_persisted
 
 _DEC = "decimal(38,0)"
 
@@ -1259,7 +1260,6 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collects). One persist-mode park of the user-sized RFM frame
     # (small plan, accurate stats) makes every downstream pass read
     # the materialized frame instead.
-    from fairy_spark.operators.pool import park_persisted
 
     rfm = park_persisted("rfm", rfm)
     out = rfm

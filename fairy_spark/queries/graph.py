@@ -1104,6 +1104,9 @@ def _kcore_peel(
     to the full unroll by monotonicity (see graph_kcore's docstring);
     the ``False`` leg exists so tests can pin that equivalence on
     graphs that genuinely peel for several rounds."""
+    # ADVICE r14: rounds < 1 would return keep=None and crash a caller
+    # with an opaque AttributeError on keep.agg(); fail loudly here.
+    assert rounds >= 1, f"_kcore_peel needs at least one round, got {rounds}"
     cur = edges
     keep = None
     prev_edges = edges.count() if early_exit else -1

@@ -36,6 +36,7 @@ from fairy_spark.operators.text import (
 )
 from fairy_spark.queries import register
 from fairy_spark.sources.tables import load_table
+from fairy_spark.operators.pool import park_persisted
 
 # DuckDB fragments mirroring operators/text.py
 _TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
@@ -323,7 +324,6 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder's identity argument is _py_winnow's docstring, pinned by
     tests/test_winnow_engines.py and this query's unchanged oracle."""
     from fairy_spark.operators.dedup import _winnow_docs_arrow
-    from fairy_spark.operators.pool import park_persisted
 
     d = load_table(spark, sf_dir, "documents")
     base = park_persisted(
@@ -2632,7 +2632,6 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unparked the whole tokenize+chunk+hash pass ran twice (2 parquet
     # scans of documents in the before-plan). Checkpoint-mode park:
     # chunk-frame is corpus-shaped — stays out of broadcast plans.
-    from fairy_spark.operators.pool import park_persisted
 
     e = park_persisted("cdc_chunks", e, checkpoint=True)
     counts = e.groupBy("dig").agg(F.countDistinct("doc_id").alias("ndocs"))
@@ -3367,7 +3366,6 @@ def _pipeline_pretrain(
         gopher_quality_filter,
         near_dup_removed,
     )
-    from fairy_spark.operators.pool import park_persisted
 
     d = load_table(spark, sf_dir, "documents")
 
@@ -4089,7 +4087,6 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both self-join sides (computed twice before); the materialized
     # leaf keeps the banded-join strategy statistics-driven
     # (simhash64_pairs has the full argument). Measured 6.9 → 4.2 s.
-    from fairy_spark.operators.pool import park_persisted
 
     sig = park_persisted("simhash", sig, checkpoint=True)
     bands = F.array(
@@ -4602,7 +4599,6 @@ def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: same checkpoint-mode park as dedup_simhash_hamming — single
     # signature evaluation, statistics-driven banded join (see
     # simhash64_pairs for the measured argument).
-    from fairy_spark.operators.pool import park_persisted
 
     sig = park_persisted("simhash", sig, checkpoint=True)
     bands = F.array(
@@ -5538,7 +5534,6 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline); at open-web scale the prefix join prunes as
     published, and the minhash prefilter (dedup_minhash_lsh) remains
     the recall-trading fallback for adversarial vocabularies."""
-    from fairy_spark.operators.pool import park_persisted
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     # r14 (guide §1.2 step 1): the tokenized frame feeds THREE plan
@@ -5872,7 +5867,6 @@ def dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays banded/blocked, tests/test_scale_growth.py). Kin to
     dedup_minhash_est (per-pair estimator error) but scored at the
     DECISION level: did blocking propose the pair at all."""
-    from fairy_spark.operators.pool import park_persisted
     from fairy_spark.operators.text import minhash_signature
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)

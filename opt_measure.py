@@ -2,7 +2,8 @@
 """Per-query measurement harness for the optimization rounds (guide §1).
 
 For each named query: capture .explain("formatted") to
-plans/r14/<name>_<tag>.txt, then time N reps of a noop-sink write
+$OPT_PLANS_DIR/<name>_<tag>.txt (default plans/r15), then time N reps
+of a noop-sink write
 (guide §1.4 — forces every column of every row, no sink cost) and
 print one JSON line per query with median/min/max plus plan-shape
 counters (Exchange count, join strategies, Python-eval nodes).
@@ -43,7 +44,8 @@ def main() -> None:
     from fairy_spark.queries import QUERIES
     from fairy_spark.operators.dedup import clear_signature_cache
 
-    os.makedirs("plans/r14", exist_ok=True)
+    plans_dir = os.environ.get("OPT_PLANS_DIR", "plans/r15")
+    os.makedirs(plans_dir, exist_ok=True)
 
     # warm-up: JVM/codegen on the smallest SF
     warm = "/root/testdata/sf0.001"
@@ -56,7 +58,7 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        with open(f"plans/r14/{name}_{tag}.txt", "w") as f:
+        with open(f"{plans_dir}/{name}_{tag}.txt", "w") as f:
             f.write(plan)
         shape = {
             "exchanges": len(re.findall(r"\bExchange\b", plan)),

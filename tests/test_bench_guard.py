@@ -71,3 +71,39 @@ def test_window_grade_three_way_classification():
     assert g(4.0, 4.0, 1.0) == "clean"    # guard boundary inclusive
     assert g(8.8, 4.0, 1.0) == "contaminated"
     assert g(-1.0, 4.0, 1.0) == "record"  # non-Linux fallback
+
+
+def _steal_marker(steal: int, busy: int) -> dict:
+    return {"steal_ticks": steal, "busy_ticks": busy}
+
+
+def test_steal_share_basic_and_fallback():
+    """r15 (VERDICT r14 #2): steal share over a marker pair is
+    Δsteal / (Δbusy + Δsteal); -1 when counters are unavailable;
+    0 on a zero-delta window."""
+    s = _bench.steal_share
+    assert s(_steal_marker(100, 900), _steal_marker(200, 1800)) == 0.1
+    assert s(_steal_marker(-1, -1), _steal_marker(10, 10)) == -1.0
+    assert s(_steal_marker(5, 5), _steal_marker(5, 5)) == 0.0
+    # the r14 contaminated window: 27.7% of busy stolen
+    assert s(_steal_marker(0, 0), _steal_marker(277, 723)) == 0.277
+
+
+def test_busy_ticks_include_nice_irq_softirq(tmp_path, monkeypatch):
+    """ADVICE r14: busy must sum user+nice+system+irq+softirq so the
+    steal share is not overstated under niced load. Driven with a fake
+    /proc/stat."""
+    fake = tmp_path / "stat"
+    #           user nice system idle iowait irq softirq steal
+    fake.write_text("cpu  10 20 30 999 5 40 50 7\n")
+    real_open = open
+
+    def fake_open(path, *a, **k):
+        if path == "/proc/stat":
+            return real_open(fake, *a, **k)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", fake_open)
+    m = _bench.host_load_marker()
+    assert m["steal_ticks"] == 7
+    assert m["busy_ticks"] == 10 + 20 + 30 + 40 + 50

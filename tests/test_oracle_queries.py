@@ -10,6 +10,7 @@ from fairy_spark.queries import ORACLE, QUERIES
 from fairy_spark.testing.oracle import run_compare
 
 
+@pytest.mark.parity
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_vs_oracle(name, spark, sf_dir, duck):
     res = run_compare(name, spark, sf_dir, duck)

@@ -110,17 +110,19 @@ def test_minhash_band_join_is_equi(spark, sf_dir):
 def test_ngram_jaccard_pair_join_keyed_by_block_and_band(spark, sf_dir):
     """VERDICT r3 item 2: the candidate-pair join must be keyed by
     (block, band), never an all-pairs join over an unbounded block —
-    in-block pairs grow quadratically with corpus size otherwise. The
-    explicit repartition before the self-join puts every join key in a
-    hashpartitioning clause, so its presence in one exchange is the
-    checkable signature of the bounded plan."""
+    in-block pairs grow quadratically with corpus size otherwise. Since
+    r15 the band self-join carries no explicit repartition (the planner
+    inserts/AQE-sizes the exchange, or broadcasts a provably small band
+    frame), so the checkable signature of the bounded plan is the join
+    node's own key list: every block and band column must appear in the
+    equi-join keys."""
     plan = plan_of(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     keyed = [
         line
         for line in plan.splitlines()
-        if "hashpartitioning" in line and "band_hash" in line
+        if line.startswith("Left keys") and "band_hash" in line
     ]
     assert keyed, plan
     for key in ("source", "len_bucket", "band_id"):
